@@ -1,0 +1,194 @@
+"""Config dataclasses — the single object that flows through every layer.
+
+Parity: reference `cflearn/schema.py:1876-2051` (`TrainerConfig` / `Config` /
+`DLConfig` / `MLConfig`). TPU-native additions: `mesh_config` (named device
+mesh axes — data/fsdp/model/context), `compute_dtype`/`param_dtype` replace
+accelerate's `mixed_precision` string (kept as an alias), and the dead
+`use_zero` flag of the reference (`schema.py:1908`, declared-never-consumed)
+becomes a real `shard_optimizer_states` switch.
+"""
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Union
+
+from ..toolkit.serialization import DataClassBase
+
+TPath = Optional[str]
+
+
+@dataclasses.dataclass(eq=False)
+class MeshConfig(DataClassBase):
+    """Named device-mesh spec. Axes with size -1 absorb remaining devices."""
+
+    data: int = -1
+    fsdp: int = 1
+    model: int = 1
+    context: int = 1
+
+    @property
+    def axis_names(self) -> List[str]:
+        return ["data", "fsdp", "model", "context"]
+
+    def axis_sizes(self, num_devices: int) -> List[int]:
+        sizes = [self.data, self.fsdp, self.model, self.context]
+        fixed = 1
+        for s in sizes:
+            if s > 0:
+                fixed *= s
+        if num_devices % fixed != 0:
+            raise ValueError(f"mesh sizes {sizes} do not divide {num_devices} devices")
+        remaining = num_devices // fixed
+        out = []
+        used_free = False
+        for s in sizes:
+            if s > 0:
+                out.append(s)
+            elif used_free:
+                out.append(1)
+            else:
+                out.append(remaining)
+                used_free = True
+        if not used_free and remaining != 1:
+            out[0] *= remaining
+        return out
+
+
+@dataclasses.dataclass(eq=False)
+class TrainerConfig(DataClassBase):
+    """Reference `TrainerConfig` (`schema.py:1876`), TPU-adapted."""
+
+    workspace: str = "_logs"
+    create_sub_workspace: bool = True
+    state_config: Optional[Dict[str, Any]] = None
+    num_epoch: int = 40
+    max_epoch: int = 1000
+    fixed_epoch: Optional[int] = None
+    fixed_steps: Optional[int] = None
+    log_steps: Optional[int] = None
+    valid_portion: float = 1.0
+    clip_norm: float = 0.0
+    grad_accumulate: int = 1
+    # precision: "no" | "fp16" | "bf16" (reference accelerate strings).
+    # On TPU "fp16" is treated as bf16 compute (MXU-native).
+    mixed_precision: str = "no"
+    optimizer_name: Optional[str] = None
+    scheduler_name: Optional[str] = None
+    optimizer_config: Optional[Dict[str, Any]] = None
+    scheduler_config: Optional[Dict[str, Any]] = None
+    update_scheduler_per_epoch: bool = False
+    optimizer_settings: Optional[Dict[str, Optional[Dict[str, Any]]]] = None
+    use_incrementer_for_train_loss: bool = True
+    metric_names: Optional[Union[str, List[str]]] = None
+    metric_configs: Optional[Dict[str, Any]] = None
+    metric_weights: Optional[Dict[str, float]] = None
+    metric_forward_kwargs: Optional[Dict[str, Any]] = None
+    use_losses_as_metrics: Optional[bool] = None
+    loss_metrics_weights: Optional[Dict[str, float]] = None
+    recompute_train_losses_in_eval: bool = True
+    validation_split: Optional[float] = None
+    monitor_names: Optional[Union[str, List[str]]] = None
+    monitor_configs: Optional[Dict[str, Any]] = None
+    auto_callback: bool = True
+    callback_names: Optional[Union[str, List[str]]] = None
+    callback_configs: Optional[Dict[str, Any]] = None
+    lr: Optional[float] = None
+    optimizer_packs: Optional[List[Dict[str, Any]]] = None
+    use_zero: bool = False  # alias of shard_optimizer_states (reference dead flag)
+    shard_optimizer_states: bool = False
+    finetune_config: Optional[Dict[str, Any]] = None
+    save_pipeline_in_realtime: bool = False
+    max_snapshot_file: int = 25
+    min_num_sample: int = 3000
+    num_snapshot_per_epoch: float = 2.0
+    max_step_per_snapshot: int = 1000
+    min_snapshot_epoch_gap: int = 0
+    # TPU-native knobs
+    mesh: Optional[Dict[str, int]] = None
+    donate_buffers: bool = True
+    remat: bool = False
+    profile_steps: Optional[List[int]] = None
+    tqdm_settings: Optional[Dict[str, Any]] = None
+
+    @property
+    def is_debug(self) -> bool:
+        return self.fixed_steps == 1
+
+    @property
+    def compute_dtype(self) -> str:
+        if self.mixed_precision in ("fp16", "bf16"):
+            return "bfloat16"
+        return "float32"
+
+    def get_mesh_config(self) -> MeshConfig:
+        mc = MeshConfig()
+        if self.mesh:
+            mc.from_info(dict(self.mesh))
+        return mc
+
+
+@dataclasses.dataclass(eq=False)
+class Config(TrainerConfig):
+    """+ loss/debug fields (reference `schema.py:1918`)."""
+
+    loss_name: Optional[str] = None
+    loss_config: Optional[Dict[str, Any]] = None
+    in_loading: bool = False
+    cudnn_benchmark: bool = False  # kept for config-compat; no-op on TPU
+
+    def to_debug(self) -> "Config":
+        self.fixed_steps = 1
+        self.valid_portion = 1.0e-4
+        return self
+
+    def sanity_check(self) -> None:
+        if self.fixed_steps is not None and self.fixed_steps <= 0:
+            raise ValueError("`fixed_steps` should be positive when provided")
+
+
+@dataclasses.dataclass(eq=False)
+class DLConfig(Config):
+    """+ model/module selection (reference `schema.py:1949`)."""
+
+    model: str = "common"
+    model_config: Optional[Dict[str, Any]] = None
+    module_name: str = ""
+    module_config: Optional[Dict[str, Any]] = None
+    num_repeat: Optional[int] = None
+    inference_type: str = "dl"
+    seed: Optional[int] = None
+
+    def sanity_check(self) -> None:
+        super().sanity_check()
+        if not self.module_name:
+            raise ValueError("`module_name` should be provided")
+
+    @property
+    def model_name(self) -> str:
+        return self.model
+
+
+@dataclasses.dataclass(eq=False)
+class MLConfig(DLConfig):
+    """+ tabular-specific fields (reference `schema.py:2003`)."""
+
+    encoder_settings: Optional[Dict[str, Dict[str, Any]]] = None
+    global_encoder_settings: Optional[Dict[str, Any]] = None
+    index_mapping: Optional[Dict[str, int]] = None
+    infer_encoder_settings: bool = True
+
+    def sanity_check(self) -> None:
+        super().sanity_check()
+
+    @classmethod
+    def inherit_from(cls, config: DLConfig) -> "MLConfig":
+        obj = cls()
+        obj.from_info(config.to_info())
+        return obj
+
+
+config_registry: Dict[str, type] = {
+    "trainer": TrainerConfig,
+    "config": Config,
+    "dl": DLConfig,
+    "ml": MLConfig,
+}

@@ -1,0 +1,320 @@
+"""Misc foundation utilities.
+
+Parity: reference `cflearn/toolkit.py` — `seed_everything` (:103),
+`check_is_ci` (:177), file sha helpers (:279-328), download system (:329-567),
+batch converters (:1182-1235), `WeightsStrategy` (:671), EMA/slerp math
+(:2737-2996). TPU-native: seeds return `jax.random.PRNGKey`s; batch conversion
+targets jax arrays; device helpers speak `jax.Device`/mesh.
+"""
+
+import hashlib
+import json
+import os
+import random
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import WORKSPACE_ENVIRON_KEY
+from ..parameters import OPT
+
+arr_type = Union[np.ndarray, jax.Array]
+np_dict_type = Dict[str, Union[np.ndarray, Any]]
+tensor_dict_type = Dict[str, Union[jax.Array, Any]]
+
+
+# ----------------------------------------------------------------------------
+# env / seeding
+# ----------------------------------------------------------------------------
+
+def check_is_ci() -> bool:
+    """Reference `toolkit.py:177` — CI flag flips configs into 1-step debug mode."""
+    return bool(int(os.environ.get("CI", "0")))
+
+
+def get_workspace_environ() -> Optional[str]:
+    return os.environ.get(WORKSPACE_ENVIRON_KEY)
+
+
+_seed: Optional[int] = None
+
+
+def seed_everything(seed: Optional[int] = None) -> int:
+    """Seed python/numpy RNGs and record the seed for `new_rng_key`.
+
+    Reference `toolkit.py:103`. JAX randomness is functional, so this records
+    the seed; modules draw keys via `jax.random.PRNGKey(seed)` streams.
+    """
+    global _seed
+    if seed is None:
+        seed = random.randint(0, 2**31 - 1)
+    random.seed(seed)
+    np.random.seed(seed % (2**32))
+    _seed = seed
+    return seed
+
+
+def get_seed() -> int:
+    return _seed if _seed is not None else 0
+
+
+def new_rng_key(seed: Optional[int] = None) -> jax.Array:
+    return jax.random.PRNGKey(get_seed() if seed is None else seed)
+
+
+# ----------------------------------------------------------------------------
+# hashing / files / download cache
+# ----------------------------------------------------------------------------
+
+def hash_code(code: str) -> str:
+    return hashlib.md5(code.encode()).hexdigest()[:8]
+
+
+def get_file_size(path: str) -> int:
+    return os.path.getsize(path)
+
+
+def check_sha_with(path: str, tgt_sha: str) -> bool:
+    """Reference `toolkit.py:304` — sha256 check of a file."""
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest() == tgt_sha
+
+
+def get_download_cache_dir() -> Path:
+    folder = Path(OPT.cache_dir) / "download"
+    folder.mkdir(parents=True, exist_ok=True)
+    return folder
+
+
+def download(
+    url: str,
+    *,
+    name: Optional[str] = None,
+    folder: Optional[str] = None,
+    sha: Optional[str] = None,
+    retries: int = 2,
+) -> Path:
+    """Download + cache + optional sha verification (reference `toolkit.py:450-567`).
+
+    In zero-egress environments this raises a clear error when the file is not
+    already cached; callers (the zoo) treat pretrained weights as optional.
+    """
+    import urllib.request
+
+    dst_folder = Path(folder) if folder is not None else get_download_cache_dir()
+    dst_folder.mkdir(parents=True, exist_ok=True)
+    fname = name or url.split("/")[-1]
+    path = dst_folder / fname
+    if path.is_file() and (sha is None or check_sha_with(str(path), sha)):
+        return path
+    err: Optional[Exception] = None
+    for _ in range(max(1, retries)):
+        try:
+            urllib.request.urlretrieve(url, str(path))
+            if sha is not None and not check_sha_with(str(path), sha):
+                raise IOError(f"sha mismatch for {fname}")
+            return path
+        except Exception as e:  # noqa: BLE001
+            err = e
+            time.sleep(1)
+    raise IOError(f"failed to download {url}: {err}")
+
+
+def download_json(url: str, **kwargs: Any) -> Dict[str, Any]:
+    with open(download(url, **kwargs), "r") as f:
+        return json.load(f)
+
+
+# ----------------------------------------------------------------------------
+# batch conversion — the host↔device boundary
+# ----------------------------------------------------------------------------
+
+def np_batch_to_jax(batch: np_dict_type) -> tensor_dict_type:
+    """numpy dict batch → jax arrays (reference `np_batch_to_tensor`, `toolkit.py:1182`)."""
+    return {
+        k: jnp.asarray(v) if isinstance(v, np.ndarray) and v.dtype != object else v
+        for k, v in batch.items()
+    }
+
+
+def jax_batch_to_np(batch: tensor_dict_type) -> np_dict_type:
+    """jax dict batch → numpy (reference `tensor_batch_to_np`, `toolkit.py:1209`)."""
+    return {k: np.asarray(v) if isinstance(v, jax.Array) else v for k, v in batch.items()}
+
+
+def to_jax_dtype(x: np.ndarray) -> np.ndarray:
+    """Normalize dtypes for device transfer: f64→f32, i64→i32."""
+    if x.dtype == np.float64:
+        return x.astype(np.float32)
+    if x.dtype == np.int64:
+        return x.astype(np.int32)
+    if x.dtype == np.bool_:
+        return x
+    return x
+
+
+# ----------------------------------------------------------------------------
+# math helpers (reference `toolkit.py:2737-2996`)
+# ----------------------------------------------------------------------------
+
+def slerp(
+    x1: jax.Array,
+    x2: jax.Array,
+    r1: Union[float, jax.Array],
+    r2: Optional[Union[float, jax.Array]] = None,
+    *,
+    dot_threshold: float = 0.9995,
+) -> jax.Array:
+    """Spherical interpolation (reference `toolkit.py:2737`)."""
+    if r2 is None:
+        r2 = 1.0 - r1
+    b, *shape = x1.shape
+    x1f = x1.reshape(b, -1)
+    x2f = x2.reshape(b, -1)
+    low_norm = x1f / jnp.linalg.norm(x1f, axis=1, keepdims=True)
+    high_norm = x2f / jnp.linalg.norm(x2f, axis=1, keepdims=True)
+    dot = jnp.sum(low_norm * high_norm, axis=1, keepdims=True)
+    omega = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    so = jnp.sin(omega)
+    lerped = r1 * x1f + r2 * x2f
+    slerped = (jnp.sin(r1 * omega) / so) * x1f + (jnp.sin(r2 * omega) / so) * x2f
+    out = jnp.where(jnp.abs(dot) > dot_threshold, lerped, slerped)
+    return out.reshape(b, *shape)
+
+
+def mean_std(x: jax.Array, eps: float = 1e-5) -> Any:
+    """Per-(B,C) spatial mean/std for NHWC features (reference `toolkit.py:2880`)."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return mean, jnp.sqrt(var + eps)
+
+
+def adain_with_params(src: jax.Array, mean: jax.Array, std: jax.Array) -> jax.Array:
+    src_mean, src_std = mean_std(src)
+    return std * (src - src_mean) / src_std + mean
+
+
+def adain_with_tgt(src: jax.Array, tgt: jax.Array) -> jax.Array:
+    tgt_mean, tgt_std = mean_std(tgt)
+    return adain_with_params(src, tgt_mean, tgt_std)
+
+
+def interpolate_fn(x: np.ndarray, y: np.ndarray, x_new: np.ndarray) -> np.ndarray:
+    return np.interp(x_new, x, y)
+
+
+# ----------------------------------------------------------------------------
+# sample-weight schedules (reference `WeightsStrategy`, `toolkit.py:671`)
+# ----------------------------------------------------------------------------
+
+class WeightsStrategy:
+    d: Dict[str, Callable[[int], Optional[np.ndarray]]] = {}
+
+    def __init__(self, strategy: Optional[str]) -> None:
+        self.strategy = strategy
+
+    def __call__(self, num: int) -> Optional[np.ndarray]:
+        if self.strategy is None:
+            return None
+        return getattr(self, self.strategy)(num)
+
+    def linear_decay(self, num: int) -> np.ndarray:
+        return np.linspace(0, 1, num + 1)[1:]
+
+    def radius_decay(self, num: int) -> np.ndarray:
+        return np.sin(np.arccos(1.0 - np.linspace(0, 1, num + 1)[1:]))
+
+    def log_decay(self, num: int) -> np.ndarray:
+        return np.log(np.arange(num) + np.e)
+
+    def sigmoid_decay(self, num: int) -> np.ndarray:
+        return 1.0 / (1.0 + np.exp(-np.linspace(-5.0, 5.0, num)))
+
+    def visualize(self, export_path: str = "weights_strategy.png") -> None:  # pragma: no cover
+        try:
+            import matplotlib.pyplot as plt
+
+            n = 1000
+            x = np.linspace(0, 1, n)
+            y = self(n)
+            if y is not None:
+                plt.figure()
+                plt.plot(x, y)
+                plt.savefig(export_path)
+                plt.close()
+        except ImportError:
+            pass
+
+
+# ----------------------------------------------------------------------------
+# misc
+# ----------------------------------------------------------------------------
+
+def fix_denormal_states(
+    states: Dict[str, np.ndarray],
+    *,
+    eps: float = 1e-32,
+) -> Dict[str, np.ndarray]:
+    """Zero out denormal floats in a state dict (reference `toolkit.py:1296`)."""
+    out = {}
+    for k, v in states.items():
+        if np.issubdtype(v.dtype, np.floating):
+            v = np.where(np.abs(v) < eps, 0.0, v).astype(v.dtype)
+        out[k] = v
+    return out
+
+
+def truncate_string_to_length(string: str, length: int) -> str:
+    if len(string) <= length:
+        return string
+    half = (length - 3) // 2
+    return string[:half] + "..." + string[-half:]
+
+
+def sort_dict_by_value(d: Dict[Any, Any], *, reverse: bool = False) -> "Dict[Any, Any]":
+    return dict(sorted(d.items(), key=lambda kv: kv[1], reverse=reverse))
+
+
+def prod(iterable: Any) -> int:
+    out = 1
+    for v in iterable:
+        out *= int(v)
+    return out
+
+
+def get_num_params(params: Any) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params) if hasattr(x, "shape"))
+
+
+def timestamp(*, simplify: bool = False, ensure_different: bool = False) -> str:
+    now = time.localtime()
+    s = time.strftime("%Y-%m-%d_%H-%M-%S", now)
+    if not simplify and ensure_different:
+        s = f"{s}-{int((time.time() % 1) * 1e6):06d}"
+    return s
+
+
+class ScalarEMA:
+    """Host-side scalar EMA tracker used by monitors (reference cftool)."""
+
+    def __init__(self, decay: float = 0.9) -> None:
+        self.decay = decay
+        self._value: Optional[float] = None
+
+    def update(self, value: float) -> float:
+        if self._value is None:
+            self._value = value
+        else:
+            self._value = self.decay * self._value + (1.0 - self.decay) * value
+        return self._value
+
+    @property
+    def value(self) -> Optional[float]:
+        return self._value

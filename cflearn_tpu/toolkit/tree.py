@@ -1,0 +1,89 @@
+"""Pytree/nnx-state ↔ flat numpy-dict helpers.
+
+These implement the checkpoint payload contract (flat `path → array` dicts,
+saved as npz) used by model serialization — the TPU-native analogue of the
+reference's `torch.save({"config": ..., "states": state_dict})`
+(`cflearn/schema.py:1377-1389`).
+"""
+
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def _key_entry_to_str(entry: Any) -> str:
+    if hasattr(entry, "key"):
+        return str(entry.key)
+    if hasattr(entry, "idx"):
+        return str(entry.idx)
+    if hasattr(entry, "name"):
+        return str(entry.name)
+    return str(entry)
+
+
+def tree_to_npd(tree: Any) -> Dict[str, np.ndarray]:
+    """Flatten any pytree (incl. `nnx.State`) into `{path: np.ndarray}`."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    npd: Dict[str, np.ndarray] = {}
+    for path, leaf in flat:
+        key = "/".join(_key_entry_to_str(p) for p in path)
+        npd[key] = np.asarray(leaf)
+    return npd
+
+
+def npd_to_tree(npd: Dict[str, np.ndarray], template: Any, *, strict: bool = True) -> Any:
+    """Rebuild a pytree with `template`'s structure, leaves taken from `npd`."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    missing = []
+    for path, leaf in flat:
+        key = "/".join(_key_entry_to_str(p) for p in path)
+        if key in npd:
+            value = npd[key]
+            if hasattr(leaf, "dtype") and value.dtype != leaf.dtype:
+                value = value.astype(leaf.dtype)
+            leaves.append(value)
+        else:
+            missing.append(key)
+            leaves.append(leaf)
+    if strict and missing:
+        raise KeyError(f"missing {len(missing)} keys in npd, e.g. {missing[:5]}")
+    unflat_leaves = [leaf for _, leaf in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def tree_num_params(tree: Any) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "shape"))
+
+
+def tree_byte_size(tree: Any) -> int:
+    total = 0
+    for x in jax.tree_util.tree_leaves(tree):
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            total += int(np.prod(x.shape)) * np.dtype(x.dtype).itemsize
+    return total
+
+
+def tree_cast(tree: Any, dtype: Any) -> Any:
+    import jax.numpy as jnp
+
+    def _cast(x: Any) -> Any:
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(_cast, tree)
+
+
+def global_norm(tree: Any) -> jax.Array:
+    import jax.numpy as jnp
+
+    leaves = [jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree_util.tree_leaves(tree)]
+    return jnp.sqrt(sum(leaves))
+
+
+def split_key_tree(key: jax.Array, template: Any) -> Tuple[Any, ...]:
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    keys = jax.random.split(key, len(leaves))
+    return jax.tree_util.tree_unflatten(treedef, list(keys))

@@ -1,0 +1,485 @@
+"""The Trainer — fit loop, jitted multi-step optimization, checkpoint top-k.
+
+Parity: reference `cflearn/trainer.py:87-588` + the inner optimization
+algorithm of `IDLModel.train` (`schema.py:1174-1294`):
+
+* multi-`TrainStep` engine with per-scope optimizers (GAN/AE semantics),
+  grad accumulation (optax.MultiSteps), grad clipping, scheduler stepping;
+* `TrainerState` cadence, monitors (snapshot/terminate/epoch-extension),
+  callbacks, metrics evaluation over the valid loader;
+* top-k checkpointing by score with `scores.json` (reference
+  `trainer.py:380-453`) and best-checkpoint rollback.
+
+TPU-native design: the whole per-batch optimization (all train steps, all
+optimizer updates, EMA, schedulers) is ONE jitted XLA program over
+`nnx.split` state pytrees with buffer donation; host code only drives the
+loop, logging and checkpoint IO. DDP-via-accelerate (`trainer.py:226-229`) is
+replaced by mesh sharding: batches are placed over the `data` axis and GSPMD
+inserts the gradient all-reduce over ICI.
+"""
+
+import json
+import os
+import shutil
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from .constants import (
+    CHECKPOINTS_FOLDER,
+    CKPT_PREFIX,
+    LOSS_KEY,
+    SCORES_FILE,
+)
+from .data.utils import DeviceBatcher
+from .inference import DLInference
+from .optimizers import build_optimizer
+from .parallel.mesh import (
+    data_sharding,
+    is_local_rank_0,
+    make_mesh,
+    replicated_sharding,
+    set_mesh,
+    shard_params_fsdp,
+)
+from .schedulers import PlateauState, build_scheduler, scheduler_requires_metric
+from .schema.config import TrainerConfig
+from .schema.data import IData, IDataLoader
+from .schema.metrics_schema import IMetric, MetricsOutputs, weighted_loss_score
+from .schema.model import IDLModel, StepOutputs
+from .schema.train_schema import (
+    ITrainer,
+    MonitorResults,
+    TrainerCallback,
+    TrainerMonitor,
+    TrainerState,
+)
+from .toolkit.misc import sort_dict_by_value, timestamp
+
+
+def _refresh(state: Any) -> Any:
+    """Identity tree_map: rebuilds nnx Variables at the current trace level
+    (State leaves are raw arrays, so unflatten creates fresh Variables)."""
+    return jax.tree_util.tree_map(lambda a: a, state)
+
+
+def get_scores(checkpoint_folder: str) -> Dict[str, float]:
+    scores_path = os.path.join(checkpoint_folder, SCORES_FILE)
+    if not os.path.isfile(scores_path):
+        return {}
+    with open(scores_path, "r") as f:
+        return json.load(f)
+
+
+def get_sorted_checkpoints(checkpoint_folder: str) -> List[str]:
+    """Best-first (reference `trainer.py` sorted by score)."""
+    scores = get_scores(checkpoint_folder)
+    return list(sort_dict_by_value(scores, reverse=True).keys())
+
+
+class Trainer(ITrainer):
+    model: IDLModel
+
+    def __init__(
+        self,
+        config: TrainerConfig,
+        *,
+        metrics: Optional[IMetric] = None,
+        monitors: Optional[List[TrainerMonitor]] = None,
+        callbacks: Optional[List[TrainerCallback]] = None,
+        inference: Optional[DLInference] = None,
+    ) -> None:
+        self.config = config
+        self.metrics = metrics
+        self.monitors = monitors or []
+        self.callbacks = callbacks or []
+        self.inference = inference or DLInference()
+        self.state: Optional[TrainerState] = None
+        self.intermediate: Optional[MetricsOutputs] = None
+        self.final_results: Optional[MetricsOutputs] = None
+        self.checkpoint_scores: Dict[str, float] = {}
+        self.lr_scales: Dict[str, PlateauState] = {}
+        self._workspace: Optional[str] = None
+        self._step_fn_cache: Dict[Any, Callable] = {}
+        self._loss_window: Dict[str, List[float]] = {}
+
+    # ------------------------------------------------------------------ setup
+
+    @property
+    def workspace(self) -> str:
+        assert self._workspace is not None, "`fit` should be called first"
+        return self._workspace
+
+    @property
+    def checkpoint_folder(self) -> str:
+        return os.path.join(self.workspace, CHECKPOINTS_FOLDER)
+
+    @property
+    def metrics_log_path(self) -> str:
+        return os.path.join(self.workspace, "metrics.txt")
+
+    def _prepare_workspace(self) -> None:
+        workspace = self.config.workspace
+        if self.config.create_sub_workspace:
+            workspace = os.path.join(workspace, timestamp(ensure_different=True))
+        self._workspace = workspace
+        if is_local_rank_0():
+            os.makedirs(workspace, exist_ok=True)
+            os.makedirs(self.checkpoint_folder, exist_ok=True)
+            with open(os.path.join(workspace, "trainer_config.json"), "w") as f:
+                json.dump(self.config.to_info(), f, indent=2)
+
+    def _default_optimizer_settings(self) -> Dict[str, Dict[str, Any]]:
+        lr = self.config.lr if self.config.lr is not None else 1.0e-3
+        settings = {
+            "all": {
+                "optimizer": self.config.optimizer_name or "adam",
+                "optimizer_config": dict(self.config.optimizer_config or {}, lr=lr),
+                "scheduler": self.config.scheduler_name,
+                "scheduler_config": self.config.scheduler_config or {},
+            }
+        }
+        if self.config.optimizer_settings:
+            for scope, sub in self.config.optimizer_settings.items():
+                if sub is None:
+                    continue
+                merged = dict(settings.get(scope, settings["all"]))
+                merged = json.loads(json.dumps(merged))
+                merged.update({k: v for k, v in sub.items() if v is not None})
+                if "lr" in sub:
+                    merged.setdefault("optimizer_config", {})
+                    merged["optimizer_config"]["lr"] = sub["lr"]
+                settings[scope] = merged
+        return settings
+
+    def _build_optimizers(self, model: IDLModel) -> None:
+        """Per-scope optax chains (reference `BuildOptimizersBlock`,
+        `pipeline/blocks/basic.py:385-558`)."""
+        settings = self._default_optimizer_settings()
+        self.txs: Dict[str, optax.GradientTransformation] = {}
+        self.schedules: Dict[str, Any] = {}
+        scopes = sorted({ts.scope for ts in model.train_steps})
+        for scope in scopes:
+            sub = settings.get(scope, settings["all"])
+            opt_config = dict(sub.get("optimizer_config") or {})
+            lr = opt_config.pop("lr", self.config.lr or 1.0e-3)
+            scheduler_name = sub.get("scheduler")
+            if scheduler_name is None:
+                schedule: Any = lr
+            else:
+                schedule = build_scheduler(scheduler_name, lr, **(sub.get("scheduler_config") or {}))
+                if scheduler_name in scheduler_requires_metric:
+                    self.lr_scales[scope] = PlateauState(**(sub.get("scheduler_config") or {}))
+            tx = build_optimizer(sub.get("optimizer", "adam"), schedule, **opt_config)
+            if self.config.clip_norm > 0.0:
+                tx = optax.chain(optax.clip_by_global_norm(self.config.clip_norm), tx)
+            accumulate = self.config.grad_accumulate
+            for ts in model.train_steps:
+                if ts.scope == scope and ts.grad_accumulate is not None:
+                    accumulate = ts.grad_accumulate
+            if accumulate and accumulate > 1:
+                tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+            self.txs[scope] = tx
+            self.schedules[scope] = schedule
+
+    # ------------------------------------------------------------- jitted fns
+
+    def _build_step_fn(self, actives: Tuple[bool, ...]) -> Callable:
+        model = self.model
+        graphdef = self._graphdef_train
+        train_steps = model.train_steps
+        txs = self.txs
+        mesh = self.mesh
+
+    # one XLA program: all train steps + optimizer updates + post-step hooks
+        def _fn(
+            full_state: Any,
+            opt_states: Dict[str, Any],
+            lr_scales: Dict[str, jax.Array],
+            batch: Dict[str, Any],
+        ) -> Tuple[Any, Dict[str, Any], Dict[str, jax.Array]]:
+            merged = nnx.merge(graphdef, full_state)
+            loss_items: Dict[str, jax.Array] = {}
+            for i, ts in enumerate(train_steps):
+                if not actives[i]:
+                    continue
+                flt = merged.params_filter(ts.scope)
+                gd, diff, rest = nnx.split(merged, flt, ...)
+
+                def loss_fn(diff_params: Any, _gd=gd, _rest=rest, _ts=ts, _flt=flt) -> Any:
+                    # refresh: rebuild Variables at this trace level so
+                    # BatchStat/Rng mutations inside forward are legal
+                    m = nnx.merge(_gd, _refresh(diff_params), _refresh(_rest))
+                    fwd = m.run(batch, training=True)
+                    losses = _ts.loss_fn(m, batch, fwd)
+                    _, _, new_rest = nnx.split(m, _flt, ...)
+                    return losses[LOSS_KEY], (losses, new_rest)
+
+                grads, (losses, new_rest) = jax.grad(loss_fn, has_aux=True)(diff)
+                new_rest = _refresh(new_rest)
+                updates, new_opt = txs[ts.scope].update(grads, opt_states[ts.scope], diff)
+                scale = lr_scales.get(ts.scope)
+                if scale is not None:
+                    updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
+                new_diff = optax.apply_updates(diff, updates)
+                merged = nnx.merge(gd, new_diff, new_rest)
+                opt_states = dict(opt_states)
+                opt_states[ts.scope] = new_opt
+                prefix = "" if len(train_steps) == 1 else f"{ts.scope}_"
+                for k, v in losses.items():
+                    loss_items[prefix + k] = v
+            merged.post_step_update()
+            new_full = nnx.state(merged)
+            return new_full, opt_states, loss_items
+
+        donate = (0, 1) if self.config.donate_buffers else ()
+        return jax.jit(_fn, donate_argnums=donate)
+
+    def get_step_fn(self, actives: Tuple[bool, ...]) -> Callable:
+        fn = self._step_fn_cache.get(actives)
+        if fn is None:
+            fn = self._build_step_fn(actives)
+            self._step_fn_cache[actives] = fn
+        return fn
+
+    # ------------------------------------------------------------------- fit
+
+    def fit(
+        self,
+        data: IData,
+        model: IDLModel,
+        *,
+        config_export_file: Optional[str] = None,
+        skip_final_evaluation: bool = False,
+        cuda: Any = None,  # kept for API-compat; ignored on TPU
+    ) -> "Trainer":
+        self.model = model
+        self._prepare_workspace()
+
+        # mesh + placement ----------------------------------------------------
+        self.mesh = make_mesh(self.config.get_mesh_config())
+        set_mesh(self.mesh)
+
+        train_loader, valid_loader = data.get_loaders()
+        self.train_loader = train_loader
+        self.valid_loader = valid_loader
+
+        state = TrainerState.from_config(
+            self.config,
+            num_step_per_epoch=len(train_loader),
+            batch_size=train_loader.batch_size,
+        )
+        self.state = state
+
+        # graphdefs for train/eval modes -------------------------------------
+        model.set_mode(True)
+        self._graphdef_train, full_state = nnx.split(model)
+        model.set_mode(False)
+        self._graphdef_eval, _ = nnx.split(model)
+        model.set_mode(True)
+
+        # parameter placement: replicate, or shard over fsdp axis -------------
+        if self.config.shard_optimizer_states or self.config.use_zero:
+            full_state = shard_params_fsdp(full_state, self.mesh)
+        else:
+            full_state = jax.device_put(full_state, replicated_sharding(self.mesh))
+
+        # optimizers ----------------------------------------------------------
+        self._build_optimizers(model)
+        opt_states: Dict[str, Any] = {}
+        for scope, tx in self.txs.items():
+            merged = nnx.merge(self._graphdef_train, full_state)
+            _, diff, _ = nnx.split(merged, merged.params_filter(scope), ...)
+            opt_states[scope] = tx.init(diff)
+
+        self.inference.bind(self)
+
+        # callbacks -----------------------------------------------------------
+        for callback in self.callbacks:
+            callback.initialize()
+        for callback in self.callbacks:
+            callback.before_loop(self)
+
+        batcher = DeviceBatcher(
+            train_loader,
+            sharding=data_sharding(self.mesh) if self.mesh.size > 1 else None,
+        )
+
+        terminate = False
+        self._full_state = full_state
+        self._opt_states = opt_states
+        start_t = time.time()
+        has_ckpt = False
+
+        while state.should_train and not terminate:
+            state.epoch += 1
+            for np_batch in batcher:
+                if not state.should_train:
+                    break
+                state.step += 1
+                actives = tuple(
+                    not ts.should_skip(model, state) for ts in model.train_steps
+                )
+                step_fn = self.get_step_fn(actives)
+                lr_scales = {
+                    scope: jnp.asarray(ps.scale, dtype=jnp.float32)
+                    for scope, ps in self.lr_scales.items()
+                }
+                self._full_state, self._opt_states, loss_items = step_fn(
+                    self._full_state, self._opt_states, lr_scales, np_batch
+                )
+                for k, v in loss_items.items():
+                    self._loss_window.setdefault(k, []).append(v)
+
+                if state.should_log_losses:
+                    host_losses = self._drain_loss_window()
+                    for callback in self.callbacks:
+                        callback.after_step(StepOutputs(None, host_losses), state)
+
+                if state.should_monitor:
+                    monitor_results = self._monitor_step(state)
+                    if monitor_results.save_checkpoint and is_local_rank_0():
+                        assert monitor_results.metric_outputs is not None
+                        self.save_checkpoint(monitor_results.metric_outputs.final_score)
+                        has_ckpt = True
+                    for callback in self.callbacks:
+                        callback.after_monitor(monitor_results, state)
+                    if monitor_results.terminate:
+                        terminate = True
+                        break
+
+        # rollback to best checkpoint (reference `trainer.py:363-366`) --------
+        self._sync_state_to_model()
+        if has_ckpt and is_local_rank_0():
+            self.restore_checkpoint()
+
+        if not skip_final_evaluation:
+            with state.disable_logging:
+                self.final_results = self._get_metrics(portion=self.config.valid_portion)
+        if self.final_results is not None:
+            self._log_metrics_msg(self.final_results)
+        if not has_ckpt and is_local_rank_0():
+            score = self.final_results.final_score if self.final_results is not None else 0.0
+            self.save_checkpoint(score)
+
+        for callback in self.callbacks:
+            callback.finalize(self)
+        self._fit_wall_time = time.time() - start_t
+        return self
+
+    # ------------------------------------------------------------- monitoring
+
+    def _drain_loss_window(self) -> Dict[str, float]:
+        out = {
+            k: float(np.mean([np.asarray(v) for v in vs]))
+            for k, vs in self._loss_window.items()
+            if vs
+        }
+        self._loss_window = {}
+        return out
+
+    def _sync_state_to_model(self) -> None:
+        nnx.update(self.model, self._full_state)
+
+    def _get_metrics(self, *, portion: float = 1.0) -> MetricsOutputs:
+        state = self.state
+        loader = self.valid_loader if self.valid_loader is not None else self.train_loader
+        self._sync_state_to_model()
+        outputs = self.inference.get_outputs(
+            loader,
+            portion=portion,
+            metrics=self.metrics,
+            use_losses_as_metrics=self._use_losses_as_metrics,
+            return_outputs=False,
+        )
+        metric_outputs = outputs.metric_outputs
+        if metric_outputs is None:
+            score = weighted_loss_score(outputs.loss_items or {}, self.config.loss_metrics_weights)
+            metric_outputs = MetricsOutputs(score, dict(outputs.loss_items or {}), {})
+        self.intermediate = metric_outputs
+        return metric_outputs
+
+    @property
+    def _use_losses_as_metrics(self) -> bool:
+        if self.config.use_losses_as_metrics is not None:
+            return self.config.use_losses_as_metrics
+        return self.metrics is None
+
+    def _monitor_step(self, state: TrainerState) -> MonitorResults:
+        terminate = False
+        save_checkpoint = False
+        metric_outputs = self._get_metrics(portion=self.config.valid_portion)
+        score = metric_outputs.final_score
+        # plateau schedulers consume the score
+        for scope, plateau in self.lr_scales.items():
+            plateau.update(score)
+        if state.should_start_snapshot:
+            for monitor in self.monitors:
+                monitor.handle_extension(state)
+                if monitor.should_snapshot(score) and state.can_snapshot:
+                    state.update_snapshot_epoch()
+                    save_checkpoint = True
+                if monitor.should_terminate(score):
+                    terminate = True
+        if state.reached_max_epoch:
+            terminate = True
+        if state.should_log_metrics_msg:
+            self._log_metrics_msg(metric_outputs)
+        return MonitorResults(terminate, save_checkpoint, metric_outputs)
+
+    def _log_metrics_msg(self, metric_outputs: MetricsOutputs) -> None:
+        state = self.state
+        for callback in self.callbacks:
+            callback.log_metrics(metric_outputs, state)
+            callback.log_metrics_msg(metric_outputs, self.metrics_log_path, state)
+
+    # ------------------------------------------------------------ checkpoints
+
+    def save_checkpoint(
+        self,
+        score: float,
+        folder: Optional[str] = None,
+        *,
+        no_history: bool = False,
+    ) -> None:
+        """Top-k by score with `scores.json` (reference `trainer.py:380-419`)."""
+        if folder is None:
+            folder = self.checkpoint_folder
+        os.makedirs(folder, exist_ok=True)
+        state = self.state
+        step = state.step if state is not None else 0
+        self._sync_state_to_model()
+        file = f"{CKPT_PREFIX}{step}.npz"
+        self.model.save(os.path.join(folder, file))
+        scores = {} if no_history else get_scores(folder)
+        scores[file] = score
+        # retention: keep best `max_snapshot_file`
+        sorted_files = list(sort_dict_by_value(scores, reverse=True).keys())
+        for stale in sorted_files[self.config.max_snapshot_file:]:
+            path = os.path.join(folder, stale)
+            if os.path.isfile(path):
+                os.remove(path)
+            scores.pop(stale, None)
+        with open(os.path.join(folder, SCORES_FILE), "w") as f:
+            json.dump(scores, f, indent=2)
+        self.checkpoint_scores = scores
+
+    def restore_checkpoint(self, folder: Optional[str] = None) -> bool:
+        """Roll back to the best checkpoint (reference `trainer.py:421-453`)."""
+        if folder is None:
+            folder = self.checkpoint_folder
+        best = get_sorted_checkpoints(folder)
+        if not best:
+            return False
+        path = os.path.join(folder, best[0])
+        if not os.path.isfile(path):
+            return False
+        loaded = IDLModel.load(path)
+        self.model.load_state_dict(loaded.state_dict())
+        self._full_state = nnx.state(self.model)
+        return True

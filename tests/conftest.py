@@ -1,0 +1,22 @@
+"""Test env: force CPU with 8 virtual devices BEFORE jax import.
+
+Mirrors the reference's distributed-test strategy (SURVEY.md §4): multi-device
+logic is exercised on a virtual CPU mesh, the JAX analogue of the reference's
+RANK/WORLD_SIZE env fakes (`tests/test_pipeline.py:30-44` in the reference).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("CI", os.environ.get("CI", "0"))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _seed() -> None:
+    np.random.seed(142857)

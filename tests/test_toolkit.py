@@ -1,0 +1,100 @@
+"""Foundation tests (reference analogue: `tests/test_toolkit.py`)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cflearn_tpu.toolkit import (
+    Serializer,
+    WeightsStrategy,
+    fix_denormal_states,
+    seed_everything,
+    slerp,
+    sort_dict_by_value,
+    tree,
+)
+from cflearn_tpu.toolkit.registry import Registry, WithRegister
+from cflearn_tpu.toolkit.tree import npd_to_tree, tree_to_npd
+
+
+def test_registry() -> None:
+    reg: Registry = Registry("test")
+
+    @reg.register("foo")
+    class Foo:
+        def __init__(self, x: int = 1) -> None:
+            self.x = x
+
+    assert "foo" in reg
+    obj = reg.build("foo", x=3)
+    assert obj.x == 3
+    with pytest.raises(ValueError):
+        reg.build("bar")
+    with pytest.raises(ValueError):
+
+        @reg.register("foo")
+        class Foo2:
+            pass
+
+
+def test_with_register() -> None:
+    class Base(WithRegister):
+        d = {}
+
+    @Base.register("a")
+    class A(Base):
+        def __init__(self, v: int = 0) -> None:
+            self.v = v
+
+    assert Base.has("a")
+    assert Base.make("a", {"v": 2}).v == 2
+    ms = Base.make_multiple(["a"], {"a": {"v": 5}})
+    assert ms[0].v == 5
+
+
+def test_seed() -> None:
+    seed_everything(123)
+    a = np.random.randn(3)
+    seed_everything(123)
+    b = np.random.randn(3)
+    np.testing.assert_allclose(a, b)
+
+
+def test_weights_strategy() -> None:
+    ws = WeightsStrategy("linear_decay")
+    w = ws(10)
+    assert w is not None and len(w) == 10 and w[-1] == 1.0
+    assert WeightsStrategy(None)(10) is None
+
+
+def test_slerp() -> None:
+    key = jax.random.PRNGKey(0)
+    x1 = jax.random.normal(key, (4, 16))
+    x2 = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+    mid = slerp(x1, x2, 0.5)
+    assert mid.shape == (4, 16)
+    np.testing.assert_allclose(np.asarray(slerp(x1, x2, 1.0)), np.asarray(x1), atol=1e-4)
+
+
+def test_fix_denormal() -> None:
+    states = {"a": np.array([1e-40, 1.0], dtype=np.float32)}
+    fixed = fix_denormal_states(states)
+    assert fixed["a"][0] == 0.0 and fixed["a"][1] == 1.0
+
+
+def test_tree_npd_roundtrip() -> None:
+    tree_obj = {"a": jnp.ones((2, 3)), "b": {"c": jnp.zeros((4,))}}
+    npd = tree_to_npd(tree_obj)
+    assert set(npd) == {"a", "b/c"}
+    rebuilt = npd_to_tree(npd, tree_obj)
+    np.testing.assert_allclose(np.asarray(rebuilt["a"]), np.ones((2, 3)))
+    with pytest.raises(KeyError):
+        npd_to_tree({"a": npd["a"]}, tree_obj, strict=True)
+
+
+def test_sort_dict_by_value() -> None:
+    d = {"a": 3.0, "b": 1.0, "c": 2.0}
+    assert list(sort_dict_by_value(d)) == ["b", "c", "a"]
+    assert list(sort_dict_by_value(d, reverse=True)) == ["a", "c", "b"]

@@ -1,0 +1,147 @@
+"""Trainer end-to-end tests: train → predict → save → load equivalence
+(reference analogue: `tests/test_pipeline.py:54-126`)."""
+
+import os
+
+import numpy as np
+
+from cflearn_tpu.data import ArrayData
+from cflearn_tpu.inference import DLInference
+from cflearn_tpu.monitors import BasicMonitor
+from cflearn_tpu.schema import DLConfig, TrainerConfig
+from cflearn_tpu.schema.metrics_schema import IMetric
+from cflearn_tpu.schema.model import IDLModel
+from cflearn_tpu.trainer import Trainer, get_scores
+
+
+def _toy_cls_data(n: int = 256, dim: int = 8):
+    x = np.random.randn(n, dim).astype(np.float32)
+    w = np.random.randn(dim, 1).astype(np.float32)
+    y = (x @ w > 0).astype(np.int64)
+    return x, y
+
+
+def test_fit_improves_and_checkpoints(tmp_path) -> None:
+    x, y = _toy_cls_data()
+    config = DLConfig(
+        module_name="fcnn",
+        module_config={"input_dim": 8, "output_dim": 2, "hidden_units": [32]},
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    data = ArrayData.init().fit(x, y, x_valid=x[:64], y_valid=y[:64])
+    trainer = Trainer(
+        TrainerConfig(workspace=str(tmp_path), num_epoch=10),
+        metrics=IMetric.fuse("acc"),
+        monitors=[BasicMonitor()],
+    )
+    trainer.fit(data, model)
+    assert trainer.final_results is not None
+    assert trainer.final_results.metric_values["acc"] > 0.8
+    scores = get_scores(trainer.checkpoint_folder)
+    assert scores, "checkpoints should be written"
+    for file in scores:
+        assert os.path.isfile(os.path.join(trainer.checkpoint_folder, file))
+
+
+def test_save_load_equivalence(tmp_path) -> None:
+    x, y = _toy_cls_data(128)
+    config = DLConfig(
+        module_name="fcnn",
+        module_config={"input_dim": 8, "output_dim": 2, "hidden_units": [16]},
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    data = ArrayData.init().fit(x, y)
+    trainer = Trainer(
+        TrainerConfig(workspace=str(tmp_path), num_epoch=2),
+        monitors=[BasicMonitor()],
+    )
+    trainer.fit(data, model)
+    path = str(tmp_path / "model.npz")
+    model.save(path)
+    loaded = IDLModel.load(path)
+    loader = data.build_loader(x[:32])
+    p1 = DLInference(model=model).get_outputs(loader).forward_results["predictions"]
+    p2 = DLInference(model=loaded).get_outputs(loader).forward_results["predictions"]
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
+
+
+def test_fixed_steps_debug_mode(tmp_path) -> None:
+    x, y = _toy_cls_data(64)
+    config = DLConfig(
+        module_name="linear",
+        module_config={"input_dim": 8, "output_dim": 2},
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    data = ArrayData.init().fit(x, y)
+    trainer = Trainer(
+        TrainerConfig(workspace=str(tmp_path), fixed_steps=1),
+        monitors=[BasicMonitor()],
+    )
+    trainer.fit(data, model)
+    assert trainer.state is not None and trainer.state.step == 1
+
+
+def test_losses_as_metrics(tmp_path) -> None:
+    x = np.random.randn(64, 4).astype(np.float32)
+    y = np.random.randn(64, 1).astype(np.float32)
+    config = DLConfig(
+        module_name="linear",
+        module_config={"input_dim": 4, "output_dim": 1},
+        loss_name="mse",
+    )
+    model = IDLModel.from_config(config)
+    data = ArrayData.init().fit(x, y)
+    trainer = Trainer(
+        TrainerConfig(workspace=str(tmp_path), num_epoch=2),
+        monitors=[BasicMonitor()],
+    )
+    trainer.fit(data, model)
+    assert trainer.final_results is not None
+    assert "loss" in trainer.final_results.metric_values
+
+
+def test_grad_accumulate_and_clip(tmp_path) -> None:
+    x, y = _toy_cls_data(64)
+    config = DLConfig(
+        module_name="linear",
+        module_config={"input_dim": 8, "output_dim": 2},
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    data = ArrayData.init().fit(x, y)
+    trainer = Trainer(
+        TrainerConfig(
+            workspace=str(tmp_path),
+            num_epoch=2,
+            grad_accumulate=2,
+            clip_norm=1.0,
+        ),
+        monitors=[BasicMonitor()],
+    )
+    trainer.fit(data, model)
+    assert trainer.state is not None and trainer.state.step > 0
+
+
+def test_scheduler_warmup(tmp_path) -> None:
+    x, y = _toy_cls_data(64)
+    config = DLConfig(
+        module_name="linear",
+        module_config={"input_dim": 8, "output_dim": 2},
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    data = ArrayData.init().fit(x, y)
+    trainer = Trainer(
+        TrainerConfig(
+            workspace=str(tmp_path),
+            num_epoch=2,
+            scheduler_name="warmup",
+            scheduler_config={"warmup_step": 4},
+        ),
+        monitors=[BasicMonitor()],
+    )
+    trainer.fit(data, model)
+    assert trainer.state is not None and trainer.state.step > 0
