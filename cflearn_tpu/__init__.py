@@ -5,3 +5,19 @@ __version__ = "0.1.0"
 
 from . import constants, losses, metrics, models, modules, monitors, optimizers, schedulers
 from .schema import Config, DLConfig, MLConfig, TrainerConfig
+
+from . import callbacks, data
+from .api import (
+    evaluate,
+    fit_array,
+    fit_ml,
+    load_evaluation,
+    load_inference,
+    load_training,
+    make_toy_ml_model,
+    pack,
+    save,
+)
+from .pipeline import DLPipelineSerializer, MLTrainingPipeline
+from .schema.model import IDLModel
+from .trainer import Trainer

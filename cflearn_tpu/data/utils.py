@@ -190,14 +190,39 @@ class DeviceBatcher:
     def __len__(self) -> int:
         return len(self.loader)
 
+    def _data_divisor(self) -> int:
+        if self.sharding is None:
+            return 1
+        mesh = getattr(self.sharding, "mesh", None)
+        if mesh is None:
+            return 1
+        spec = getattr(self.sharding, "spec", None)
+        axes = spec[0] if spec else None
+        if axes is None:
+            return 1
+        if isinstance(axes, str):
+            axes = (axes,)
+        div = 1
+        for a in axes:
+            div *= mesh.shape[a]
+        return div
+
     def _convert(self, np_batch: np_dict_type) -> Dict[str, Any]:
         batch: Dict[str, Any] = {}
+        divisor = self._data_divisor()
         for k, v in np_batch.items():
             if isinstance(v, np.ndarray) and v.dtype != object:
                 v = to_jax_dtype(v)
                 if self.pad_to_batch and v.shape[0] < self.loader.batch_size:
                     pad = self.loader.batch_size - v.shape[0]
                     v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+                if divisor > 1 and v.ndim >= 1 and v.shape[0] % divisor != 0:
+                    # pad to a data-axis multiple by cycling samples — the
+                    # DistributedSampler duplication strategy (reference
+                    # `data/pytorch/api.py:62-71`), shape-static for XLA
+                    pad = divisor - (v.shape[0] % divisor)
+                    reps = np.take(v, np.arange(pad) % v.shape[0], axis=0)
+                    v = np.concatenate([v, reps], axis=0)
                 if self.sharding is not None:
                     batch[k] = jax.device_put(v, self.sharding)
                 else:

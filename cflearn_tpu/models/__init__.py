@@ -1,1 +1,2 @@
 from . import common
+from .ml import common as ml_common

@@ -1,0 +1,12 @@
+from .api import (
+    DLEvaluationPipeline,
+    DLInferencePipeline,
+    DLPipelineSerializer,
+    DLTrainingPipeline,
+    MLEvaluationPipeline,
+    MLInferencePipeline,
+    MLTrainingPipeline,
+    TrainingPipeline,
+)
+from .blocks import Block
+from .common import Pipeline

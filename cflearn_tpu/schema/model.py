@@ -185,8 +185,18 @@ class IDLModel(nnx.Module, WithRegister):
         folder = os.path.dirname(os.path.abspath(path))
         os.makedirs(folder, exist_ok=True)
         npd = self.state_dict()
+        from .config import config_registry
+
+        config_type = "dl"
+        for name, cls in config_registry.items():
+            if type(self.config) is cls:
+                config_type = name
         meta = json.dumps(
-            {"config": self.config.to_info(), "type": getattr(self, "__identifier__", "common")}
+            {
+                "config": self.config.to_info(),
+                "config_type": config_type,
+                "type": getattr(self, "__identifier__", "common"),
+            }
         )
         np.savez_compressed(path, __meta__=np.frombuffer(meta.encode(), dtype=np.uint8), **npd)
 
@@ -195,7 +205,10 @@ class IDLModel(nnx.Module, WithRegister):
         with np.load(path if str(path).endswith(".npz") else f"{path}.npz", allow_pickle=False) as z:
             meta = json.loads(bytes(z["__meta__"]).decode())
             npd = {k: z[k] for k in z.files if k != "__meta__"}
-        config = DLConfig()
+        from .config import config_registry
+
+        config_cls = config_registry.get(meta.get("config_type", "dl"), DLConfig)
+        config = config_cls()
         config.from_info(meta["config"])
         model = IDLModel.get(meta["type"])(config)
         model.build(config)

@@ -135,13 +135,35 @@ class Trainer(ITrainer):
                 json.dump(self.config.to_info(), f, indent=2)
 
     def _default_optimizer_settings(self) -> Dict[str, Dict[str, Any]]:
+        """Reference `DefaultOptimizerSettings` (`pipeline/blocks/basic.py:331-360`):
+        adam @ 1e-3 with a default `warmup` scheduler (multiplier 3, warmup
+        over min(3e5/batch_size, 10*num_batches) steps) handing off to a
+        metric-driven `plateau`."""
         lr = self.config.lr if self.config.lr is not None else 1.0e-3
+        scheduler = self.config.scheduler_name
+        scheduler_config = dict(self.config.scheduler_config or {})
+        if scheduler is None:
+            scheduler = "warmup"
+            state = self.state
+            multiplier = scheduler_config.setdefault("multiplier", 3)
+            if state is not None:
+                default_max_warmup = int(round(3.0e5 / max(1, state.batch_size)))
+                scheduler_config.setdefault(
+                    "warmup_step",
+                    min(default_max_warmup, 10 * state.num_step_per_epoch),
+                )
+            else:
+                scheduler_config.setdefault("warmup_step", 1000)
+            scheduler_config.setdefault("afterwards", "plateau")
+            lr = lr / multiplier
+        elif scheduler == "none":
+            scheduler = None
         settings = {
             "all": {
                 "optimizer": self.config.optimizer_name or "adam",
                 "optimizer_config": dict(self.config.optimizer_config or {}, lr=lr),
-                "scheduler": self.config.scheduler_name,
-                "scheduler_config": self.config.scheduler_config or {},
+                "scheduler": scheduler,
+                "scheduler_config": scheduler_config,
             }
         }
         if self.config.optimizer_settings:
@@ -169,12 +191,21 @@ class Trainer(ITrainer):
             opt_config = dict(sub.get("optimizer_config") or {})
             lr = opt_config.pop("lr", self.config.lr or 1.0e-3)
             scheduler_name = sub.get("scheduler")
+            scheduler_config = dict(sub.get("scheduler_config") or {})
             if scheduler_name is None:
                 schedule: Any = lr
             else:
-                schedule = build_scheduler(scheduler_name, lr, **(sub.get("scheduler_config") or {}))
-                if scheduler_name in scheduler_requires_metric:
-                    self.lr_scales[scope] = PlateauState(**(sub.get("scheduler_config") or {}))
+                schedule = build_scheduler(scheduler_name, lr, **scheduler_config)
+                # metric-driven (plateau) schedulers — possibly wrapped in warmup
+                plateau_like = scheduler_name in scheduler_requires_metric or (
+                    scheduler_config.get("afterwards") in scheduler_requires_metric
+                )
+                if plateau_like:
+                    pkw = scheduler_config.get("afterwards_config") or {}
+                    allowed = {"mode", "factor", "patience", "threshold", "min_scale"}
+                    self.lr_scales[scope] = PlateauState(
+                        **{k: v for k, v in pkw.items() if k in allowed}
+                    )
             tx = build_optimizer(sub.get("optimizer", "adam"), schedule, **opt_config)
             if self.config.clip_norm > 0.0:
                 tx = optax.chain(optax.clip_by_global_norm(self.config.clip_norm), tx)
@@ -334,7 +365,10 @@ class Trainer(ITrainer):
                     self._full_state, self._opt_states, lr_scales, np_batch
                 )
                 for k, v in loss_items.items():
-                    self._loss_window.setdefault(k, []).append(v)
+                    window = self._loss_window.setdefault(k, [])
+                    window.append(v)
+                    if len(window) > 64:
+                        del window[:-64]
 
                 if state.should_log_losses:
                     host_losses = self._drain_loss_window()
@@ -375,13 +409,16 @@ class Trainer(ITrainer):
     # ------------------------------------------------------------- monitoring
 
     def _drain_loss_window(self) -> Dict[str, float]:
-        out = {
-            k: float(np.mean([np.asarray(v) for v in vs]))
+        out = self._peek_loss_window()
+        self._loss_window = {}
+        return out
+
+    def _peek_loss_window(self) -> Dict[str, float]:
+        return {
+            k: float(np.mean([np.asarray(v) for v in vs[-8:]]))
             for k, vs in self._loss_window.items()
             if vs
         }
-        self._loss_window = {}
-        return out
 
     def _sync_state_to_model(self) -> None:
         nnx.update(self.model, self._full_state)
@@ -413,7 +450,16 @@ class Trainer(ITrainer):
     def _monitor_step(self, state: TrainerState) -> MonitorResults:
         terminate = False
         save_checkpoint = False
-        metric_outputs = self._get_metrics(portion=self.config.valid_portion)
+        if self.valid_loader is None and self._use_losses_as_metrics:
+            # no valid set → score from the running train loss (reference
+            # `use_incrementer_for_train_loss`, avoids a full eval pass per
+            # monitor step)
+            host_losses = self._peek_loss_window()
+            score = weighted_loss_score(host_losses, self.config.loss_metrics_weights)
+            metric_outputs = MetricsOutputs(score, host_losses, {})
+            self.intermediate = metric_outputs
+        else:
+            metric_outputs = self._get_metrics(portion=self.config.valid_portion)
         score = metric_outputs.final_score
         # plateau schedulers consume the score
         for scope, plateau in self.lr_scales.items():

@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("CI", os.environ.get("CI", "0"))
 
+import jax
+
+# The axon TPU plugin force-registers itself regardless of JAX_PLATFORMS env;
+# the config update below is what actually pins tests to the (8-device
+# virtual) CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
@@ -20,3 +27,8 @@ import pytest
 @pytest.fixture(autouse=True)
 def _seed() -> None:
     np.random.seed(142857)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")

@@ -1,0 +1,131 @@
+"""Pipeline-level integration tests: fit_ml → predict → save → load →
+equivalence; ensemble fusion math (reference analogue:
+`tests/test_pipeline.py:54-126`)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import cflearn_tpu as cf
+from cflearn_tpu.data.ml.api import MLData
+from cflearn_tpu.pipeline.api import DLPipelineSerializer
+
+
+def _toy(n: int = 120, dim: int = 6):
+    x = np.random.randn(n, dim).astype(np.float32)
+    w = np.random.randn(dim, 1).astype(np.float32)
+    y = (x @ w > 0).astype(np.int64)
+    return x, y
+
+
+def _debug_config(**kwargs) -> cf.MLConfig:
+    config = cf.MLConfig(module_name="fcnn", **kwargs)
+    config.num_epoch = 2
+    return config
+
+
+def test_fit_ml_predict_save_load(tmp_path) -> None:
+    x, y = _toy()
+    config = _debug_config(workspace=str(tmp_path))
+    p = cf.fit_ml(x, y, config=config)
+    preds = p.predict(x[:16], return_classes=True)["predictions"]
+    assert preds.shape == (16, 1)
+    probs = p.predict(x[:16], return_probabilities=True)["predictions"]
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-5)
+
+    pipeline_folder = os.path.join(p._workspace, "pipeline")
+    loaded = cf.load_inference(pipeline_folder)
+    p2 = loaded.predict(x[:16], return_classes=True)["predictions"]
+    np.testing.assert_array_equal(preds, p2)
+
+    # raw predictions should match across the round trip exactly
+    raw1 = p.predict(x[:16])["predictions"]
+    raw2 = loaded.predict(x[:16])["predictions"]
+    np.testing.assert_allclose(raw1, raw2, atol=1e-6)
+
+
+def test_ml_defaults_from_data(tmp_path) -> None:
+    x, y = _toy()
+    config = _debug_config(workspace=str(tmp_path))
+    p = cf.fit_ml(x, y, config=config)
+    # classification inferred → cross_entropy loss + acc metric
+    assert p.config.loss_name == "cross_entropy"
+    assert p.config.metric_names == ["acc"]
+    assert p.config.module_config["input_dim"] == 6
+    assert p.config.module_config["output_dim"] == 2
+
+
+def test_regression_label_recovery(tmp_path) -> None:
+    x = np.random.randn(100, 4).astype(np.float32)
+    y = (x.sum(axis=1, keepdims=True) * 10.0 + 100.0).astype(np.float32)
+    config = _debug_config(workspace=str(tmp_path))
+    config.num_epoch = 5
+    p = cf.fit_ml(x, y, config=config)
+    preds = p.predict(x[:8])["predictions"]
+    # labels were normalized internally; recovery should bring them back to
+    # the original scale (roughly around 100)
+    assert abs(float(np.mean(preds)) - 100.0) < 50.0
+
+
+def test_evaluate_report(tmp_path) -> None:
+    x, y = _toy()
+    config = _debug_config(workspace=str(tmp_path))
+    p = cf.fit_ml(x, y, config=config)
+    results = cf.evaluate(p, x, y, metrics="acc", verbose=False)
+    assert "pipeline" in results
+    assert "acc" in results["pipeline"].metric_values
+
+
+def test_fuse_inference(tmp_path) -> None:
+    x, y = _toy()
+    folders = []
+    for i in range(2):
+        config = _debug_config(workspace=str(tmp_path / str(i)))
+        p = cf.fit_ml(x, y, config=config)
+        folders.append(os.path.join(p._workspace, "pipeline"))
+    fused = DLPipelineSerializer.fuse_inference(folders)
+    individual = [cf.load_inference(f).predict(x[:8])["predictions"] for f in folders]
+    fused_preds = fused.predict(x[:8])["predictions"]
+    np.testing.assert_allclose(fused_preds, np.mean(individual, axis=0), atol=1e-5)
+
+
+def test_pack(tmp_path) -> None:
+    x, y = _toy()
+    config = _debug_config(workspace=str(tmp_path / "ws"))
+    p = cf.fit_ml(x, y, config=config)
+    export = cf.pack(p._workspace, str(tmp_path / "packed"))
+    loaded = cf.load_inference(export)
+    preds = loaded.predict(x[:4], return_classes=True)["predictions"]
+    assert preds.shape == (4, 1)
+
+
+def test_load_training_resume(tmp_path) -> None:
+    x, y = _toy()
+    config = _debug_config(workspace=str(tmp_path))
+    p = cf.fit_ml(x, y, config=config)
+    folder = os.path.join(p._workspace, "pipeline")
+    resumed = cf.load_training(folder)
+    data = MLData.init().fit(x, y)
+    resumed.config.num_epoch = 1
+    resumed.config.workspace = str(tmp_path / "resume")
+    resumed.fit(data)
+    assert resumed.is_fitted
+
+
+def test_ml_data_with_strings() -> None:
+    # categorical string column + nan handling
+    n = 60
+    x = np.empty((n, 3), dtype=object)
+    x[:, 0] = np.random.randn(n)
+    x[:, 1] = np.random.choice(["a", "b", "c"], n)
+    x[:, 2] = np.random.randn(n)
+    x[5, 2] = float("nan")
+    y = np.random.randint(0, 2, (n, 1))
+    data = MLData.init().fit(x, y)
+    assert data.num_features == 3
+    assert data.is_classification is True
+    train_loader, valid_loader = data.get_loaders()
+    batch = train_loader.get_one_batch()
+    assert np.isfinite(batch["input"]).all()
+    assert valid_loader is not None

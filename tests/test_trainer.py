@@ -31,7 +31,7 @@ def test_fit_improves_and_checkpoints(tmp_path) -> None:
     model = IDLModel.from_config(config)
     data = ArrayData.init().fit(x, y, x_valid=x[:64], y_valid=y[:64])
     trainer = Trainer(
-        TrainerConfig(workspace=str(tmp_path), num_epoch=10),
+        TrainerConfig(workspace=str(tmp_path), num_epoch=20, lr=3.0e-3),
         metrics=IMetric.fuse("acc"),
         monitors=[BasicMonitor()],
     )
