@@ -1,2 +1,3 @@
 from . import common
 from .ml import common as ml_common
+from . import cv

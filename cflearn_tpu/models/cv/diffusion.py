@@ -1,0 +1,102 @@
+"""DDPM training semantics.
+
+Parity: reference `cflearn/models/cv/diffusion.py` — `DDPMStep` (:33 —
+p-losses: MSE against the eps/x0/v target; EMA update in the step callback)
+and `DDPMModel` (:115, registered "ddpm").
+
+TPU-native: the random timestep/noise draws use the model's nnx Rngs (carried
+in state through the jitted step); EMA runs inside `post_step_update` so the
+whole optimization remains one XLA program.
+"""
+
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ...constants import INPUT_KEY, LOSS_KEY, PREDICTIONS_KEY
+from ...modules.common import EMA, build_module
+from ...modules.multimodal.diffusion.ddpm import DDPM
+from ...schema.config import DLConfig
+from ...schema.losses_schema import loss_dict_type
+from ...schema.model import IDLModel, TrainStep
+from ...toolkit.misc import tensor_dict_type
+
+
+class DDPMStep(TrainStep):
+    def loss_fn(
+        self,
+        m: "DDPMModel",
+        batch: tensor_dict_type,
+        forward_results: tensor_dict_type,
+        **kwargs: Any,
+    ) -> loss_dict_type:
+        ddpm: DDPM = m.m
+        x0 = batch[INPUT_KEY]
+        b = x0.shape[0]
+        t = jax.random.randint(ddpm.rngs.default(), (b,), 0, ddpm.num_timesteps)
+        noise = jax.random.normal(ddpm.rngs.default(), x0.shape, x0.dtype)
+        x_t = ddpm.q_sample(x0, t, noise)
+        cond = batch.get("cond")
+        if cond is not None:
+            cond = ddpm.get_cond(cond)
+        model_out = ddpm.denoise(x_t, t, cond)
+        if ddpm.parameterization == "eps":
+            target = noise
+        elif ddpm.parameterization == "x0":
+            target = x0
+        else:  # v
+            target = ddpm.get_v(x0, noise, t)
+        loss = jnp.mean(jnp.square(model_out - target))
+        return {LOSS_KEY: loss}
+
+
+@IDLModel.register("ddpm")
+class DDPMModel(IDLModel):
+    """DDPM wrapper with optional EMA (reference `models/cv/diffusion.py:115`)."""
+
+    def build(self, config: DLConfig) -> None:
+        rngs = self.make_rngs()
+        module_config = dict(config.module_config or {})
+        ema_decay = module_config.pop("ema_decay", None)
+        self.m = build_module(config.module_name or "ddpm", config=module_config, rngs=rngs)
+        self.loss = nnx.data(None)
+        if ema_decay is not None:
+            self.ema = EMA(ema_decay, self.m)
+        else:
+            self.ema = nnx.data(None)
+
+    @property
+    def train_steps(self) -> List[TrainStep]:
+        return [DDPMStep("all")]
+
+    def params_filter(self, scope: str) -> Any:
+        # train the UNet (+condition model) but not EMA shadows
+        return nnx.All(nnx.Param, nnx.Not(nnx.PathContains("ema")))
+
+    def post_step_update(self) -> None:
+        if self.ema is not None:
+            self.ema.update(self.m)
+
+    def run(self, batch: tensor_dict_type, *, training: bool = False, **kwargs: Any) -> tensor_dict_type:
+        self.set_mode(training)
+        # forward for monitoring: one-step denoise error on a fixed timestep
+        x0 = batch[INPUT_KEY]
+        b = x0.shape[0]
+        ddpm: DDPM = self.m
+        t = jnp.full((b,), ddpm.num_timesteps // 2, dtype=jnp.int32)
+        noise = jax.random.normal(ddpm.rngs.default(), x0.shape, x0.dtype)
+        x_t = ddpm.q_sample(x0, t, noise)
+        cond = batch.get("cond")
+        if cond is not None:
+            cond = ddpm.get_cond(cond)
+        out = ddpm.denoise(x_t, t, cond)
+        return {PREDICTIONS_KEY: out, "noise": noise, "timesteps": t}
+
+    @property
+    def all_modules(self) -> List[nnx.Module]:
+        mods: List[nnx.Module] = [self.m]
+        if self.ema is not None:
+            mods.append(self.ema)
+        return mods

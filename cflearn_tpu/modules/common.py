@@ -122,7 +122,9 @@ class EMA(nnx.Module):
         self.decay = decay
         self.num_updates = nnx.Variable(jnp.zeros((), dtype=jnp.int32))
         params = nnx.state(module, nnx.Param)
-        self.shadow = jax.tree_util.tree_map(lambda p: nnx.Variable(jnp.array(p)), params)
+        self.shadow = nnx.data(
+            jax.tree_util.tree_map(lambda p: nnx.Variable(jnp.array(p)), params)
+        )
 
     def update(self, module: nnx.Module) -> None:
         params = nnx.state(module, nnx.Param)

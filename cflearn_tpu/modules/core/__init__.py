@@ -1,1 +1,1 @@
-from . import activations, mappings, norms
+from . import activations, attentions, convs, customs, high_level, mappings, mixed_stacks, ml_encoder, norms

@@ -1,0 +1,302 @@
+"""Conv blocks (channel-last NHWC — the TPU-native layout).
+
+Parity: reference `cflearn/modules/core/convs/` — `Conv2d` (gain/scale
+support, `basic.py:41`), `DepthWiseConv2d` (:187), `Interpolate` (:312),
+`UpsampleConv2d` (:328), attention blocks `CABlock`/`ECABlock`/`SEBlock`
+(:389-460), residual blocks (`residual.py` — `ResidualBlock`,
+`ResidualBlockWithTimeEmbedding`, the diffusion-UNet resblock).
+"""
+
+from typing import Any, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ...ops.group_norm import group_norm
+from .activations import build_activation
+
+_Pad = Union[str, int, Tuple[int, int]]
+
+
+def _norm_padding(padding: _Pad) -> Any:
+    if isinstance(padding, str):
+        return padding.upper()
+    if isinstance(padding, int):
+        return [(padding, padding), (padding, padding)]
+    return [tuple(padding), tuple(padding)]
+
+
+class Conv2d(nnx.Module):
+    """2D conv with optional weight gain/scale + circular padding support
+    (reference `convs/basic.py:41`; circular mode backs the diffusion API's
+    tiling feature, `api/multimodal/diffusion.py:1258`)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        *,
+        kernel_size: int = 3,
+        stride: int = 1,
+        padding: _Pad = "same",
+        dilation: int = 1,
+        groups: int = 1,
+        bias: bool = True,
+        gain: float = 1.0,
+        transform_kernel: bool = False,
+        rngs: nnx.Rngs,
+    ) -> None:
+        self.padding_mode = "zeros"
+        self.conv = nnx.Conv(
+            in_channels,
+            out_channels,
+            kernel_size=(kernel_size, kernel_size),
+            strides=(stride, stride),
+            padding=_norm_padding(padding),
+            kernel_dilation=(dilation, dilation),
+            feature_group_count=groups,
+            use_bias=bias,
+            rngs=rngs,
+        )
+        self.gain = gain
+        self.transform_kernel = transform_kernel
+
+    def set_circular(self, circular: bool) -> None:
+        self.padding_mode = "circular" if circular else "zeros"
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.padding_mode == "circular":
+            kh, kw = self.conv.kernel_size
+            ph, pw = kh // 2, kw // 2
+            x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="wrap")
+            backup = self.conv.padding
+            self.conv.padding = "VALID"
+            out = self.conv(x)
+            self.conv.padding = backup
+        else:
+            out = self.conv(x)
+        if self.gain != 1.0:
+            out = out * self.gain
+        return out
+
+
+class DepthWiseConv2d(nnx.Module):
+    """Depthwise + pointwise (reference `convs/basic.py:187`)."""
+
+    def __init__(self, dim: int, *, kernel_size: int = 3, rngs: nnx.Rngs) -> None:
+        self.depth_wise = nnx.Conv(
+            dim,
+            dim,
+            kernel_size=(kernel_size, kernel_size),
+            padding="SAME",
+            feature_group_count=dim,
+            rngs=rngs,
+        )
+        self.point_wise = nnx.Conv(dim, dim, kernel_size=(1, 1), rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.point_wise(self.depth_wise(x))
+
+
+class Interpolate(nnx.Module):
+    """Resize by factor (reference `convs/basic.py:312`)."""
+
+    def __init__(self, factor: float = 2.0, mode: str = "nearest", *, rngs: Optional[nnx.Rngs] = None) -> None:
+        self.factor = factor
+        self.mode = mode
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        new_shape = (b, int(round(h * self.factor)), int(round(w * self.factor)), c)
+        return jax.image.resize(x, new_shape, method=self.mode)
+
+
+def interpolate(x: jax.Array, *, factor: Optional[float] = None, size: Optional[Tuple[int, int]] = None, mode: str = "nearest") -> jax.Array:
+    b, h, w, c = x.shape
+    if size is None:
+        assert factor is not None
+        size = (int(round(h * factor)), int(round(w * factor)))
+    return jax.image.resize(x, (b, size[0], size[1], c), method=mode)
+
+
+class UpsampleConv2d(nnx.Module):
+    """Nearest-upsample + conv (reference `convs/basic.py:328`)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        *,
+        kernel_size: int = 3,
+        factor: float = 2.0,
+        mode: str = "nearest",
+        bias: bool = True,
+        rngs: nnx.Rngs,
+    ) -> None:
+        self.factor = factor
+        self.mode = mode
+        self.conv = Conv2d(
+            in_channels, out_channels, kernel_size=kernel_size, padding="same", bias=bias, rngs=rngs
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.factor != 1.0:
+            x = interpolate(x, factor=self.factor, mode=self.mode)
+        return self.conv(x)
+
+
+class Downsample(nnx.Module):
+    """Strided-conv (or avg-pool) downsample."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: Optional[int] = None,
+        *,
+        use_conv: bool = True,
+        rngs: nnx.Rngs,
+    ) -> None:
+        out_channels = out_channels or in_channels
+        self.use_conv = use_conv
+        if use_conv:
+            # SD uses asymmetric padding (0,1,0,1) for stride-2 downsampling
+            self.conv = nnx.Conv(
+                in_channels,
+                out_channels,
+                kernel_size=(3, 3),
+                strides=(2, 2),
+                padding=[(0, 1), (0, 1)],
+                rngs=rngs,
+            )
+        else:
+            self.conv = None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.use_conv:
+            return self.conv(x)
+        return nnx.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class SEBlock(nnx.Module):
+    """Squeeze-excite (reference `convs/basic.py:460`)."""
+
+    def __init__(self, in_channels: int, latent_channels: int, *, rngs: nnx.Rngs) -> None:
+        self.down = nnx.Linear(in_channels, latent_channels, rngs=rngs)
+        self.up = nnx.Linear(latent_channels, in_channels, rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = jnp.mean(x, axis=(1, 2))
+        w = jax.nn.relu(self.down(w))
+        w = jax.nn.sigmoid(self.up(w))
+        return x * w[:, None, None, :]
+
+
+class ECABlock(nnx.Module):
+    """Efficient channel attention (reference `convs/basic.py:424`)."""
+
+    def __init__(self, kernel_size: int = 3, *, rngs: nnx.Rngs) -> None:
+        self.conv = nnx.Conv(1, 1, kernel_size=(kernel_size,), padding="SAME", use_bias=False, rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = jnp.mean(x, axis=(1, 2))[:, :, None]  # (B, C, 1)
+        w = self.conv(w)[:, :, 0]
+        w = jax.nn.sigmoid(w)
+        return x * w[:, None, None, :]
+
+
+class CABlock(nnx.Module):
+    """Channel attention (RCAN-style; reference `convs/basic.py:389`)."""
+
+    def __init__(self, num_channels: int, reduction: int = 16, *, rngs: nnx.Rngs) -> None:
+        self.down = nnx.Conv(num_channels, num_channels // reduction, kernel_size=(1, 1), rngs=rngs)
+        self.up = nnx.Conv(num_channels // reduction, num_channels, kernel_size=(1, 1), rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = jnp.mean(x, axis=(1, 2), keepdims=True)
+        w = jax.nn.relu(self.down(w))
+        w = jax.nn.sigmoid(self.up(w))
+        return x * w
+
+
+class ResidualBlock(nnx.Module):
+    """GroupNorm→SiLU→conv ×2 with skip (reference `convs/residual.py`)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: Optional[int] = None,
+        *,
+        dropout: float = 0.0,
+        num_groups: int = 32,
+        eps: float = 1e-6,
+        rngs: nnx.Rngs,
+    ) -> None:
+        out_channels = out_channels or in_channels
+        self.norm1 = nnx.GroupNorm(in_channels, num_groups=num_groups, epsilon=eps, rngs=rngs)
+        self.conv1 = nnx.Conv(in_channels, out_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
+        self.norm2 = nnx.GroupNorm(out_channels, num_groups=num_groups, epsilon=eps, rngs=rngs)
+        self.dropout = nnx.Dropout(dropout, rngs=rngs) if dropout > 0 else None
+        self.conv2 = nnx.Conv(out_channels, out_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
+        if in_channels != out_channels:
+            self.shortcut = nnx.Conv(in_channels, out_channels, kernel_size=(1, 1), rngs=rngs)
+        else:
+            self.shortcut = None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        net = jax.nn.silu(self.norm1(x))
+        net = self.conv1(net)
+        net = jax.nn.silu(self.norm2(net))
+        if self.dropout is not None:
+            net = self.dropout(net)
+        net = self.conv2(net)
+        skip = x if self.shortcut is None else self.shortcut(x)
+        return skip + net
+
+
+class ResidualBlockWithTimeEmbedding(nnx.Module):
+    """Diffusion-UNet resblock: time embedding injected between the convs
+    (reference `convs/residual.py` — used by `UNetDiffuser`)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: Optional[int] = None,
+        *,
+        time_embed_dim: int,
+        dropout: float = 0.0,
+        num_groups: int = 32,
+        eps: float = 1e-5,
+        use_scale_shift_norm: bool = False,
+        rngs: nnx.Rngs,
+    ) -> None:
+        out_channels = out_channels or in_channels
+        self.use_scale_shift_norm = use_scale_shift_norm
+        self.norm1 = nnx.GroupNorm(in_channels, num_groups=num_groups, epsilon=eps, rngs=rngs)
+        self.conv1 = nnx.Conv(in_channels, out_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
+        embed_out = 2 * out_channels if use_scale_shift_norm else out_channels
+        self.time_proj = nnx.Linear(time_embed_dim, embed_out, rngs=rngs)
+        self.norm2 = nnx.GroupNorm(out_channels, num_groups=num_groups, epsilon=eps, rngs=rngs)
+        self.dropout = nnx.Dropout(dropout, rngs=rngs) if dropout > 0 else None
+        self.conv2 = nnx.Conv(out_channels, out_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
+        if in_channels != out_channels:
+            self.shortcut = nnx.Conv(in_channels, out_channels, kernel_size=(1, 1), rngs=rngs)
+        else:
+            self.shortcut = None
+
+    def __call__(self, x: jax.Array, time_embed: jax.Array) -> jax.Array:
+        net = jax.nn.silu(self.norm1(x))
+        net = self.conv1(net)
+        emb = self.time_proj(jax.nn.silu(time_embed))[:, None, None, :]
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb, 2, axis=-1)
+            net = self.norm2(net) * (1.0 + scale) + shift
+            net = jax.nn.silu(net)
+        else:
+            net = net + emb
+            net = jax.nn.silu(self.norm2(net))
+        if self.dropout is not None:
+            net = self.dropout(net)
+        net = self.conv2(net)
+        skip = x if self.shortcut is None else self.shortcut(x)
+        return skip + net

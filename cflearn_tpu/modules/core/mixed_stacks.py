@@ -1,0 +1,387 @@
+"""Mixed-stack transformer machinery + the SD SpatialTransformer.
+
+Parity: reference `cflearn/modules/core/mixed_stacks/` —
+`PositionalEncoding` (:188), `MixingBlock` (:41), `MixedStackedEncoder`
+(:270 — generic token/channel-mixer transformer behind ViT/Mixer/FNet/
+PoolFormer), token mixers (attention/fourier/mlp/pool — `token_mixers.py`),
+channel mixers (ff/mix_ff — `channel_mixers.py`), `SpatialTransformer(+Block)`
+(:766/:830 — the SD cross-attention transformer with hook points),
+`SpatialTransformerHooks` (:645). ToMe token merging (:473-618) is a listed
+phase-2 item (SURVEY.md §5.7).
+"""
+
+import math
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..common import PrefixModules
+from .activations import GEGLU, build_activation
+from .attentions import Attention, CrossAttention
+
+token_mixers = PrefixModules("token_mixer")
+channel_mixers = PrefixModules("channel_mixer")
+
+
+# ----------------------------------------------------------------------------
+# token mixers
+# ----------------------------------------------------------------------------
+
+@token_mixers.register("attention")
+class AttentionTokenMixer(nnx.Module):
+    def __init__(self, in_dim: int, num_tokens: int, latent_dim: int, *, num_heads: int = 8, dropout: float = 0.0, rngs: nnx.Rngs) -> None:
+        self.net = Attention(
+            in_dim,
+            num_heads,
+            embed_dim=latent_dim,
+            out_dim=in_dim,
+            dropout=dropout,
+            is_self_attention=True,
+            rngs=rngs,
+        )
+
+    def __call__(self, x: jax.Array, **kwargs: Any) -> jax.Array:
+        return self.net(x, **kwargs)
+
+
+@token_mixers.register("fourier")
+class FourierTokenMixer(nnx.Module):
+    """FNet mixer: real part of 2D FFT."""
+
+    def __init__(self, in_dim: int, num_tokens: int, latent_dim: int, *, rngs: nnx.Rngs, **kwargs: Any) -> None:
+        pass
+
+    def __call__(self, x: jax.Array, **kwargs: Any) -> jax.Array:
+        return jnp.fft.fft(jnp.fft.fft(x, axis=-1), axis=-2).real.astype(x.dtype)
+
+
+@token_mixers.register("mlp")
+class MLPTokenMixer(nnx.Module):
+    def __init__(self, in_dim: int, num_tokens: int, latent_dim: int, *, dropout: float = 0.0, rngs: nnx.Rngs) -> None:
+        self.fc1 = nnx.Linear(num_tokens, num_tokens, rngs=rngs)
+        self.fc2 = nnx.Linear(num_tokens, num_tokens, rngs=rngs)
+        self.dropout = nnx.Dropout(dropout, rngs=rngs) if dropout > 0 else None
+
+    def __call__(self, x: jax.Array, **kwargs: Any) -> jax.Array:
+        net = x.swapaxes(-1, -2)
+        net = jax.nn.gelu(self.fc1(net))
+        if self.dropout is not None:
+            net = self.dropout(net)
+        net = self.fc2(net)
+        return net.swapaxes(-1, -2)
+
+
+@token_mixers.register("pool")
+class PoolTokenMixer(nnx.Module):
+    """PoolFormer mixer (pool - identity)."""
+
+    def __init__(self, in_dim: int, num_tokens: int, latent_dim: int, *, pool_size: int = 3, rngs: nnx.Rngs, **kwargs: Any) -> None:
+        self.pool_size = pool_size
+
+    def __call__(self, x: jax.Array, **kwargs: Any) -> jax.Array:
+        # x: (B, N, D); 1d avg pool with same padding
+        k = self.pool_size
+        pad = k // 2
+        padded = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+        pooled = jax.lax.reduce_window(
+            padded, 0.0, jax.lax.add, (1, k, 1), (1, 1, 1), "VALID"
+        ) / float(k)
+        return pooled - x
+
+
+# ----------------------------------------------------------------------------
+# channel mixers
+# ----------------------------------------------------------------------------
+
+@channel_mixers.register("ff")
+class FeedForward(nnx.Module):
+    def __init__(self, in_dim: int, latent_dim: int, dropout: float = 0.0, *, activation: str = "gelu", add_last_dropout: bool = True, rngs: nnx.Rngs) -> None:
+        if activation == "geglu":
+            self.net1: nnx.Module = GEGLU(in_dim=in_dim, out_dim=latent_dim, rngs=rngs)
+        else:
+            self.linear1 = nnx.Linear(in_dim, latent_dim, rngs=rngs)
+            act = build_activation(activation, rngs=rngs)
+            self.net1 = _Seq(self.linear1, act)
+        self.dropout1 = nnx.Dropout(dropout, rngs=rngs) if dropout > 0 else None
+        self.linear2 = nnx.Linear(latent_dim, in_dim, rngs=rngs)
+        self.dropout2 = nnx.Dropout(dropout, rngs=rngs) if (dropout > 0 and add_last_dropout) else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        net = self.net1(x)
+        if self.dropout1 is not None:
+            net = self.dropout1(net)
+        net = self.linear2(net)
+        if self.dropout2 is not None:
+            net = self.dropout2(net)
+        return net
+
+
+class _Seq(nnx.Module):
+    def __init__(self, *mods: nnx.Module) -> None:
+        self.mods = nnx.List(list(mods))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for m in self.mods:
+            x = m(x)
+        return x
+
+
+# ----------------------------------------------------------------------------
+# positional encoding + mixing stack
+# ----------------------------------------------------------------------------
+
+class PositionalEncoding(nnx.Module):
+    """Learnable positional embedding (+cls handling) — reference
+    `mixed_stacks/api.py:188`."""
+
+    def __init__(self, dim: int, num_tokens: int, *, num_head_tokens: int = 0, is_trainable: bool = True, dropout: float = 0.0, rngs: nnx.Rngs) -> None:
+        key = rngs.params()
+        table = jax.random.normal(key, (1, num_tokens + num_head_tokens, dim)) * 0.02
+        if is_trainable:
+            self.pos_encoding = nnx.Param(table)
+        else:
+            self.pos_encoding = nnx.Variable(table)
+        self.dropout = nnx.Dropout(dropout, rngs=rngs) if dropout > 0 else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        table = self.pos_encoding.value if isinstance(self.pos_encoding, nnx.Variable) else self.pos_encoding[...]
+        x = x + table[:, : x.shape[1]]
+        if self.dropout is not None:
+            x = self.dropout(x)
+        return x
+
+
+class MixingBlock(nnx.Module):
+    """PreNorm(token mixer) + PreNorm(channel mixer), residual
+    (reference `mixed_stacks/api.py:41`)."""
+
+    def __init__(
+        self,
+        in_dim: int,
+        num_tokens: int,
+        latent_dim: int,
+        *,
+        token_mixing_type: str,
+        token_mixing_config: Optional[dict] = None,
+        channel_mixing_type: str = "ff",
+        channel_mixing_config: Optional[dict] = None,
+        dropout: float = 0.0,
+        drop_path: float = 0.0,
+        norm_type: str = "layer_norm",
+        rngs: nnx.Rngs,
+    ) -> None:
+        from .norms import NormFactory
+
+        self.token_norm = NormFactory(norm_type).make(in_dim, rngs=rngs)
+        self.token_mixer = token_mixers.build(
+            token_mixing_type,
+            in_dim,
+            num_tokens,
+            latent_dim,
+            rngs=rngs,
+            **(token_mixing_config or {}),
+        )
+        self.channel_norm = NormFactory(norm_type).make(in_dim, rngs=rngs)
+        cm_config = dict(channel_mixing_config or {})
+        cm_config.setdefault("dropout", dropout)
+        self.channel_mixer = channel_mixers.build(
+            channel_mixing_type, in_dim, latent_dim, rngs=rngs, **cm_config
+        )
+
+    def __call__(self, x: jax.Array, **kwargs: Any) -> jax.Array:
+        x = x + self.token_mixer(self.token_norm(x), **kwargs)
+        x = x + self.channel_mixer(self.channel_norm(x))
+        return x
+
+
+class MixedStackedEncoder(nnx.Module):
+    """Generic token/channel-mixer stack behind ViT / MLP-Mixer / FNet /
+    PoolFormer (reference `mixed_stacks/api.py:270`)."""
+
+    def __init__(
+        self,
+        in_dim: int,
+        num_tokens: int,
+        *,
+        token_mixing_type: str,
+        token_mixing_config: Optional[dict] = None,
+        channel_mixing_type: str = "ff",
+        channel_mixing_config: Optional[dict] = None,
+        num_layers: int = 4,
+        dropout: float = 0.0,
+        norm_type: str = "layer_norm",
+        latent_ratio: float = 4.0,
+        use_head_token: bool = False,
+        use_positional_encoding: bool = False,
+        head_pooler: Optional[str] = "mean",
+        rngs: nnx.Rngs,
+    ) -> None:
+        latent_dim = int(round(in_dim * latent_ratio))
+        self.use_head_token = use_head_token
+        if use_head_token:
+            key = rngs.params()
+            self.head_token = nnx.Param(jax.random.normal(key, (1, 1, in_dim)) * 0.02)
+        else:
+            self.head_token = None
+        self.pos_encoding = (
+            PositionalEncoding(
+                in_dim,
+                num_tokens,
+                num_head_tokens=int(use_head_token),
+                dropout=dropout,
+                rngs=rngs,
+            )
+            if use_positional_encoding
+            else None
+        )
+        self.blocks = nnx.List(
+            [
+                MixingBlock(
+                    in_dim,
+                    num_tokens + int(use_head_token),
+                    latent_dim,
+                    token_mixing_type=token_mixing_type,
+                    token_mixing_config=token_mixing_config,
+                    channel_mixing_type=channel_mixing_type,
+                    channel_mixing_config=channel_mixing_config,
+                    dropout=dropout,
+                    norm_type=norm_type,
+                    rngs=rngs,
+                )
+                for _ in range(num_layers)
+            ]
+        )
+        from .norms import NormFactory
+
+        self.head_norm = NormFactory(norm_type).make(in_dim, rngs=rngs)
+        self.head_pooler = head_pooler
+
+    def __call__(self, x: jax.Array, *, return_tokens: bool = False, **kwargs: Any) -> jax.Array:
+        b = x.shape[0]
+        if self.head_token is not None:
+            head = jnp.broadcast_to(self.head_token[...], (b, 1, x.shape[-1]))
+            x = jnp.concatenate([head, x], axis=1)
+        if self.pos_encoding is not None:
+            x = self.pos_encoding(x)
+        for block in self.blocks:
+            x = block(x, **kwargs)
+        x = self.head_norm(x)
+        if return_tokens:
+            return x
+        if self.head_token is not None:
+            return x[:, 0]
+        if self.head_pooler == "mean":
+            return jnp.mean(x, axis=1)
+        return x
+
+
+# ----------------------------------------------------------------------------
+# SD SpatialTransformer
+# ----------------------------------------------------------------------------
+
+class SpatialTransformerHooks:
+    """Hook surface for LoRA / style-reference injection (reference
+    `mixed_stacks/api.py:645`). Functional: hooks transform (q, k, v)."""
+
+    def __init__(self, qkv_fn: Optional[Callable] = None) -> None:
+        self.qkv_fn = qkv_fn
+
+    def process_qkv(self, module: Any, q: jax.Array, k: jax.Array, v: jax.Array) -> Any:
+        if self.qkv_fn is None:
+            return q, k, v
+        return self.qkv_fn(module, q, k, v)
+
+
+class BasicTransformerBlock(nnx.Module):
+    """self-attn → cross-attn → GEGLU FF, all pre-norm residual."""
+
+    def __init__(
+        self,
+        query_dim: int,
+        num_heads: int,
+        head_dim: int,
+        *,
+        context_dim: Optional[int] = None,
+        dropout: float = 0.0,
+        rngs: nnx.Rngs,
+    ) -> None:
+        self.norm1 = nnx.LayerNorm(query_dim, rngs=rngs)
+        self.attn1 = CrossAttention(
+            query_dim=query_dim, heads=num_heads, dim_head=head_dim, dropout=dropout, rngs=rngs
+        )
+        self.norm2 = nnx.LayerNorm(query_dim, rngs=rngs)
+        self.attn2 = CrossAttention(
+            query_dim=query_dim,
+            context_dim=context_dim,
+            heads=num_heads,
+            dim_head=head_dim,
+            dropout=dropout,
+            rngs=rngs,
+        )
+        self.norm3 = nnx.LayerNorm(query_dim, rngs=rngs)
+        self.ff = FeedForward(query_dim, query_dim * 4, dropout, activation="geglu", rngs=rngs)
+
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, *, hooks: Optional[SpatialTransformerHooks] = None) -> jax.Array:
+        x = x + self.attn1(self.norm1(x), hooks=hooks)
+        x = x + self.attn2(self.norm2(x), context=context, hooks=hooks)
+        x = x + self.ff(self.norm3(x))
+        return x
+
+
+class SpatialTransformer(nnx.Module):
+    """The SD UNet attention block: GroupNorm → 1x1 proj-in → N transformer
+    blocks → proj-out + skip (reference `mixed_stacks/api.py:766`)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        num_heads: int,
+        head_dim: int,
+        *,
+        num_layers: int = 1,
+        context_dim: Optional[int] = None,
+        dropout: float = 0.0,
+        use_linear: bool = False,
+        rngs: nnx.Rngs,
+    ) -> None:
+        inner_dim = num_heads * head_dim
+        self.norm = nnx.GroupNorm(in_channels, num_groups=32, epsilon=1e-6, rngs=rngs)
+        self.use_linear = use_linear
+        if use_linear:
+            self.proj_in = nnx.Linear(in_channels, inner_dim, rngs=rngs)
+            self.proj_out = nnx.Linear(inner_dim, in_channels, rngs=rngs)
+        else:
+            self.proj_in = nnx.Conv(in_channels, inner_dim, kernel_size=(1, 1), rngs=rngs)
+            self.proj_out = nnx.Conv(inner_dim, in_channels, kernel_size=(1, 1), rngs=rngs)
+        self.blocks = nnx.List(
+            [
+                BasicTransformerBlock(
+                    inner_dim,
+                    num_heads,
+                    head_dim,
+                    context_dim=context_dim,
+                    dropout=dropout,
+                    rngs=rngs,
+                )
+                for _ in range(num_layers)
+            ]
+        )
+
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, *, hooks: Optional[SpatialTransformerHooks] = None) -> jax.Array:
+        b, h, w, c = x.shape
+        residual = x
+        net = self.norm(x)
+        if self.use_linear:
+            net = net.reshape(b, h * w, c)
+            net = self.proj_in(net)
+        else:
+            net = self.proj_in(net).reshape(b, h * w, -1)
+        for block in self.blocks:
+            net = block(net, context=context, hooks=hooks)
+        if self.use_linear:
+            net = self.proj_out(net).reshape(b, h, w, c)
+        else:
+            net = self.proj_out(net.reshape(b, h, w, -1))
+        return residual + net

@@ -1,0 +1,245 @@
+"""Autoencoders: the SD first-stage family (KL & VQ) + generic enc/dec.
+
+Parity: reference `cflearn/modules/cv/ae/` — `ae_kl` (`ae/kl.py`,
+GaussianDistribution latents; the SD VAE with f4/f8/f16 presets in
+`zoo/configs/ae/kl`) and `ae_vq` (`ae/vq.py`); underlying conv encoder/
+decoder match `cflearn/modules/cv/encoder/attn.py` / `decoder/attn.py`
+(ResBlock stacks + mid attention). Channel-last NHWC throughout.
+"""
+
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..common import register_module
+from ..core.attentions import SpatialAttention
+from ..core.convs import Downsample, ResidualBlock, UpsampleConv2d, interpolate
+from .common import GaussianDistribution, VQCodebook, generators
+
+
+class AttnEncoder(nnx.Module):
+    """Conv encoder: down blocks + mid attention (SD VAE encoder)."""
+
+    def __init__(
+        self,
+        *,
+        img_size: int = 256,
+        in_channels: int = 3,
+        inner_channels: int = 128,
+        z_channels: int = 4,
+        channel_multipliers: Optional[List[int]] = None,
+        num_res_blocks: int = 2,
+        attention_resolutions: Optional[List[int]] = None,
+        dropout: float = 0.0,
+        double_z: bool = True,
+        rngs: nnx.Rngs,
+    ) -> None:
+        channel_multipliers = channel_multipliers or [1, 2, 4, 4]
+        attention_resolutions = attention_resolutions or []
+        self.conv_in = nnx.Conv(in_channels, inner_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
+        blocks: List[Any] = []
+        ch = inner_channels
+        resolution = img_size
+        for i, mult in enumerate(channel_multipliers):
+            out_ch = inner_channels * mult
+            for _ in range(num_res_blocks):
+                blocks.append(ResidualBlock(ch, out_ch, dropout=dropout, rngs=rngs))
+                ch = out_ch
+                if resolution in attention_resolutions:
+                    blocks.append(SpatialAttention(ch, rngs=rngs))
+            if i != len(channel_multipliers) - 1:
+                blocks.append(Downsample(ch, use_conv=True, rngs=rngs))
+                resolution //= 2
+        self.blocks = nnx.List(blocks)
+        self.mid_res1 = ResidualBlock(ch, ch, dropout=dropout, rngs=rngs)
+        self.mid_attn = SpatialAttention(ch, rngs=rngs)
+        self.mid_res2 = ResidualBlock(ch, ch, dropout=dropout, rngs=rngs)
+        self.norm_out = nnx.GroupNorm(ch, num_groups=32, epsilon=1e-6, rngs=rngs)
+        out_z = 2 * z_channels if double_z else z_channels
+        self.conv_out = nnx.Conv(ch, out_z, kernel_size=(3, 3), padding="SAME", rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        net = self.conv_in(x)
+        for block in self.blocks:
+            net = block(net)
+        net = self.mid_res2(self.mid_attn(self.mid_res1(net)))
+        net = jax.nn.silu(self.norm_out(net))
+        return self.conv_out(net)
+
+
+class AttnDecoder(nnx.Module):
+    """Conv decoder: mid attention + up blocks (SD VAE decoder)."""
+
+    def __init__(
+        self,
+        *,
+        img_size: int = 256,
+        out_channels: int = 3,
+        inner_channels: int = 128,
+        z_channels: int = 4,
+        channel_multipliers: Optional[List[int]] = None,
+        num_res_blocks: int = 2,
+        attention_resolutions: Optional[List[int]] = None,
+        dropout: float = 0.0,
+        rngs: nnx.Rngs,
+    ) -> None:
+        channel_multipliers = channel_multipliers or [1, 2, 4, 4]
+        attention_resolutions = attention_resolutions or []
+        ch = inner_channels * channel_multipliers[-1]
+        self.conv_in = nnx.Conv(z_channels, ch, kernel_size=(3, 3), padding="SAME", rngs=rngs)
+        self.mid_res1 = ResidualBlock(ch, ch, dropout=dropout, rngs=rngs)
+        self.mid_attn = SpatialAttention(ch, rngs=rngs)
+        self.mid_res2 = ResidualBlock(ch, ch, dropout=dropout, rngs=rngs)
+        blocks: List[Any] = []
+        resolution = img_size // (2 ** (len(channel_multipliers) - 1))
+        for i, mult in reversed(list(enumerate(channel_multipliers))):
+            out_ch = inner_channels * mult
+            for _ in range(num_res_blocks + 1):
+                blocks.append(ResidualBlock(ch, out_ch, dropout=dropout, rngs=rngs))
+                ch = out_ch
+                if resolution in attention_resolutions:
+                    blocks.append(SpatialAttention(ch, rngs=rngs))
+            if i != 0:
+                blocks.append(UpsampleConv2d(ch, ch, factor=2.0, rngs=rngs))
+                resolution *= 2
+        self.blocks = nnx.List(blocks)
+        self.norm_out = nnx.GroupNorm(ch, num_groups=32, epsilon=1e-6, rngs=rngs)
+        self.conv_out = nnx.Conv(ch, out_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
+
+    def __call__(self, z: jax.Array) -> jax.Array:
+        net = self.conv_in(z)
+        net = self.mid_res2(self.mid_attn(self.mid_res1(net)))
+        for block in self.blocks:
+            net = block(net)
+        net = jax.nn.silu(self.norm_out(net))
+        return self.conv_out(net)
+
+
+@register_module("ae_kl")
+@generators.register("ae_kl")
+class AutoEncoderKL(nnx.Module):
+    """SD first-stage KL autoencoder (reference `ae/kl.py`; registered
+    "ae_kl" / `generators.ae_kl`)."""
+
+    def __init__(
+        self,
+        *,
+        img_size: int = 256,
+        in_channels: int = 3,
+        out_channels: int = 3,
+        inner_channels: int = 128,
+        z_channels: int = 4,
+        embedding_channels: int = 4,
+        channel_multipliers: Optional[List[int]] = None,
+        num_res_blocks: int = 2,
+        attention_resolutions: Optional[List[int]] = None,
+        dropout: float = 0.0,
+        rngs: nnx.Rngs,
+    ) -> None:
+        self.z_channels = z_channels
+        self.embedding_channels = embedding_channels
+        self.encoder = AttnEncoder(
+            img_size=img_size,
+            in_channels=in_channels,
+            inner_channels=inner_channels,
+            z_channels=z_channels,
+            channel_multipliers=channel_multipliers,
+            num_res_blocks=num_res_blocks,
+            attention_resolutions=attention_resolutions,
+            dropout=dropout,
+            double_z=True,
+            rngs=rngs,
+        )
+        self.decoder = AttnDecoder(
+            img_size=img_size,
+            out_channels=out_channels,
+            inner_channels=inner_channels,
+            z_channels=z_channels,
+            channel_multipliers=channel_multipliers,
+            num_res_blocks=num_res_blocks,
+            attention_resolutions=attention_resolutions,
+            dropout=dropout,
+            rngs=rngs,
+        )
+        self.to_embedding = nnx.Conv(2 * z_channels, 2 * embedding_channels, kernel_size=(1, 1), rngs=rngs)
+        self.from_embedding = nnx.Conv(embedding_channels, z_channels, kernel_size=(1, 1), rngs=rngs)
+        self.rngs = rngs
+
+    def encode(self, x: jax.Array, *, deterministic: bool = False) -> GaussianDistribution:
+        params = self.to_embedding(self.encoder(x))
+        return GaussianDistribution(params, deterministic=deterministic)
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        return self.decoder(self.from_embedding(z))
+
+    def __call__(self, x: jax.Array, *, sample: bool = True) -> Any:
+        dist = self.encode(x)
+        z = dist.sample(self.rngs.default()) if sample else dist.mode()
+        return {"predictions": self.decode(z), "distribution": dist, "z": z}
+
+
+@register_module("ae_vq")
+@generators.register("ae_vq")
+class AutoEncoderVQ(nnx.Module):
+    """VQ first-stage autoencoder (reference `ae/vq.py`)."""
+
+    def __init__(
+        self,
+        *,
+        img_size: int = 256,
+        in_channels: int = 3,
+        out_channels: int = 3,
+        inner_channels: int = 128,
+        z_channels: int = 4,
+        embedding_channels: int = 4,
+        num_code: int = 16384,
+        channel_multipliers: Optional[List[int]] = None,
+        num_res_blocks: int = 2,
+        attention_resolutions: Optional[List[int]] = None,
+        dropout: float = 0.0,
+        rngs: nnx.Rngs,
+    ) -> None:
+        self.encoder = AttnEncoder(
+            img_size=img_size,
+            in_channels=in_channels,
+            inner_channels=inner_channels,
+            z_channels=z_channels,
+            channel_multipliers=channel_multipliers,
+            num_res_blocks=num_res_blocks,
+            attention_resolutions=attention_resolutions,
+            dropout=dropout,
+            double_z=False,
+            rngs=rngs,
+        )
+        self.decoder = AttnDecoder(
+            img_size=img_size,
+            out_channels=out_channels,
+            inner_channels=inner_channels,
+            z_channels=z_channels,
+            channel_multipliers=channel_multipliers,
+            num_res_blocks=num_res_blocks,
+            attention_resolutions=attention_resolutions,
+            dropout=dropout,
+            rngs=rngs,
+        )
+        self.to_embedding = nnx.Conv(z_channels, embedding_channels, kernel_size=(1, 1), rngs=rngs)
+        self.from_embedding = nnx.Conv(embedding_channels, z_channels, kernel_size=(1, 1), rngs=rngs)
+        self.codebook = VQCodebook(num_code, embedding_channels, rngs=rngs)
+
+    def encode(self, x: jax.Array) -> Any:
+        z = self.to_embedding(self.encoder(x))
+        return self.codebook(z)
+
+    def decode(self, z_q: jax.Array) -> jax.Array:
+        return self.decoder(self.from_embedding(z_q))
+
+    def __call__(self, x: jax.Array) -> Any:
+        out = self.encode(x)
+        return {
+            "predictions": self.decode(out.z_q),
+            "codebook_loss": out.codebook_loss,
+            "commitment_loss": out.commitment_loss,
+            "indices": out.indices,
+        }

@@ -1,1 +1,1 @@
-from . import fcnn, linear
+from . import fcnn, linear, nets

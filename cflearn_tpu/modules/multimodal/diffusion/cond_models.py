@@ -1,0 +1,86 @@
+"""Condition models for diffusion.
+
+Parity: reference `cflearn/modules/multimodal/diffusion/cond_models/` —
+`condition_models` registry (`common.py:10-12`), `CLIPTextConditionModel`
+(`cond_models/clip.py` — tokenized text → CLIP text-tower hidden states,
+with clip-skip and custom-embedding support), `rescaler` specialized cond
+(`cond_models/rescaler.py`).
+"""
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ...common import PrefixModules
+from ..clip import TeTEncoder
+
+condition_models = PrefixModules("condition_models")
+specialized_condition_models = PrefixModules("specialized_condition_models")
+
+
+@condition_models.register("clip_text")
+class CLIPTextConditionModel(nnx.Module):
+    """Text conditioning: token ids → per-token hidden states (B, 77, D).
+
+    For SD v1 the tower is CLIP ViT-L/14's text encoder (width 768) and the
+    FINAL layer norm is applied; clip-skip picks earlier hidden states
+    (reference `cond_models/clip.py`)."""
+
+    def __init__(
+        self,
+        *,
+        latent_dim: int = 768,
+        num_layers: int = 12,
+        num_heads: int = 12,
+        context_length: int = 77,
+        vocab_size: int = 49408,
+        clip_skip: int = 0,
+        rngs: nnx.Rngs,
+    ) -> None:
+        self.clip_skip = clip_skip
+        self.encoder = TeTEncoder(
+            vocab_size=vocab_size,
+            context_length=context_length,
+            latent_dim=latent_dim,
+            num_layers=num_layers,
+            num_heads=num_heads,
+            activation="quick_gelu",
+            rngs=rngs,
+        )
+
+    def __call__(self, token_ids: jax.Array) -> jax.Array:
+        if token_ids.dtype not in (jnp.int32, jnp.int64):
+            # already-encoded context passes through (pre-encoded conds)
+            return token_ids
+        return self.encoder(token_ids, clip_skip=self.clip_skip, apply_final_ln=True)
+
+    def encode_with_custom_embeddings(
+        self,
+        token_ids: jax.Array,
+        custom_embeddings: Optional[Dict[int, jax.Array]] = None,
+    ) -> jax.Array:
+        """Textual-inversion style: replace given token ids' embeddings."""
+        embeddings = self.encoder.token_embedding(token_ids)
+        if custom_embeddings:
+            for token_id, embed in custom_embeddings.items():
+                mask = (token_ids == token_id)[..., None]
+                embeddings = jnp.where(mask, embed, embeddings)
+        return self.encoder.embed_with(embeddings)
+
+
+@specialized_condition_models.register("rescaler")
+class Rescaler(nnx.Module):
+    """Downsample a spatial condition by factor 2**n (reference
+    `cond_models/rescaler.py`)."""
+
+    def __init__(self, num_stages: int = 1, *, rngs: Optional[nnx.Rngs] = None) -> None:
+        self.num_stages = num_stages
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for _ in range(self.num_stages):
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, h // 2, w // 2, c), "bilinear")
+        return x

@@ -1,0 +1,250 @@
+"""DDPM generator: noise schedules, parameterizations, condition dispatch.
+
+Parity: reference `cflearn/modules/multimodal/diffusion/ddpm.py:96-685` —
+`make_beta_schedule` (linear/cosine, :51), noise-schedule buffers
+(betas/alphas_cumprod/posterior coefs, `_register_noise_schedule`),
+parameterizations eps/x0/v, `q_sample`, `sample` (:278), `reconstruct`
+(:303 — img2img), `get_cond` (:326), `denoise` (:358 — condition-type
+dispatch concat/cross_attn/hybrid/adm + ControlNet residual injection).
+
+TPU-native: schedule buffers are nnx.Variables (serialized with the model);
+the whole sampling loop lives in the sampler's `lax.scan` (one XLA program).
+"""
+
+import math
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ...common import register_module
+from .unet import ControlNet, UNetDiffuser
+from .utils import ADM_TYPE, CONCAT_TYPE, CROSS_ATTN_TYPE, HYBRID_TYPE
+
+
+def make_beta_schedule(
+    schedule: str,
+    num_timesteps: int,
+    *,
+    linear_start: float = 1e-4,
+    linear_end: float = 2e-2,
+    cosine_s: float = 8e-3,
+) -> np.ndarray:
+    """Reference `ddpm.py:51`."""
+    if schedule == "linear":
+        betas = (
+            np.linspace(linear_start**0.5, linear_end**0.5, num_timesteps, dtype=np.float64) ** 2
+        )
+    elif schedule == "cosine":
+        timesteps = np.arange(num_timesteps + 1, dtype=np.float64) / num_timesteps + cosine_s
+        alphas = timesteps / (1 + cosine_s) * math.pi / 2
+        alphas = np.cos(alphas) ** 2
+        alphas = alphas / alphas[0]
+        betas = 1 - alphas[1:] / alphas[:-1]
+        betas = np.clip(betas, 0.0, 0.999)
+    elif schedule in ("sqrt_linear", "sqrt"):
+        betas = np.linspace(linear_start, linear_end, num_timesteps, dtype=np.float64)
+        if schedule == "sqrt":
+            betas = betas**0.5
+    else:
+        raise ValueError(f"unrecognized schedule '{schedule}'")
+    return betas.astype(np.float64)
+
+
+@register_module("ddpm")
+class DDPM(nnx.Module):
+    """Core diffusion generator (UNet + schedule + condition model)."""
+
+    def __init__(
+        self,
+        *,
+        img_size: int = 64,
+        in_channels: int = 4,
+        out_channels: int = 4,
+        num_timesteps: int = 1000,
+        beta_schedule: str = "linear",
+        linear_start: float = 1e-4,
+        linear_end: float = 2e-2,
+        parameterization: str = "eps",
+        condition_type: str = CROSS_ATTN_TYPE,
+        condition_model: Optional[nnx.Module] = None,
+        unet_config: Optional[Dict[str, Any]] = None,
+        v_posterior: float = 0.0,
+        rngs: nnx.Rngs,
+    ) -> None:
+        self.img_size = img_size
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.num_timesteps = num_timesteps
+        self.parameterization = parameterization
+        self.condition_type = condition_type
+        self.condition_model = nnx.data(condition_model)
+        unet_config = dict(unet_config or {})
+        unet_config.setdefault("in_channels", in_channels)
+        unet_config.setdefault("out_channels", out_channels)
+        self.unet = UNetDiffuser(rngs=rngs, **unet_config)
+        self.v_posterior = v_posterior
+        self._register_noise_schedule(
+            beta_schedule, num_timesteps, linear_start=linear_start, linear_end=linear_end
+        )
+        self.rngs = rngs
+
+    # ------------------------------------------------------------- schedule
+
+    def _register_noise_schedule(
+        self, schedule: str, num_timesteps: int, *, linear_start: float, linear_end: float
+    ) -> None:
+        betas = make_beta_schedule(
+            schedule, num_timesteps, linear_start=linear_start, linear_end=linear_end
+        )
+        alphas = 1.0 - betas
+        alphas_cumprod = np.cumprod(alphas)
+        alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
+        posterior_variance = (1 - self.v_posterior) * betas * (
+            1.0 - alphas_cumprod_prev
+        ) / (1.0 - alphas_cumprod) + self.v_posterior * betas
+
+        def buf(x: np.ndarray) -> nnx.Variable:
+            return nnx.Variable(jnp.asarray(x, dtype=jnp.float32))
+
+        self.betas = buf(betas)
+        self.alphas_cumprod = buf(alphas_cumprod)
+        self.alphas_cumprod_prev = buf(alphas_cumprod_prev)
+        self.sqrt_alphas_cumprod = buf(np.sqrt(alphas_cumprod))
+        self.sqrt_one_minus_alphas_cumprod = buf(np.sqrt(1.0 - alphas_cumprod))
+        self.sqrt_recip_alphas_cumprod = buf(np.sqrt(1.0 / alphas_cumprod))
+        self.sqrt_recipm1_alphas_cumprod = buf(np.sqrt(1.0 / alphas_cumprod - 1.0))
+        self.posterior_variance = buf(posterior_variance)
+        self.posterior_log_variance_clipped = buf(np.log(np.maximum(posterior_variance, 1e-20)))
+        self.posterior_mean_coef1 = buf(
+            betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+        )
+        self.posterior_mean_coef2 = buf(
+            (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
+        )
+
+    # ----------------------------------------------------------------- core
+
+    def q_sample(self, x0: jax.Array, t: jax.Array, noise: jax.Array) -> jax.Array:
+        sa = self.sqrt_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        so = self.sqrt_one_minus_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        return sa * x0 + so * noise
+
+    def predict_eps_from(self, x_t: jax.Array, t: jax.Array, model_out: jax.Array) -> jax.Array:
+        """model output → eps under the configured parameterization."""
+        if self.parameterization == "eps":
+            return model_out
+        sa = self.sqrt_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        so = self.sqrt_one_minus_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        if self.parameterization == "v":
+            return sa * model_out + so * x_t
+        # x0 parameterization
+        ra = self.sqrt_recip_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        rm = self.sqrt_recipm1_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        return (ra * x_t - model_out) / rm
+
+    def predict_x0_from_eps(self, x_t: jax.Array, t: jax.Array, eps: jax.Array) -> jax.Array:
+        ra = self.sqrt_recip_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        rm = self.sqrt_recipm1_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        return ra * x_t - rm * eps
+
+    def get_v(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
+        sa = self.sqrt_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        so = self.sqrt_one_minus_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        return sa * noise - so * x0
+
+    # ----------------------------------------------------------- conditions
+
+    def get_cond(self, cond: Any) -> Any:
+        """Encode raw condition via the condition model (reference :326)."""
+        if self.condition_model is None:
+            return cond
+        return self.condition_model(cond)
+
+    def denoise(
+        self,
+        net: jax.Array,
+        timesteps: jax.Array,
+        cond: Optional[Any] = None,
+        *,
+        control_net: Optional[ControlNet] = None,
+        control_hint: Optional[jax.Array] = None,
+        control_scales: Optional[List[float]] = None,
+        hooks: Optional[Any] = None,
+    ) -> jax.Array:
+        """Condition dispatch + ControlNet injection (reference :358-420)."""
+        context = None
+        labels = None
+        if cond is not None:
+            if self.condition_type == CONCAT_TYPE:
+                net = jnp.concatenate([net, cond], axis=-1)
+            elif self.condition_type == CROSS_ATTN_TYPE:
+                context = cond
+            elif self.condition_type == HYBRID_TYPE:
+                assert isinstance(cond, dict)
+                net = jnp.concatenate([net, cond[CONCAT_TYPE]], axis=-1)
+                context = cond[CROSS_ATTN_TYPE]
+            elif self.condition_type == ADM_TYPE:
+                labels = cond
+            else:
+                raise ValueError(f"unrecognized condition type '{self.condition_type}'")
+        control = None
+        if control_net is not None and control_hint is not None:
+            control = control_net(net, control_hint, timesteps, context)
+            if control_scales is not None:
+                control = [c * s for c, s in zip(control, control_scales)]
+        return self.unet(net, timesteps, context, labels, control=control, hooks=hooks)
+
+    # ------------------------------------------------------------- sampling
+
+    def sample(
+        self,
+        num_samples: int,
+        *,
+        sampler: Optional[Any] = None,
+        cond: Optional[Any] = None,
+        size: Optional[Any] = None,
+        num_steps: int = 20,
+        key: Optional[jax.Array] = None,
+        **kwargs: Any,
+    ) -> jax.Array:
+        from .samplers import ISampler
+
+        if sampler is None:
+            sampler = ISampler.make("ddim", {"model": self})
+        if size is None:
+            size = (self.img_size, self.img_size)
+        if key is None:
+            key = self.rngs.default()
+        # sample in the *output* latent space — with concat/hybrid conditioning
+        # the UNet's in_channels exceeds the latent dim (e.g. SD inpainting 9ch)
+        z = jax.random.normal(key, (num_samples, size[0], size[1], self.out_channels))
+        return sampler.sample(z, cond=cond, num_steps=num_steps, **kwargs)
+
+    def reconstruct(
+        self,
+        x0: jax.Array,
+        *,
+        sampler: Optional[Any] = None,
+        cond: Optional[Any] = None,
+        fidelity: float = 0.2,
+        num_steps: int = 20,
+        key: Optional[jax.Array] = None,
+        **kwargs: Any,
+    ) -> jax.Array:
+        """img2img: q_sample to an intermediate t then denoise (reference :303)."""
+        from .samplers import ISampler
+
+        if sampler is None:
+            sampler = ISampler.make("ddim", {"model": self})
+        if key is None:
+            key = self.rngs.default()
+        start_step = int(round((1.0 - fidelity) * num_steps))
+        return sampler.sample_from(
+            x0, cond=cond, num_steps=num_steps, start_step=start_step, key=key, **kwargs
+        )
+
+    def __call__(self, net: jax.Array, timesteps: jax.Array, cond: Optional[Any] = None, **kwargs: Any) -> jax.Array:
+        return self.denoise(net, timesteps, cond, **kwargs)

@@ -1,0 +1,551 @@
+"""Samplers — `lax.scan`-compiled denoising loops.
+
+Parity: reference `cflearn/modules/multimodal/diffusion/samplers/` —
+`ISampler` registry + `sample()` driving `sample_step` (`schema.py:115-196`),
+`DDPMQSampler` q-sampling (:72-114), `UncondSamplerMixin` CFG (:197+);
+implementations: `ddim` (`ddim.py:272`), `basic` (ancestral DDPM), k-samplers
+`k_euler`/`k_euler_a`/`klms`/`k_heun`/`k_dpmpp_2m` (`k_samplers.py:287-444`,
+Karras sigmas), `solver` (DPM-Solver, `solver.py:23`), `plms`, `lcm`.
+
+TPU-native: the reference drives the step loop from Python
+(`samplers/schema.py:153-196` — host-level hot loop); here every sampler
+precomputes its per-step schedule as static arrays and runs ONE `lax.scan`,
+so the whole denoise loop is a single XLA program. CFG batches cond+uncond
+into one UNet call.
+"""
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ....toolkit.registry import WithRegister
+
+
+class ISampler(WithRegister):
+    d: Dict[str, type] = {}
+
+    def __init__(self, model: Any, **kwargs: Any) -> None:
+        self.model = model
+        self.default_steps = kwargs.get("default_steps", 20)
+
+    # ------------------------------------------------------------------ api
+
+    def sample(
+        self,
+        z: jax.Array,
+        *,
+        cond: Optional[Any] = None,
+        uncond: Optional[Any] = None,
+        guidance_scale: float = 1.0,
+        num_steps: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        **kwargs: Any,
+    ) -> jax.Array:
+        raise NotImplementedError
+
+    def sample_from(
+        self,
+        x0: jax.Array,
+        *,
+        cond: Optional[Any] = None,
+        num_steps: int = 20,
+        start_step: int = 0,
+        key: Optional[jax.Array] = None,
+        **kwargs: Any,
+    ) -> jax.Array:
+        """img2img entry: q-sample `x0` to the start step then denoise."""
+        raise NotImplementedError
+
+    # -------------------------------------------------------------- helpers
+
+    def _denoise(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        cond: Optional[Any],
+        uncond: Optional[Any],
+        guidance_scale: float,
+        **kwargs: Any,
+    ) -> jax.Array:
+        """CFG denoise → eps. Batches cond & uncond into one UNet call."""
+        m = self.model
+        if uncond is None or guidance_scale == 1.0:
+            out = m.denoise(x, t, cond, **kwargs)
+            return m.predict_eps_from(x, t.astype(jnp.int32), out)
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        c2 = jnp.concatenate([cond, uncond], axis=0)
+        out = m.denoise(x2, t2, c2, **kwargs)
+        eps = m.predict_eps_from(x2, t2.astype(jnp.int32), out)
+        eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
+        return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+    def _np_acp(self) -> np.ndarray:
+        return np.asarray(self.model.alphas_cumprod.value)
+
+
+def _uniform_timesteps(num_train: int, num_steps: int) -> np.ndarray:
+    c = num_train // num_steps
+    ts = np.asarray(list(range(0, num_train, c))) + 1
+    return np.clip(ts, 0, num_train - 1)
+
+
+@ISampler.register("ddim")
+class DDIMSampler(ISampler):
+    """Deterministic DDIM (eta-configurable; reference `ddim.py`)."""
+
+    def __init__(self, model: Any, *, eta: float = 0.0, **kwargs: Any) -> None:
+        super().__init__(model, **kwargs)
+        self.eta = eta
+
+    def _schedule(self, num_steps: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        acp = self._np_acp()
+        ts = _uniform_timesteps(len(acp), num_steps)
+        alphas = acp[ts]
+        alphas_prev = np.concatenate([[acp[0]], acp[ts[:-1]]])
+        sigmas = self.eta * np.sqrt(
+            (1 - alphas_prev) / (1 - alphas) * (1 - alphas / alphas_prev)
+        )
+        return ts, alphas, alphas_prev, sigmas
+
+    def sample(
+        self,
+        z: jax.Array,
+        *,
+        cond: Optional[Any] = None,
+        uncond: Optional[Any] = None,
+        guidance_scale: float = 1.0,
+        num_steps: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        start_step: int = 0,
+        **kwargs: Any,
+    ) -> jax.Array:
+        num_steps = num_steps or self.default_steps
+        ts, alphas, alphas_prev, sigmas = self._schedule(num_steps)
+        # reversed order (T → 0)
+        order = np.arange(num_steps)[::-1][start_step:]
+        ts_r = jnp.asarray(ts[order])
+        a_r = jnp.asarray(alphas[order], dtype=z.dtype)
+        ap_r = jnp.asarray(alphas_prev[order], dtype=z.dtype)
+        s_r = jnp.asarray(sigmas[order], dtype=z.dtype)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, len(order))
+        b = z.shape[0]
+
+        def step(x: jax.Array, inputs: Any) -> Tuple[jax.Array, None]:
+            t, a_t, a_prev, sigma_t, k = inputs
+            tb = jnp.full((b,), t)
+            eps = self._denoise(x, tb, cond, uncond, guidance_scale, **kwargs)
+            x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+            dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * eps
+            noise = sigma_t * jax.random.normal(k, x.shape, x.dtype)
+            return jnp.sqrt(a_prev) * x0 + dir_xt + noise, None
+
+        out, _ = jax.lax.scan(step, z, (ts_r, a_r, ap_r, s_r, keys))
+        return out
+
+    def sample_from(
+        self,
+        x0: jax.Array,
+        *,
+        cond: Optional[Any] = None,
+        num_steps: int = 20,
+        start_step: int = 0,
+        key: Optional[jax.Array] = None,
+        **kwargs: Any,
+    ) -> jax.Array:
+        ts, _, _, _ = self._schedule(num_steps)
+        order = np.arange(num_steps)[::-1]
+        t_start = int(ts[order[start_step]]) if start_step < num_steps else 0
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        noise = jax.random.normal(k1, x0.shape, x0.dtype)
+        tb = jnp.full((x0.shape[0],), t_start, dtype=jnp.int32)
+        z = self.model.q_sample(x0, tb, noise)
+        return self.sample(z, cond=cond, num_steps=num_steps, start_step=start_step, key=k2, **kwargs)
+
+
+@ISampler.register("basic")
+class DDPMSampler(DDIMSampler):
+    """Ancestral DDPM sampling = DDIM with eta=1 over all trained steps
+    (reference `basic` sampler)."""
+
+    def __init__(self, model: Any, **kwargs: Any) -> None:
+        kwargs.setdefault("default_steps", 50)
+        super().__init__(model, eta=1.0, **kwargs)
+
+
+@ISampler.register("plms")
+class PLMSSampler(ISampler):
+    """Pseudo linear multistep (PLMS/PNDM; reference `plms.py`)."""
+
+    def sample(
+        self,
+        z: jax.Array,
+        *,
+        cond: Optional[Any] = None,
+        uncond: Optional[Any] = None,
+        guidance_scale: float = 1.0,
+        num_steps: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        start_step: int = 0,
+        **kwargs: Any,
+    ) -> jax.Array:
+        num_steps = num_steps or self.default_steps
+        acp = self._np_acp()
+        ts = _uniform_timesteps(len(acp), num_steps)
+        alphas = acp[ts]
+        alphas_prev = np.concatenate([[acp[0]], acp[ts[:-1]]])
+        order = np.arange(num_steps)[::-1][start_step:]
+        ts_r = jnp.asarray(ts[order])
+        a_r = jnp.asarray(alphas[order], dtype=z.dtype)
+        ap_r = jnp.asarray(alphas_prev[order], dtype=z.dtype)
+        b = z.shape[0]
+
+        def x_prev_fn(x: jax.Array, eps: jax.Array, a_t: jax.Array, a_prev: jax.Array) -> jax.Array:
+            x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+            dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev, 0.0)) * eps
+            return jnp.sqrt(a_prev) * x0 + dir_xt
+
+        def step(carry: Any, inputs: Any) -> Tuple[Any, None]:
+            x, old_eps, count = carry
+            t, a_t, a_prev = inputs
+            tb = jnp.full((b,), t)
+            eps = self._denoise(x, tb, cond, uncond, guidance_scale, **kwargs)
+            e1, e2, e3 = old_eps[0], old_eps[1], old_eps[2]
+            eps1 = eps
+            eps2 = (3 * eps - e1) / 2
+            eps3 = (23 * eps - 16 * e1 + 5 * e2) / 12
+            eps4 = (55 * eps - 59 * e1 + 37 * e2 - 9 * e3) / 24
+            eps_prime = jnp.where(
+                count == 0, eps1, jnp.where(count == 1, eps2, jnp.where(count == 2, eps3, eps4))
+            )
+            x_new = x_prev_fn(x, eps_prime, a_t, a_prev)
+            new_old = (eps, old_eps[0], old_eps[1])
+            return (x_new, new_old, count + 1), None
+
+        zeros = jnp.zeros_like(z)
+        (out, _, _), _ = jax.lax.scan(step, (z, (zeros, zeros, zeros), 0), (ts_r, a_r, ap_r))
+        return out
+
+    def sample_from(self, x0: jax.Array, **kwargs: Any) -> jax.Array:
+        return _generic_sample_from(self, x0, **kwargs)
+
+
+def _generic_sample_from(
+    sampler: ISampler,
+    x0: jax.Array,
+    *,
+    cond: Optional[Any] = None,
+    num_steps: int = 20,
+    start_step: int = 0,
+    key: Optional[jax.Array] = None,
+    **kwargs: Any,
+) -> jax.Array:
+    acp = sampler._np_acp()
+    ts = _uniform_timesteps(len(acp), num_steps)
+    order = np.arange(num_steps)[::-1]
+    t_start = int(ts[order[start_step]]) if start_step < num_steps else 0
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    noise = jax.random.normal(k1, x0.shape, x0.dtype)
+    tb = jnp.full((x0.shape[0],), t_start, dtype=jnp.int32)
+    z = sampler.model.q_sample(x0, tb, noise)
+    return sampler.sample(z, cond=cond, num_steps=num_steps, start_step=start_step, key=k2, **kwargs)
+
+
+class IKSampler(ISampler):
+    """Shared k-diffusion machinery (reference `k_samplers.py:73`):
+    sigma-space integration with optional Karras ramp."""
+
+    use_karras: bool = True
+
+    def __init__(self, model: Any, *, use_karras: Optional[bool] = None, **kwargs: Any) -> None:
+        super().__init__(model, **kwargs)
+        if use_karras is not None:
+            self.use_karras = use_karras
+
+    def _sigmas(self, num_steps: int, start_step: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        acp = self._np_acp()
+        full_sigmas = np.sqrt((1.0 - acp) / acp)
+        log_sigmas = np.log(full_sigmas)
+        if self.use_karras:
+            rho = 7.0
+            sigma_min, sigma_max = full_sigmas[0], full_sigmas[-1]
+            ramp = np.linspace(0, 1, num_steps)
+            min_inv, max_inv = sigma_min ** (1 / rho), sigma_max ** (1 / rho)
+            sigmas = (max_inv + ramp * (min_inv - max_inv)) ** rho
+        else:
+            idx = np.linspace(len(acp) - 1, 0, num_steps)
+            sigmas = np.interp(idx, np.arange(len(acp)), full_sigmas)
+        sigmas = np.append(sigmas, 0.0)
+        # sigma → (fractional) timestep via log-sigma interpolation
+        t_of = np.interp(np.log(np.maximum(sigmas[:-1], full_sigmas[0])), log_sigmas, np.arange(len(acp)))
+        return sigmas[start_step:], t_of[start_step:]
+
+    def _eps_denoised(
+        self,
+        x: jax.Array,
+        sigma: jax.Array,
+        t: jax.Array,
+        cond: Any,
+        uncond: Any,
+        guidance_scale: float,
+        **kwargs: Any,
+    ) -> jax.Array:
+        """k-space x → denoised x0 prediction."""
+        b = x.shape[0]
+        c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)
+        tb = jnp.full((b,), t)
+        eps = self._denoise(x * c_in, tb, cond, uncond, guidance_scale, **kwargs)
+        return x - sigma * eps
+
+    def sample(
+        self,
+        z: jax.Array,
+        *,
+        cond: Optional[Any] = None,
+        uncond: Optional[Any] = None,
+        guidance_scale: float = 1.0,
+        num_steps: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        start_step: int = 0,
+        initial_sigma_scaled: bool = False,
+        **kwargs: Any,
+    ) -> jax.Array:
+        num_steps = num_steps or self.default_steps
+        sigmas, t_of = self._sigmas(num_steps, start_step)
+        if not initial_sigma_scaled:
+            z = z * sigmas[0]
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return self._integrate(z, sigmas, t_of, cond, uncond, guidance_scale, key, **kwargs)
+
+    def sample_from(
+        self,
+        x0: jax.Array,
+        *,
+        cond: Optional[Any] = None,
+        num_steps: int = 20,
+        start_step: int = 0,
+        key: Optional[jax.Array] = None,
+        **kwargs: Any,
+    ) -> jax.Array:
+        sigmas, _ = self._sigmas(num_steps, start_step)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        z = x0 + jax.random.normal(k1, x0.shape, x0.dtype) * sigmas[0]
+        return self.sample(
+            z, cond=cond, num_steps=num_steps, start_step=start_step, key=k2,
+            initial_sigma_scaled=True, **kwargs
+        )
+
+    def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:
+        raise NotImplementedError
+
+
+@ISampler.register("k_euler")
+class KEulerSampler(IKSampler):
+    def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:
+        sig = jnp.asarray(sigmas, dtype=x.dtype)
+        ts = jnp.asarray(t_of, dtype=jnp.float32)
+
+        def step(x: jax.Array, inputs: Any) -> Tuple[jax.Array, None]:
+            sigma, sigma_next, t = inputs
+            denoised = self._eps_denoised(x, sigma, t, cond, uncond, scale, **kwargs)
+            d = (x - denoised) / sigma
+            return x + d * (sigma_next - sigma), None
+
+        out, _ = jax.lax.scan(step, x, (sig[:-1], sig[1:], ts))
+        return out
+
+
+@ISampler.register("k_euler_a")
+class KEulerAncestralSampler(IKSampler):
+    use_karras = False
+
+    def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:
+        sig = jnp.asarray(sigmas, dtype=x.dtype)
+        ts = jnp.asarray(t_of, dtype=jnp.float32)
+        keys = jax.random.split(key, len(t_of))
+
+        def step(x: jax.Array, inputs: Any) -> Tuple[jax.Array, None]:
+            sigma, sigma_next, t, k = inputs
+            denoised = self._eps_denoised(x, sigma, t, cond, uncond, scale, **kwargs)
+            sigma_up = jnp.minimum(
+                sigma_next,
+                jnp.sqrt(jnp.maximum(sigma_next**2 * (sigma**2 - sigma_next**2) / jnp.maximum(sigma**2, 1e-20), 0.0)),
+            )
+            sigma_down = jnp.sqrt(jnp.maximum(sigma_next**2 - sigma_up**2, 0.0))
+            d = (x - denoised) / sigma
+            x = x + d * (sigma_down - sigma)
+            x = x + jax.random.normal(k, x.shape, x.dtype) * sigma_up
+            return x, None
+
+        out, _ = jax.lax.scan(step, x, (sig[:-1], sig[1:], ts, keys))
+        return out
+
+
+@ISampler.register("k_heun")
+class KHeunSampler(IKSampler):
+    def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:
+        sig = jnp.asarray(sigmas, dtype=x.dtype)
+        ts = jnp.asarray(t_of, dtype=jnp.float32)
+        ts_next = jnp.concatenate([ts[1:], ts[-1:]])
+
+        def step(x: jax.Array, inputs: Any) -> Tuple[jax.Array, None]:
+            sigma, sigma_next, t, t_next = inputs
+            denoised = self._eps_denoised(x, sigma, t, cond, uncond, scale, **kwargs)
+            d = (x - denoised) / sigma
+            x_euler = x + d * (sigma_next - sigma)
+
+            def heun_correct(_: Any) -> jax.Array:
+                denoised2 = self._eps_denoised(x_euler, sigma_next, t_next, cond, uncond, scale, **kwargs)
+                d2 = (x_euler - denoised2) / jnp.maximum(sigma_next, 1e-20)
+                return x + 0.5 * (d + d2) * (sigma_next - sigma)
+
+            x_new = jax.lax.cond(sigma_next > 0, heun_correct, lambda _: x_euler, None)
+            return x_new, None
+
+        out, _ = jax.lax.scan(step, x, (sig[:-1], sig[1:], ts, ts_next))
+        return out
+
+
+@ISampler.register("klms")
+class KLMSSampler(IKSampler):
+    """Linear multistep over sigma space (order ≤ 4)."""
+
+    use_karras = False
+    order = 4
+
+    def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:
+        n = len(t_of)
+        # precompute LMS coefficients on host (static)
+        coeffs = np.zeros((n, self.order), dtype=np.float32)
+        for i in range(n):
+            cur_order = min(i + 1, self.order)
+            for j in range(cur_order):
+                # integral of lagrange basis over [sigma_i, sigma_{i+1}]
+                import scipy.integrate as integrate  # lazy
+
+                def fn(tau: float, j=j, i=i, cur_order=cur_order) -> float:
+                    prod = 1.0
+                    for kk in range(cur_order):
+                        if kk == j:
+                            continue
+                        prod *= (tau - sigmas[i - kk]) / (sigmas[i - j] - sigmas[i - kk])
+                    return prod
+
+                coeffs[i, j] = integrate.quad(fn, sigmas[i], sigmas[i + 1], epsrel=1e-4)[0]
+        sig = jnp.asarray(sigmas, dtype=x.dtype)
+        ts = jnp.asarray(t_of, dtype=jnp.float32)
+        cfs = jnp.asarray(coeffs, dtype=x.dtype)
+
+        def step(carry: Any, inputs: Any) -> Tuple[Any, None]:
+            x, ds = carry
+            sigma, t, cf = inputs
+            denoised = self._eps_denoised(x, sigma, t, cond, uncond, scale, **kwargs)
+            d = (x - denoised) / sigma
+            x_new = x + cf[0] * d + cf[1] * ds[0] + cf[2] * ds[1] + cf[3] * ds[2]
+            return (x_new, (d, ds[0], ds[1])), None
+
+        zeros = jnp.zeros_like(x)
+        (out, _), _ = jax.lax.scan(step, (x, (zeros, zeros, zeros)), (sig[:-1], ts, cfs))
+        return out
+
+
+@ISampler.register("k_dpmpp_2m")
+class KDPMpp2MSampler(IKSampler):
+    """DPM-Solver++(2M) (reference `k_samplers.py:444`)."""
+
+    def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:
+        sig = jnp.asarray(np.maximum(sigmas, 0.0), dtype=x.dtype)
+        ts = jnp.asarray(t_of, dtype=jnp.float32)
+
+        def t_fn(sigma: jax.Array) -> jax.Array:
+            return -jnp.log(jnp.maximum(sigma, 1e-20))
+
+        def sigma_fn(t: jax.Array) -> jax.Array:
+            return jnp.exp(-t)
+
+        def step(carry: Any, inputs: Any) -> Tuple[Any, None]:
+            x, old_denoised, sigma_last, is_first = carry
+            sigma, sigma_next, t = inputs
+            denoised = self._eps_denoised(x, sigma, t, cond, uncond, scale, **kwargs)
+            tt = t_fn(sigma)
+            tt_next = t_fn(jnp.maximum(sigma_next, 1e-20))
+            h = tt_next - tt
+            ratio = jnp.where(sigma_next == 0, 0.0, sigma_next / sigma)
+            first = ratio * x - jnp.expm1(-h) * denoised
+            h_last = tt - t_fn(jnp.maximum(sigma_last, 1e-20))
+            r = h_last / jnp.maximum(h, 1e-20)
+            denoised_d = (1 + 1 / (2 * jnp.maximum(r, 1e-20))) * denoised - (
+                1 / (2 * jnp.maximum(r, 1e-20))
+            ) * old_denoised
+            second = ratio * x - jnp.expm1(-h) * denoised_d
+            x_new = jnp.where(jnp.logical_or(is_first, sigma_next == 0), first, second)
+            return (x_new, denoised, sigma, jnp.asarray(False)), None
+
+        zeros = jnp.zeros_like(x)
+        (out, _, _, _), _ = jax.lax.scan(
+            step, (x, zeros, sig[0], jnp.asarray(True)), (sig[:-1], sig[1:], ts)
+        )
+        return out
+
+
+@ISampler.register("lcm")
+class LCMSampler(ISampler):
+    """Latent consistency sampling (reference `lcm.py`)."""
+
+    def sample(
+        self,
+        z: jax.Array,
+        *,
+        cond: Optional[Any] = None,
+        uncond: Optional[Any] = None,
+        guidance_scale: float = 1.0,
+        num_steps: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        start_step: int = 0,
+        **kwargs: Any,
+    ) -> jax.Array:
+        num_steps = num_steps or 4
+        acp = self._np_acp()
+        n_train = len(acp)
+        ts = np.linspace(n_train - 1, 0, num_steps).round().astype(np.int64)
+        a_r = jnp.asarray(acp[ts], dtype=z.dtype)
+        ts_r = jnp.asarray(ts)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, num_steps)
+        b = z.shape[0]
+
+        def step(carry: Any, inputs: Any) -> Tuple[Any, None]:
+            x, _ = carry
+            t, a_t, k = inputs
+            tb = jnp.full((b,), t)
+            eps = self._denoise(x, tb, cond, uncond, guidance_scale, **kwargs)
+            x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+            # re-noise for all but conceptually-last steps; the scan re-noises
+            # every step and we keep x0 as the final output
+            noise = jax.random.normal(k, x.shape, x.dtype)
+            x_new = jnp.sqrt(a_t) * x0 + jnp.sqrt(1.0 - a_t) * noise
+            return (x_new, x0), None
+
+        (final_x, x0_out), _ = jax.lax.scan(step, (z, z), (ts_r, a_r, keys))
+        return x0_out
+
+    def sample_from(self, x0: jax.Array, **kwargs: Any) -> jax.Array:
+        return _generic_sample_from(self, x0, **kwargs)
+
+
+@ISampler.register("solver")
+class DPMSolverSampler(KDPMpp2MSampler):
+    """DPM-Solver (reference `solver.py:23`) — 2M multistep variant."""

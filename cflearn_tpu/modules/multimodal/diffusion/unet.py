@@ -1,0 +1,315 @@
+"""`UNetDiffuser` — the SD UNet — and `ControlNet`.
+
+Parity: reference `cflearn/modules/multimodal/diffusion/unet.py` —
+`timestep_embedding` (:52), `TimestepBlock`/`TimestepAttnSequential`
+(:25/:31), `UNetDiffuser` (:97 — ResBlocks + SpatialTransformer at configured
+downsample rates, gradient-checkpoint support), `ControlNet` (:325 —
+zero-conv control branch returning per-block residuals).
+
+TPU-native: channel-last NHWC; attention via the Pallas flash kernel
+(`cflearn_tpu.ops.attention`); `use_checkpoint` maps to `jax.checkpoint`
+rematerialisation of each block in training.
+"""
+
+import math
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ...common import register_module, zero_module
+from ...core.attentions import MultiHeadSpatialAttention
+from ...core.convs import Downsample, ResidualBlockWithTimeEmbedding, UpsampleConv2d
+from ...core.mixed_stacks import SpatialTransformer, SpatialTransformerHooks
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int, *, max_period: int = 10000) -> jax.Array:
+    """Sinusoidal timestep embedding (reference `unet.py:52`)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate([embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding
+
+
+class _InBlock(nnx.Module):
+    """One input/output stage: optional resblock/transformer/sampler chain
+    (reference `TimestepAttnSequential`, `unet.py:31`)."""
+
+    def __init__(self, modules: List[nnx.Module]) -> None:
+        self.mods = nnx.List(modules)
+
+    def __call__(
+        self,
+        net: jax.Array,
+        time_embed: jax.Array,
+        context: Optional[jax.Array] = None,
+        *,
+        hooks: Optional[SpatialTransformerHooks] = None,
+    ) -> jax.Array:
+        for mod in self.mods:
+            if isinstance(mod, ResidualBlockWithTimeEmbedding):
+                net = mod(net, time_embed)
+            elif isinstance(mod, SpatialTransformer):
+                net = mod(net, context, hooks=hooks)
+            else:
+                net = mod(net)
+        return net
+
+
+@register_module("diffusion/unet")
+class UNetDiffuser(nnx.Module):
+    """SD UNet (reference `unet.py:97`). SD-1.5 config:
+    in/out 4 channels, start 320, multipliers (1,2,4,4), attention at
+    downsample rates (1,2,4), 8 heads (dim-head 40/80/160), context 768."""
+
+    def __init__(
+        self,
+        *,
+        in_channels: int = 4,
+        out_channels: int = 4,
+        start_channels: int = 320,
+        num_res_blocks: int = 2,
+        attention_downsample_rates: Tuple[int, ...] = (1, 2, 4),
+        channel_multipliers: Tuple[int, ...] = (1, 2, 4, 4),
+        num_heads: Optional[int] = 8,
+        num_head_channels: Optional[int] = None,
+        use_spatial_transformer: bool = True,
+        num_transformer_layers: int = 1,
+        context_dim: Optional[int] = 768,
+        use_linear_in_transformer: bool = False,
+        use_scale_shift_norm: bool = False,
+        num_classes: Optional[int] = None,
+        dropout: float = 0.0,
+        use_checkpoint: bool = False,
+        hint_channels: Optional[int] = None,  # set on ControlNet
+        rngs: nnx.Rngs,
+    ) -> None:
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.use_checkpoint = use_checkpoint
+        time_embed_dim = start_channels * 4
+        self.time_fc1 = nnx.Linear(start_channels, time_embed_dim, rngs=rngs)
+        self.time_fc2 = nnx.Linear(time_embed_dim, time_embed_dim, rngs=rngs)
+        self.start_channels = start_channels
+        self.num_classes = num_classes
+        if num_classes is not None:
+            self.label_embed = nnx.Embed(num_classes, time_embed_dim, rngs=rngs)
+        else:
+            self.label_embed = None
+
+        def make_attn(ch: int) -> nnx.Module:
+            if num_head_channels is not None:
+                heads = ch // num_head_channels
+                head_dim = num_head_channels
+            else:
+                heads = num_heads or 8
+                head_dim = ch // heads
+            if use_spatial_transformer:
+                return SpatialTransformer(
+                    ch,
+                    heads,
+                    head_dim,
+                    num_layers=num_transformer_layers,
+                    context_dim=context_dim,
+                    dropout=dropout,
+                    use_linear=use_linear_in_transformer,
+                    rngs=rngs,
+                )
+            return MultiHeadSpatialAttention(ch, num_heads=heads, rngs=rngs)
+
+        # input blocks --------------------------------------------------------
+        self.conv_in = nnx.Conv(in_channels, start_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
+        input_blocks: List[_InBlock] = []
+        input_chans: List[int] = [start_channels]
+        ch = start_channels
+        ds = 1
+        for level, mult in enumerate(channel_multipliers):
+            for _ in range(num_res_blocks):
+                out_ch = start_channels * mult
+                mods: List[nnx.Module] = [
+                    ResidualBlockWithTimeEmbedding(
+                        ch,
+                        out_ch,
+                        time_embed_dim=time_embed_dim,
+                        dropout=dropout,
+                        use_scale_shift_norm=use_scale_shift_norm,
+                        rngs=rngs,
+                    )
+                ]
+                ch = out_ch
+                if ds in attention_downsample_rates:
+                    mods.append(make_attn(ch))
+                input_blocks.append(_InBlock(mods))
+                input_chans.append(ch)
+            if level != len(channel_multipliers) - 1:
+                input_blocks.append(_InBlock([Downsample(ch, use_conv=True, rngs=rngs)]))
+                input_chans.append(ch)
+                ds *= 2
+        self.input_blocks = nnx.List(input_blocks)
+        self.input_chans = input_chans
+
+        # middle --------------------------------------------------------------
+        self.mid = _InBlock(
+            [
+                ResidualBlockWithTimeEmbedding(
+                    ch, ch, time_embed_dim=time_embed_dim, dropout=dropout,
+                    use_scale_shift_norm=use_scale_shift_norm, rngs=rngs
+                ),
+                make_attn(ch),
+                ResidualBlockWithTimeEmbedding(
+                    ch, ch, time_embed_dim=time_embed_dim, dropout=dropout,
+                    use_scale_shift_norm=use_scale_shift_norm, rngs=rngs
+                ),
+            ]
+        )
+
+        # output blocks -------------------------------------------------------
+        output_blocks: List[_InBlock] = []
+        chans = list(input_chans)
+        for level, mult in reversed(list(enumerate(channel_multipliers))):
+            for i in range(num_res_blocks + 1):
+                skip_ch = chans.pop()
+                out_ch = start_channels * mult
+                mods = [
+                    ResidualBlockWithTimeEmbedding(
+                        ch + skip_ch,
+                        out_ch,
+                        time_embed_dim=time_embed_dim,
+                        dropout=dropout,
+                        use_scale_shift_norm=use_scale_shift_norm,
+                        rngs=rngs,
+                    )
+                ]
+                ch = out_ch
+                if ds in attention_downsample_rates:
+                    mods.append(make_attn(ch))
+                if level != 0 and i == num_res_blocks:
+                    mods.append(UpsampleConv2d(ch, ch, factor=2.0, rngs=rngs))
+                    ds //= 2
+                output_blocks.append(_InBlock(mods))
+        self.output_blocks = nnx.List(output_blocks)
+
+        self.norm_out = nnx.GroupNorm(ch, num_groups=32, rngs=rngs)
+        self.conv_out = zero_module(
+            nnx.Conv(ch, out_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
+        )
+
+    # ------------------------------------------------------------------ fwd
+
+    def time_embed(self, timesteps: jax.Array) -> jax.Array:
+        emb = timestep_embedding(timesteps, self.start_channels)
+        return self.time_fc2(jax.nn.silu(self.time_fc1(emb)))
+
+    def __call__(
+        self,
+        net: jax.Array,
+        timesteps: jax.Array,
+        context: Optional[jax.Array] = None,
+        labels: Optional[jax.Array] = None,
+        *,
+        control: Optional[List[jax.Array]] = None,
+        hooks: Optional[SpatialTransformerHooks] = None,
+    ) -> jax.Array:
+        time_embed = self.time_embed(timesteps)
+        if self.label_embed is not None and labels is not None:
+            time_embed = time_embed + self.label_embed(labels)
+        hs: List[jax.Array] = []
+        net = self.conv_in(net)
+        hs.append(net)
+        for block in self.input_blocks:
+            net = block(net, time_embed, context, hooks=hooks)
+            hs.append(net)
+        net = self.mid(net, time_embed, context, hooks=hooks)
+        if control is not None:
+            net = net + control[-1]
+        for i, block in enumerate(self.output_blocks):
+            skip = hs.pop()
+            if control is not None:
+                skip = skip + control[len(hs)]
+            net = jnp.concatenate([net, skip], axis=-1)
+            net = block(net, time_embed, context, hooks=hooks)
+        net = jax.nn.silu(self.norm_out(net))
+        return self.conv_out(net)
+
+
+@register_module("diffusion/control_net")
+class ControlNet(nnx.Module):
+    """Zero-conv control branch (reference `unet.py:325`): a copy of the UNet
+    encoder fed `hint`, returning per-block residuals for injection."""
+
+    def __init__(
+        self,
+        *,
+        hint_channels: int = 3,
+        in_channels: int = 4,
+        start_channels: int = 320,
+        num_res_blocks: int = 2,
+        attention_downsample_rates: Tuple[int, ...] = (1, 2, 4),
+        channel_multipliers: Tuple[int, ...] = (1, 2, 4, 4),
+        num_heads: int = 8,
+        context_dim: Optional[int] = 768,
+        use_linear_in_transformer: bool = False,
+        num_transformer_layers: int = 1,
+        dropout: float = 0.0,
+        rngs: nnx.Rngs,
+    ) -> None:
+        # hint encoder: 8x downsample conv stack with zero final conv
+        chs = [16, 16, 32, 32, 96, 96, 256]
+        mods: List[nnx.Module] = []
+        prev = hint_channels
+        strides = [1, 1, 2, 1, 2, 1, 2]
+        for c, s in zip(chs, strides):
+            mods.append(nnx.Conv(prev, c, kernel_size=(3, 3), strides=(s, s), padding="SAME", rngs=rngs))
+            prev = c
+        self.hint_blocks = nnx.List(mods)
+        self.hint_out = zero_module(
+            nnx.Conv(prev, start_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
+        )
+        self.unet = UNetDiffuser(
+            in_channels=in_channels,
+            out_channels=in_channels,
+            start_channels=start_channels,
+            num_res_blocks=num_res_blocks,
+            attention_downsample_rates=attention_downsample_rates,
+            channel_multipliers=channel_multipliers,
+            num_heads=num_heads,
+            context_dim=context_dim,
+            use_linear_in_transformer=use_linear_in_transformer,
+            num_transformer_layers=num_transformer_layers,
+            dropout=dropout,
+            rngs=rngs,
+        )
+        self.zero_convs = nnx.List(
+            [
+                zero_module(nnx.Conv(c, c, kernel_size=(1, 1), rngs=rngs))
+                for c in self.unet.input_chans
+            ]
+        )
+        mid_ch = self.unet.input_chans[-1]
+        self.mid_zero = zero_module(nnx.Conv(mid_ch, mid_ch, kernel_size=(1, 1), rngs=rngs))
+
+    def __call__(
+        self,
+        net: jax.Array,
+        hint: jax.Array,
+        timesteps: jax.Array,
+        context: Optional[jax.Array] = None,
+    ) -> List[jax.Array]:
+        time_embed = self.unet.time_embed(timesteps)
+        guided = hint
+        for conv in self.hint_blocks:
+            guided = jax.nn.silu(conv(guided))
+        guided = self.hint_out(guided)
+        outs: List[jax.Array] = []
+        h = self.unet.conv_in(net) + guided
+        outs.append(self.zero_convs[0](h))
+        for i, block in enumerate(self.unet.input_blocks):
+            h = block(h, time_embed, context)
+            outs.append(self.zero_convs[i + 1](h))
+        h = self.unet.mid(h, time_embed, context)
+        outs.append(self.mid_zero(h))
+        return outs

@@ -22,13 +22,22 @@ def _key_entry_to_str(entry: Any) -> str:
     return str(entry)
 
 
+_KEY_SUFFIX = "::prngkey"
+
+
 def tree_to_npd(tree: Any) -> Dict[str, np.ndarray]:
-    """Flatten any pytree (incl. `nnx.State`) into `{path: np.ndarray}`."""
+    """Flatten any pytree (incl. `nnx.State`) into `{path: np.ndarray}`.
+
+    Typed PRNG keys are stored as their raw uint32 data with a marker suffix
+    so `npd_to_tree` can rewrap them."""
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
     npd: Dict[str, np.ndarray] = {}
     for path, leaf in flat:
         key = "/".join(_key_entry_to_str(p) for p in path)
-        npd[key] = np.asarray(leaf)
+        if hasattr(leaf, "dtype") and jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            npd[key + _KEY_SUFFIX] = np.asarray(jax.random.key_data(leaf))
+        else:
+            npd[key] = np.asarray(leaf)
     return npd
 
 
@@ -39,9 +48,15 @@ def npd_to_tree(npd: Dict[str, np.ndarray], template: Any, *, strict: bool = Tru
     missing = []
     for path, leaf in flat:
         key = "/".join(_key_entry_to_str(p) for p in path)
-        if key in npd:
+        is_prng = hasattr(leaf, "dtype") and jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+        if is_prng and key + _KEY_SUFFIX in npd:
+            import jax.random as jrandom
+
+            impl = jax.random.key_impl(leaf)
+            leaves.append(jrandom.wrap_key_data(npd[key + _KEY_SUFFIX], impl=impl))
+        elif key in npd:
             value = npd[key]
-            if hasattr(leaf, "dtype") and value.dtype != leaf.dtype:
+            if hasattr(leaf, "dtype") and not is_prng and value.dtype != leaf.dtype:
                 value = value.astype(leaf.dtype)
             leaves.append(value)
         else:
