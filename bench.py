@@ -1,0 +1,97 @@
+"""Benchmark: SD-1.5 512px txt2img throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.md north star): full Stable-Diffusion-1.5 architecture —
+CLIP ViT-L/14 text encode → 20-step DDIM with CFG (2x batched UNet) → VAE
+decode — compiled as ONE jitted XLA program (the reference drives this loop
+from Python per step, `samplers/schema.py:153-196`). Weights are random
+(zero-egress environment); throughput is architecture+runtime bound, not
+weight bound. bf16 params/compute on the MXU; Pallas flash attention on the
+UNet/VAE attention blocks.
+
+vs_baseline anchor: PyTorch SD-1.5 fp16+xformers on A100 at 512px/20-step
+DDIM sustains ~3.0 images/sec batched (diffusers-reported ~1s/image at
+batch 1, ~3x with batching). vs_baseline = ours / 3.0; the north star is
+vs_baseline ≥ 2.0.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+A100_ANCHOR_IMAGES_PER_SEC = 3.0
+BATCH = 4
+NUM_STEPS = 20
+GUIDANCE = 7.5
+
+
+def build_sd():
+    from cflearn_tpu.modules.multimodal.diffusion.ldm import StableDiffusion
+
+    model = StableDiffusion(version="v1", rngs=nnx.Rngs(0))
+    # bf16 params (schedule buffers stay f32)
+    params = nnx.state(model, nnx.Param)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
+    nnx.update(model, params)
+    return model
+
+
+def main() -> None:
+    model = build_sd()
+    from cflearn_tpu.modules.multimodal.diffusion.samplers import ISampler
+
+    graphdef, state = nnx.split(model)
+
+    tokens = jnp.asarray(np.random.randint(0, 49000, (BATCH, 77)), dtype=jnp.int32)
+    uncond_tokens = jnp.zeros((BATCH, 77), dtype=jnp.int32)
+
+    def txt2img(st, tokens, uncond_tokens, key):
+        m = nnx.merge(graphdef, st)
+        cond = m.get_cond(tokens)
+        uncond = m.get_cond(uncond_tokens)
+        sampler = ISampler.make("ddim", {"model": m})
+        z = jax.random.normal(key, (BATCH, 64, 64, 4), dtype=jnp.float32)
+        latents = sampler.sample(
+            z, cond=cond, uncond=uncond, guidance_scale=GUIDANCE,
+            num_steps=NUM_STEPS, key=key,
+        )
+        images = m.decode(latents)
+        return images
+
+    fn = jax.jit(txt2img)
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    # np.asarray forces full materialization — through the axon tunnel,
+    # block_until_ready alone can return before execution completes
+    np.asarray(fn(state, tokens, uncond_tokens, key))
+    compile_time = time.time() - t0
+
+    # timed runs
+    num_iters = 3
+    t0 = time.time()
+    for i in range(num_iters):
+        out = fn(state, tokens, uncond_tokens, jax.random.PRNGKey(i + 1))
+    np.asarray(out)
+    elapsed = time.time() - t0
+    images_per_sec = BATCH * num_iters / elapsed
+
+    result = {
+        "metric": "sd15_512px_txt2img_images_per_sec_per_chip",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / A100_ANCHOR_IMAGES_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

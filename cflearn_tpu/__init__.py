@@ -21,3 +21,8 @@ from .api import (
 from .pipeline import DLPipelineSerializer, MLTrainingPipeline
 from .schema.model import IDLModel
 from .trainer import Trainer
+
+from . import dist, ops, zoo
+from .api.common import APIPool, IAPI, Weights
+from .api.cv import TranslatorAPI
+from .api.multimodal import CLIPExtractor, DiffusionAPI

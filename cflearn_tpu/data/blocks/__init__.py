@@ -1,1 +1,1 @@
-from . import ml
+from . import cv, ml

@@ -61,7 +61,7 @@ class AttnEncoder(nnx.Module):
         self.conv_out = nnx.Conv(ch, out_z, kernel_size=(3, 3), padding="SAME", rngs=rngs)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        net = self.conv_in(x)
+        net = self.conv_in(x.astype(self.conv_in.kernel[...].dtype))
         for block in self.blocks:
             net = block(net)
         net = self.mid_res2(self.mid_attn(self.mid_res1(net)))
@@ -109,7 +109,7 @@ class AttnDecoder(nnx.Module):
         self.conv_out = nnx.Conv(ch, out_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
 
     def __call__(self, z: jax.Array) -> jax.Array:
-        net = self.conv_in(z)
+        net = self.conv_in(z.astype(self.conv_in.kernel[...].dtype))
         net = self.mid_res2(self.mid_attn(self.mid_res1(net)))
         for block in self.blocks:
             net = block(net)

@@ -99,6 +99,15 @@ class DDPM(nnx.Module):
         betas = make_beta_schedule(
             schedule, num_timesteps, linear_start=linear_start, linear_end=linear_end
         )
+        # static (host-side) schedule spec: samplers precompute their per-step
+        # schedules from this on the host, so sampling works when the module
+        # state is a traced jit argument
+        self.schedule_info = {
+            "schedule": schedule,
+            "num_timesteps": num_timesteps,
+            "linear_start": linear_start,
+            "linear_end": linear_end,
+        }
         alphas = 1.0 - betas
         alphas_cumprod = np.cumprod(alphas)
         alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])

@@ -84,7 +84,20 @@ class ISampler(WithRegister):
         return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
 
     def _np_acp(self) -> np.ndarray:
-        return np.asarray(self.model.alphas_cumprod.value)
+        """Host-side alphas_cumprod — recomputed from the model's static
+        schedule spec (the buffer itself may be a tracer under jit)."""
+        info = getattr(self.model, "schedule_info", None)
+        if info is None:
+            return np.asarray(self.model.alphas_cumprod.value)
+        from .ddpm import make_beta_schedule
+
+        betas = make_beta_schedule(
+            info["schedule"],
+            info["num_timesteps"],
+            linear_start=info["linear_start"],
+            linear_end=info["linear_end"],
+        )
+        return np.cumprod(1.0 - betas).astype(np.float64)
 
 
 def _uniform_timesteps(num_train: int, num_steps: int) -> np.ndarray:

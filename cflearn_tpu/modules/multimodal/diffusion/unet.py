@@ -200,8 +200,15 @@ class UNetDiffuser(nnx.Module):
 
     # ------------------------------------------------------------------ fwd
 
+    @property
+    def param_dtype(self) -> Any:
+        return self.conv_in.kernel[...].dtype
+
     def time_embed(self, timesteps: jax.Array) -> jax.Array:
         emb = timestep_embedding(timesteps, self.start_channels)
+        # keep the whole net in the params' dtype (bf16 inference shouldn't
+        # silently promote everything back to f32 through the f32 sinusoids)
+        emb = emb.astype(self.param_dtype)
         return self.time_fc2(jax.nn.silu(self.time_fc1(emb)))
 
     def __call__(
@@ -214,6 +221,10 @@ class UNetDiffuser(nnx.Module):
         control: Optional[List[jax.Array]] = None,
         hooks: Optional[SpatialTransformerHooks] = None,
     ) -> jax.Array:
+        p_dtype = self.param_dtype
+        net = net.astype(p_dtype)
+        if context is not None:
+            context = context.astype(p_dtype)
         time_embed = self.time_embed(timesteps)
         if self.label_embed is not None and labels is not None:
             time_embed = time_embed + self.label_embed(labels)

@@ -28,3 +28,4 @@ from .misc import (
     to_jax_dtype,
     truncate_string_to_length,
 )
+from .init_summary import Initializer, summary

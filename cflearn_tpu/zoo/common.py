@@ -1,0 +1,191 @@
+"""Zoo: JSON presets + pretrained loading.
+
+Parity: reference `cflearn/zoo/common.py:18-111` — `load_module(config,
+pretrained=...)` = parse JSON preset → `build_module` → download checkpoint +
+sha verify + load states; presets under `zoo/configs/**.json`; checkpoint
+index `zoo/available.json` (sha + size + HF URL); named ctors in
+`zoo/__init__.py:17-205`.
+
+TPU-native: pretrained checkpoints are original PyTorch artifacts converted
+through `cflearn_tpu.zoo.convert` at load time (the reference ships
+pre-converted torch checkpoints; we convert in-flight and cache the npd).
+"""
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+from flax import nnx
+
+from ..modules.common import build_module
+from ..parameters import OPT
+from ..toolkit.misc import download
+from ..toolkit.tree import npd_to_tree
+
+CONFIGS_DIR = Path(__file__).parent / "configs"
+AVAILABLE_FILE = Path(__file__).parent / "available.json"
+
+
+def parse_config(config: str) -> Dict[str, Any]:
+    """`"ae/kl.f8"` → configs/ae/kl.json with tag "f8" applied."""
+    if "." in config.split("/")[-1]:
+        path_part, _, tag = config.rpartition(".")
+    else:
+        path_part, tag = config, "default"
+    json_path = CONFIGS_DIR / f"{path_part}.json"
+    if not json_path.is_file():
+        raise ValueError(f"no zoo preset at '{json_path}'")
+    with open(json_path, "r") as f:
+        preset = json.load(f)
+    base = dict(preset.get("__base__", {}))
+    tags = preset.get("tags", {})
+    if tag != "default" and tag not in tags:
+        raise ValueError(f"tag '{tag}' not found in preset '{path_part}' (available: {sorted(tags)})")
+    base.update(tags.get(tag, {}))
+    base["__module__"] = preset["module"]
+    base["__converter__"] = preset.get("converter")
+    base["__download__"] = preset.get("download", {}).get(tag) or preset.get("download", {}).get("default")
+    return base
+
+
+def get_available() -> Dict[str, Any]:
+    if AVAILABLE_FILE.is_file():
+        with open(AVAILABLE_FILE, "r") as f:
+            return json.load(f)
+    return {}
+
+
+def _npd_cache_path(tag: str) -> Path:
+    folder = Path(OPT.cache_dir) / "converted"
+    folder.mkdir(parents=True, exist_ok=True)
+    return folder / f"{tag}.npz"
+
+
+def load_states(download_info: Dict[str, Any], converter: Optional[str], converter_kwargs: Optional[Dict[str, Any]] = None) -> Dict[str, np.ndarray]:
+    """Download (or find cached) torch checkpoint, convert, cache npd."""
+    tag = download_info.get("tag") or download_info["url"].split("/")[-1]
+    cache = _npd_cache_path(tag)
+    if cache.is_file():
+        with np.load(cache, allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
+    path = download(
+        download_info["url"],
+        name=download_info.get("name"),
+        sha=download_info.get("sha"),
+    )
+    from . import convert as C
+
+    torch_sd = C.load_torch_state_dict(str(path))
+    kwargs = converter_kwargs or {}
+    if converter == "sd":
+        npd = C.convert_sd(torch_sd, **kwargs)
+    elif converter == "esrgan":
+        npd = C.apply_mapping(C.build_esrgan_mapping(**kwargs), torch_sd, strict=False)
+    elif converter == "clip_text":
+        npd = C.apply_mapping(C.build_clip_text_mapping(**kwargs), torch_sd, strict=False)
+    elif converter == "vae":
+        npd = C.apply_mapping(C.build_vae_mapping(**kwargs), torch_sd, strict=False)
+    else:
+        npd = {k: np.asarray(v) for k, v in torch_sd.items()}
+    np.savez_compressed(cache, **npd)
+    return npd
+
+
+def load_module(
+    config: str,
+    *,
+    pretrained: bool = False,
+    rngs: Optional[nnx.Rngs] = None,
+    **kwargs: Any,
+) -> nnx.Module:
+    """Build (and optionally load pretrained states into) a zoo module."""
+    parsed = parse_config(config)
+    module_name = parsed.pop("__module__")
+    converter = parsed.pop("__converter__", None)
+    download_info = parsed.pop("__download__", None)
+    parsed.update(kwargs)
+    module = build_module(module_name, config=parsed, rngs=rngs or nnx.Rngs(0))
+    if pretrained:
+        if download_info is None:
+            raise ValueError(f"no pretrained checkpoint is registered for '{config}'")
+        npd = load_states(download_info, converter)
+        state = nnx.state(module)
+        nnx.update(module, npd_to_tree(npd, state, strict=False))
+    return module
+
+
+def load_sd(version: str = "v1", *, pretrained: bool = False, rngs: Optional[nnx.Rngs] = None) -> Any:
+    """SD constructor (reference `zoo/__init__.py:139` `ldm_sd`)."""
+    from ..modules.multimodal.diffusion.ldm import StableDiffusion, StableDiffusionInpainting
+
+    rngs = rngs or nnx.Rngs(0)
+    if version.endswith("_inpainting"):
+        m = StableDiffusionInpainting(rngs=rngs, version=version.replace("_inpainting", ""))
+    else:
+        m = StableDiffusion(version=version, rngs=rngs)
+    if pretrained:
+        available = get_available().get(f"ldm_sd_{version}")
+        if available is None:
+            raise ValueError(f"no pretrained checkpoint registered for sd {version}")
+        npd = load_states(available, "sd")
+        state = nnx.state(m)
+        nnx.update(m, npd_to_tree(npd, state, strict=False))
+    return m
+
+
+# named constructors (reference `zoo/__init__.py:17-205`)
+
+def esr(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    return load_module("sr/esr", pretrained=pretrained, **kwargs)
+
+
+def esr_anime(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    return load_module("sr/esr.anime", pretrained=pretrained, **kwargs)
+
+
+def clip(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    return load_module("multimodal/clip", pretrained=pretrained, **kwargs)
+
+
+def clip_large(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    return load_module("multimodal/clip.large", pretrained=pretrained, **kwargs)
+
+
+def ae_kl_f8(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    return load_module("ae/kl.f8", pretrained=pretrained, **kwargs)
+
+
+def ae_kl_f4(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    return load_module("ae/kl.f4", pretrained=pretrained, **kwargs)
+
+
+def ae_kl_f16(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    return load_module("ae/kl.f16", pretrained=pretrained, **kwargs)
+
+
+def ae_vq_f4(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    return load_module("ae/vq.f4", pretrained=pretrained, **kwargs)
+
+
+def ae_vq_f8(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    return load_module("ae/vq.f8", pretrained=pretrained, **kwargs)
+
+
+def ldm_sd(pretrained: bool = False, **kwargs: Any) -> Any:
+    return load_sd("v1", pretrained=pretrained, **kwargs)
+
+
+def ldm_sd_v2(pretrained: bool = False, **kwargs: Any) -> Any:
+    return load_sd("v2", pretrained=pretrained, **kwargs)
+
+
+def ldm_sd_inpainting(pretrained: bool = False, **kwargs: Any) -> Any:
+    return load_sd("v1_inpainting", pretrained=pretrained, **kwargs)
+
+
+class SDVersions:
+    v1 = "v1"
+    v2 = "v2"
+    v2_v = "v2_v"

@@ -1,0 +1,146 @@
+"""Module/block unit tests (reference analogue: `tests/test_blocks.py` —
+EMA semantics, attention parity, conv modes, encoders)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from cflearn_tpu.modules.common import EMA, Residual, zero_module
+from cflearn_tpu.modules.core.activations import build_activation
+from cflearn_tpu.modules.core.attentions import Attention
+from cflearn_tpu.modules.core.customs import DNDF
+from cflearn_tpu.modules.core.ml_encoder import Encoder
+from cflearn_tpu.ops.attention import xla_attention
+
+
+def test_attention_vs_naive() -> None:
+    rngs = nnx.Rngs(0)
+    attn = Attention(16, 4, rngs=rngs)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16))
+    out = attn(x)
+    assert out.shape == (2, 8, 16)
+    # parity with explicit softmax math
+    q = attn.q_proj(x).reshape(2, 8, 4, 4).transpose(0, 2, 1, 3)
+    k = attn.k_proj(x).reshape(2, 8, 4, 4).transpose(0, 2, 1, 3)
+    v = attn.v_proj(x).reshape(2, 8, 4, 4).transpose(0, 2, 1, 3)
+    scores = jax.nn.softmax((q @ k.transpose(0, 1, 3, 2)) * attn.scale, axis=-1)
+    naive = (scores @ v).transpose(0, 2, 1, 3).reshape(2, 8, 16)
+    naive = attn.out_proj(naive)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(naive), atol=1e-5)
+
+
+def test_causal_attention_is_causal() -> None:
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 6, 8))
+    out1 = xla_attention(q, q, q, causal=True)
+    # changing future positions must not affect earlier outputs
+    q2 = q.at[:, :, -1].set(0.0)
+    out2 = xla_attention(q2, q2, q2, causal=True)
+    np.testing.assert_allclose(np.asarray(out1[:, :, :3]), np.asarray(out2[:, :, :3]), atol=1e-5)
+
+
+def test_ema_semantics() -> None:
+    class Tiny(nnx.Module):
+        def __init__(self, rngs: nnx.Rngs) -> None:
+            self.lin = nnx.Linear(2, 2, rngs=rngs)
+
+    m = Tiny(nnx.Rngs(0))
+    ema = EMA(0.9, m)
+    w0 = np.asarray(m.lin.kernel[...]).copy()
+    m.lin.kernel[...] = m.lin.kernel[...] + 1.0
+    ema.update(m)
+    # first update: decay = min(0.9, 2/11)
+    decay = min(0.9, 2.0 / 11.0)
+    shadow = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda v: v.value, ema.shadow, is_leaf=lambda x: isinstance(x, nnx.Variable))
+    )
+    expected = decay * w0 + (1 - decay) * (w0 + 1.0)
+    kernel_shadow = [s for s in shadow if s.shape == (2, 2)][0]
+    np.testing.assert_allclose(np.asarray(kernel_shadow), expected, atol=1e-6)
+    # copy_to swaps shadow into the live module
+    ema.copy_to(m)
+    np.testing.assert_allclose(np.asarray(m.lin.kernel[...]), expected, atol=1e-6)
+
+
+def test_zero_module() -> None:
+    lin = nnx.Linear(4, 4, rngs=nnx.Rngs(0))
+    zero_module(lin)
+    assert float(jnp.abs(lin.kernel[...]).max()) == 0.0
+
+
+def test_dndf_routes_sum_to_one() -> None:
+    dndf = DNDF(8, None, num_tree=3, tree_depth=3, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+    routes = dndf(x).reshape(4, 3, 8)
+    np.testing.assert_allclose(np.asarray(routes.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_dndf_classification_probabilities() -> None:
+    dndf = DNDF(8, 3, num_tree=2, tree_depth=2, rngs=nnx.Rngs(0))
+    out = dndf(jax.random.normal(jax.random.PRNGKey(0), (4, 8)))
+    assert out.shape == (4, 3)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0 / 2 * 2, atol=1e-4)
+
+
+def test_ml_encoder() -> None:
+    enc = Encoder({"1": {"dim": 4}, "3": {"dim": 3, "methods": "one_hot"}}, rngs=nnx.Rngs(0))
+    x = jnp.asarray(np.random.randn(5, 4).astype(np.float32))
+    x = x.at[:, 1].set(jnp.asarray([0, 1, 2, 3, 0]))
+    x = x.at[:, 3].set(jnp.asarray([0, 1, 2, 0, 1]))
+    pack = enc(x)
+    merged = pack.merged
+    assert merged.shape[-1] == 2 + 3 + enc.embed_dims[0]
+    assert enc.dim_increment == merged.shape[-1] - 4
+
+
+def test_activations() -> None:
+    x = jnp.linspace(-2, 2, 9)
+    for name in ["relu", "gelu", "silu", "mish", "quick_gelu", "h_swish", "sigmoid", "tanh", "sine"]:
+        act = build_activation(name)
+        out = act(x)
+        assert out.shape == x.shape
+        assert bool(jnp.isfinite(out).all())
+
+
+def test_residual() -> None:
+    lin = nnx.Linear(4, 4, rngs=nnx.Rngs(0))
+    res = Residual(lin)
+    x = jnp.ones((2, 4))
+    np.testing.assert_allclose(np.asarray(res(x)), np.asarray(x + lin(x)), atol=1e-6)
+
+
+def test_group_norm_parity() -> None:
+    from cflearn_tpu.ops.group_norm import _group_norm_xla
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8))
+    ours = _group_norm_xla(x, None, None, num_groups=2, eps=1e-5, apply_silu=False)
+    gn = nnx.GroupNorm(8, num_groups=2, epsilon=1e-5, use_bias=False, use_scale=False, rngs=nnx.Rngs(0))
+    theirs = gn(x)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs), atol=1e-5)
+
+
+def test_vq_codebook_straight_through() -> None:
+    from cflearn_tpu.modules.cv.common import VQCodebook
+
+    cb = VQCodebook(16, 4, rngs=nnx.Rngs(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 3, 4))
+
+    def loss_fn(z: jax.Array) -> jax.Array:
+        out = cb(z)
+        return jnp.sum(out.z_q**2)
+
+    g = jax.grad(loss_fn)(z)
+    # straight-through: gradient flows to z
+    assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_tokenizer_fallback() -> None:
+    from cflearn_tpu.modules.nlp.tokenizers import CLIPTokenizer
+
+    tok = CLIPTokenizer()
+    out = tok.tokenize(["hello world", "a photo of a cat"])
+    assert out.shape == (2, 77)
+    assert out[0, 0] == tok.sot_token
+    assert tok.eot_token in out[0]

@@ -1,0 +1,127 @@
+"""Checkpoint-conversion mapping tests.
+
+Strategy (no downloads needed): build the real module, take its npd, invert
+the mapping into a synthetic torch-layout state dict, convert forward again,
+and require EXACT equality + full coverage of the module's params. This
+pins both directions of every (key, transform) pair.
+"""
+
+import numpy as np
+import pytest
+from flax import nnx
+
+from cflearn_tpu.toolkit.tree import tree_to_npd
+from cflearn_tpu.zoo import convert as C
+
+
+def _roundtrip(mapping, npd, *, prefix=""):
+    torch_sd = C.invert_mapping(mapping, npd)
+    back = C.apply_mapping(mapping, torch_sd, strict=True)
+    return torch_sd, back
+
+
+def test_unet_mapping_roundtrip() -> None:
+    from cflearn_tpu.modules.multimodal.diffusion.unet import UNetDiffuser
+
+    unet = UNetDiffuser(
+        in_channels=4,
+        out_channels=4,
+        start_channels=32,
+        num_res_blocks=2,
+        channel_multipliers=(1, 2),
+        attention_downsample_rates=(1, 2),
+        num_heads=4,
+        context_dim=64,
+        rngs=nnx.Rngs(0),
+    )
+    npd = {f"unet/{k}": v for k, v in tree_to_npd(nnx.state(unet, nnx.Param)).items()}
+    mapping = C.build_unet_mapping(
+        start_channels=32,
+        num_res_blocks=2,
+        channel_multipliers=(1, 2),
+        attention_downsample_rates=(1, 2),
+    )
+    mapped_keys = {our for _, our, _ in mapping}
+    missing = set(npd) - mapped_keys
+    assert not missing, f"mapping does not cover params: {sorted(missing)[:8]}"
+    torch_sd, back = _roundtrip(mapping, npd)
+    assert set(back) == set(npd)
+    for k in npd:
+        np.testing.assert_array_equal(back[k], npd[k])
+    # torch layouts: conv OIHW
+    w = torch_sd["model.diffusion_model.input_blocks.0.0.weight"]
+    assert w.shape == (32, 4, 3, 3)
+
+
+def test_vae_mapping_roundtrip() -> None:
+    from cflearn_tpu.modules.cv.ae import AutoEncoderKL
+
+    vae = AutoEncoderKL(
+        img_size=64,
+        inner_channels=32,
+        z_channels=4,
+        embedding_channels=4,
+        channel_multipliers=[1, 2],
+        num_res_blocks=2,
+        rngs=nnx.Rngs(0),
+    )
+    npd = {f"first_stage/{k}": v for k, v in tree_to_npd(nnx.state(vae, nnx.Param)).items()}
+    mapping = C.build_vae_mapping(
+        inner_channels=32,
+        z_channels=4,
+        embedding_channels=4,
+        channel_multipliers=(1, 2),
+        num_res_blocks=2,
+        img_size=64,
+    )
+    mapped_keys = {our for _, our, _ in mapping}
+    missing = set(npd) - mapped_keys
+    assert not missing, f"mapping does not cover params: {sorted(missing)[:8]}"
+    torch_sd, back = _roundtrip(mapping, npd)
+    assert set(back) == set(npd)
+    for k in npd:
+        np.testing.assert_array_equal(back[k], npd[k])
+    # VAE attention q is a 1x1 conv in torch layout
+    q = torch_sd["first_stage_model.encoder.mid.attn_1.q.weight"]
+    assert q.ndim == 4 and q.shape[2:] == (1, 1)
+
+
+def test_clip_text_mapping_roundtrip() -> None:
+    from cflearn_tpu.modules.multimodal.diffusion.cond_models import CLIPTextConditionModel
+
+    cond = CLIPTextConditionModel(latent_dim=32, num_layers=2, num_heads=2, vocab_size=100, rngs=nnx.Rngs(0))
+    npd = {f"condition_model/{k}": v for k, v in tree_to_npd(nnx.state(cond, nnx.Param)).items()}
+    mapping = C.build_clip_text_mapping(num_layers=2)
+    mapped_keys = {our for _, our, _ in mapping}
+    missing = set(npd) - mapped_keys
+    assert not missing, f"mapping does not cover params: {sorted(missing)[:8]}"
+    _, back = _roundtrip(mapping, npd)
+    assert set(back) == set(npd)
+    for k in npd:
+        np.testing.assert_array_equal(back[k], npd[k])
+
+
+def test_esrgan_mapping_roundtrip() -> None:
+    from cflearn_tpu.modules.cv.classifier import RRDBNet
+
+    net = RRDBNet(latent_channels=16, growth_channels=8, num_blocks=2, rngs=nnx.Rngs(0))
+    npd = tree_to_npd(nnx.state(net, nnx.Param))
+    mapping = C.build_esrgan_mapping(num_blocks=2)
+    mapped_keys = {our for _, our, _ in mapping}
+    missing = set(npd) - mapped_keys
+    assert not missing, f"mapping does not cover params: {sorted(missing)[:8]}"
+    _, back = _roundtrip(mapping, npd)
+    assert set(back) == set(npd)
+    for k in npd:
+        np.testing.assert_array_equal(back[k], npd[k])
+
+
+def test_full_sd_mapping_builds() -> None:
+    mapping = C.build_sd_mapping("v1")
+    torch_keys = [t for t, _, _ in mapping]
+    assert len(torch_keys) == len(set(torch_keys)), "duplicate torch keys"
+    our_keys = [o for _, o, _ in mapping]
+    assert len(our_keys) == len(set(our_keys)), "duplicate our keys"
+    assert any(k.startswith("model.diffusion_model") for k in torch_keys)
+    assert any(k.startswith("first_stage_model") for k in torch_keys)
+    assert any(k.startswith("cond_stage_model") for k in torch_keys)
