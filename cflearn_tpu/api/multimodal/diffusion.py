@@ -25,6 +25,7 @@ from flax import nnx
 from ...modules.multimodal.diffusion.ldm import LDM, StableDiffusion
 from ...modules.multimodal.diffusion.samplers import ISampler
 from ...modules.nlp.tokenizers import CLIPTokenizer
+from ...modules.core.lora import LoRAManager, LoRAPack
 from ...toolkit.misc import slerp
 from ..common import IAPI, Weights
 
@@ -57,6 +58,7 @@ class DiffusionAPI(IAPI):
         self._current_sd: Optional[str] = None
         self._jit_cache: Dict[Any, Callable] = {}
         self._circular = False
+        self.lora_manager = LoRAManager()
 
     # ------------------------------------------------------------- switches
 
@@ -76,6 +78,27 @@ class DiffusionAPI(IAPI):
         for _, module in nnx.iter_graph(self.m):
             if isinstance(module, Conv2d):
                 module.set_circular(enable)
+        self._jit_cache.clear()
+
+    # ----------------------------------------------------------------- lora
+
+    def load_sd_lora(self, key: str, *, path: Optional[str] = None, pack: Optional[LoRAPack] = None) -> None:
+        """reference :1315 `load_sd_lora`."""
+        if pack is None:
+            assert path is not None, "either `path` or `pack` is required"
+            pack = LoRAManager.load_torch_lora(path)
+        self.lora_manager.load_pack_with(key, pack)
+
+    def inject_sd_lora(self, *keys: str) -> None:
+        self.lora_manager.apply_lora(self.m, *keys)
+        self._jit_cache.clear()
+
+    def set_sd_lora_scales(self, scales: Dict[str, float]) -> None:
+        self.lora_manager.set_scales(self.m, scales)
+        self._jit_cache.clear()
+
+    def cleanup_sd_lora(self) -> None:
+        self.lora_manager.deactivate(self.m)
         self._jit_cache.clear()
 
     # --------------------------------------------------------- weight pools
@@ -372,3 +395,79 @@ class DiffusionAPI(IAPI):
 
         m = load_sd("v1_inpainting", pretrained=pretrained)
         return cls(m, use_bf16=use_bf16, **kwargs)
+
+
+class ControlledDiffusionAPI(DiffusionAPI):
+    """Multi-ControlNet txt2img (reference :1670-1880): lazily-loaded control
+    branches keyed by hint name, per-hint scales, annotator integration."""
+
+    def __init__(self, m: LDM, **kwargs: Any) -> None:
+        super().__init__(m, **kwargs)
+        self.controls: Dict[str, Any] = {}
+        self.control_scales: Dict[str, float] = {}
+
+    def prepare_control(self, hint: str, control_net: Any) -> None:
+        """reference :1760 — register a ControlNet branch for a hint type."""
+        self.controls[hint] = control_net
+        self.control_scales.setdefault(hint, 1.0)
+
+    def switch_control(self, *hints: str) -> None:
+        """reference :1798 — keep only the given hints active."""
+        self.controls = {h: c for h, c in self.controls.items() if h in hints}
+        self._jit_cache.clear()
+
+    def get_hint_of(self, hint: str, image: np.ndarray, **kwargs: Any) -> np.ndarray:
+        """reference :1866 — run the registered annotator for a hint type."""
+        from ..cv.annotator import Annotator
+
+        return Annotator.make(hint, kwargs).annotate(image)
+
+    def sample_with_control(
+        self,
+        num_samples: int,
+        hint_images: Dict[str, np.ndarray],
+        *,
+        cond: Optional[Union[str, List[str]]] = None,
+        negative_prompt: str = "",
+        size: Tuple[int, int] = (512, 512),
+        num_steps: int = 20,
+        guidance_scale: float = 7.5,
+        seed: Optional[int] = None,
+        **kwargs: Any,
+    ) -> np.ndarray:
+        if len(hint_images) != 1:
+            raise NotImplementedError("round-1 supports one active ControlNet at a time")
+        (hint_name, hint_img), = hint_images.items()
+        control_net = self.controls.get(hint_name)
+        if control_net is None:
+            raise ValueError(f"control '{hint_name}' is not prepared")
+        scale = self.control_scales.get(hint_name, 1.0)
+        prompts = cond if cond is not None else [""] * num_samples
+        if isinstance(prompts, str):
+            prompts = [prompts] * num_samples
+        tokens = jnp.asarray(self._encode_text(prompts))
+        uncond_tokens = jnp.asarray(self._encode_text([negative_prompt] * num_samples))
+        hint = jnp.asarray(self._norm_image(hint_img))
+        m = self.m
+        graphdef, state = nnx.split(m)
+        c_graphdef, c_state = nnx.split(control_net)
+        sampler_name, sampler_config = self.sampler_name, dict(self.sampler_config)
+
+        @jax.jit
+        def _run(st, cst, tokens, uncond_tokens, hint, key):
+            mm = nnx.merge(graphdef, st)
+            cn = nnx.merge(c_graphdef, cst)
+            cond_e = mm.get_cond(tokens)
+            uncond_e = mm.get_cond(uncond_tokens) if guidance_scale != 1.0 else None
+            sampler = ISampler.make(sampler_name, dict(sampler_config, model=mm))
+            z = jax.random.normal(key, (num_samples, size[0] // 8, size[1] // 8, mm.out_channels))
+            latents = sampler.sample(
+                z, cond=cond_e, uncond=uncond_e, guidance_scale=guidance_scale,
+                num_steps=num_steps, key=key,
+                control_net=cn, control_hint=hint,
+                control_scales=[scale] * (len(cn.unet.input_chans) + 2),
+            )
+            return mm.decode(latents)
+
+        key = jax.random.PRNGKey(seed or 0)
+        return _to_uint8(_run(state, c_state, tokens, uncond_tokens, hint, key))

@@ -1,1 +1,1 @@
-from . import fcnn, linear, nets
+from . import ddr, fcnn, linear, nets

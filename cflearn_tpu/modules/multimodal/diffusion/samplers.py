@@ -78,6 +78,10 @@ class ISampler(WithRegister):
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
         c2 = jnp.concatenate([cond, uncond], axis=0)
+        if kwargs.get("control_hint") is not None:
+            kwargs = dict(kwargs)
+            hint = kwargs["control_hint"]
+            kwargs["control_hint"] = jnp.concatenate([hint, hint], axis=0)
         out = m.denoise(x2, t2, c2, **kwargs)
         eps = m.predict_eps_from(x2, t2.astype(jnp.int32), out)
         eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
