@@ -122,28 +122,25 @@ class EMA(nnx.Module):
         self.decay = decay
         self.num_updates = nnx.Variable(jnp.zeros((), dtype=jnp.int32))
         params = nnx.state(module, nnx.Param)
-        self.shadow = nnx.data(
-            jax.tree_util.tree_map(lambda p: nnx.Variable(jnp.array(p)), params)
-        )
+        # shadow is a plain array pytree (stable structure across jit/save
+        # round-trips); update() re-assigns the whole data attribute.
+        # jnp.array COPIES — sharing buffers with the params would make the
+        # trainer donate the same buffer twice.
+        self.shadow = nnx.data(jax.tree_util.tree_map(lambda p: jnp.array(p), params))
 
     def update(self, module: nnx.Module) -> None:
         params = nnx.state(module, nnx.Param)
         self.num_updates.value = self.num_updates.value + 1
         n = self.num_updates.value.astype(jnp.float32)
         decay = jnp.minimum(self.decay, (1.0 + n) / (10.0 + n))
-
-        def _ema(shadow_var: nnx.Variable, p: Any) -> None:
-            shadow_var.value = decay * shadow_var.value + (1.0 - decay) * p
-
-        jax.tree_util.tree_map(
-            _ema, self.shadow, params, is_leaf=lambda x: isinstance(x, nnx.Variable)
+        self.shadow = nnx.data(
+            jax.tree_util.tree_map(
+                lambda s, p: decay * s + (1.0 - decay) * jnp.asarray(p), self.shadow, params
+            )
         )
 
     def copy_to(self, module: nnx.Module) -> None:
-        values = jax.tree_util.tree_map(
-            lambda v: v.value, self.shadow, is_leaf=lambda x: isinstance(x, nnx.Variable)
-        )
-        nnx.update(module, values)
+        nnx.update(module, self.shadow)
 
     def store(self, module: nnx.Module) -> Any:
         return jax.tree_util.tree_map(jnp.array, nnx.state(module, nnx.Param))

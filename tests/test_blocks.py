@@ -53,9 +53,7 @@ def test_ema_semantics() -> None:
     ema.update(m)
     # first update: decay = min(0.9, 2/11)
     decay = min(0.9, 2.0 / 11.0)
-    shadow = jax.tree_util.tree_leaves(
-        jax.tree_util.tree_map(lambda v: v.value, ema.shadow, is_leaf=lambda x: isinstance(x, nnx.Variable))
-    )
+    shadow = jax.tree_util.tree_leaves(ema.shadow)
     expected = decay * w0 + (1 - decay) * (w0 + 1.0)
     kernel_shadow = [s for s in shadow if s.shape == (2, 2)][0]
     np.testing.assert_allclose(np.asarray(kernel_shadow), expected, atol=1e-6)

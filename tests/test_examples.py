@@ -1,0 +1,42 @@
+"""Example-driven smoke tests (reference `tests/test_cv_example.py` /
+`test_ml_example.py` — shell out with --ci 1)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+
+def _run(path: str) -> None:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = os.path.abspath(os.path.join(EXAMPLES, ".."))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    result = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, path), "--ci", "1"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd="/tmp",
+    )
+    assert result.returncode == 0, f"{path} failed:\n{result.stdout[-2000:]}\n{result.stderr[-3000:]}"
+
+
+@pytest.mark.parametrize(
+    "path",
+    [
+        "ml/iris.py",
+        "ml/california.py",
+        "cv/digits_clf.py",
+        "cv/vae.py",
+        "cv/gan.py",
+        "cv/ddpm.py",
+        "multimodal/sd_txt2img.py",
+    ],
+)
+def test_example(path: str) -> None:
+    _run(path)
