@@ -1,0 +1,229 @@
+"""Image-folder preparation + packed random-access cache.
+
+Parity: reference `cflearn/data/blocks/cv/image_folder.py` —
+`prepare_image_folder` (:249, parallel label-making/copying with optional
+LMDB packing :42/:532), `IPreparation`/`DefaultPreparation`/
+`ResizedPreparation` (:52-212), `ImageFolderDataset` (:693).
+
+TPU-native: the LMDB C library is replaced by packed npz shards (uniform
+uint8 NHWC tensors + labels) with memory-friendly per-shard loading — the
+"packed random-access image cache" capability (SURVEY.md §2.9) without
+native deps; decode/resize happens once at preparation time.
+"""
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ...constants import INPUT_KEY, LABEL_KEY
+from ...schema.data import DataConfig, IData, IDataset
+from ..utils import ArrayLoader, IArrayDataMixin
+
+META_FILE = "meta.json"
+IMG_EXTENSIONS = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
+
+
+class IPreparation:
+    """Filter/label hooks (reference `image_folder.py:52`)."""
+
+    def is_ready(self, path: str) -> bool:
+        return os.path.splitext(path)[1].lower() in IMG_EXTENSIONS
+
+    def get_label(self, path: str) -> Any:
+        return os.path.basename(os.path.dirname(path))
+
+    def process(self, image: np.ndarray) -> np.ndarray:
+        return image
+
+
+class DefaultPreparation(IPreparation):
+    pass
+
+
+class ResizedPreparation(IPreparation):
+    def __init__(self, img_size: int = 224) -> None:
+        self.img_size = img_size
+
+    def process(self, image: np.ndarray) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        out = jax.image.resize(
+            jnp.asarray(image.astype(np.float32)),
+            (self.img_size, self.img_size, image.shape[-1]),
+            "bilinear",
+        )
+        return np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+
+
+def _load_image(path: str) -> Optional[np.ndarray]:
+    try:
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def prepare_image_folder(
+    src_folder: str,
+    dst_folder: str,
+    *,
+    preparation: Optional[IPreparation] = None,
+    valid_split: float = 0.1,
+    shard_size: int = 1024,
+    num_jobs: int = 8,
+    force: bool = False,
+) -> str:
+    """Scan `src_folder` (class-subdir layout), decode + process every image
+    once, and write packed npz shards under `dst_folder`."""
+    preparation = preparation or ResizedPreparation(224)
+    meta_path = os.path.join(dst_folder, META_FILE)
+    if os.path.isfile(meta_path) and not force:
+        return dst_folder
+    paths: List[str] = []
+    for root, _, files in os.walk(src_folder):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            if preparation.is_ready(p):
+                paths.append(p)
+    if not paths:
+        raise ValueError(f"no images found under '{src_folder}'")
+    labels = [preparation.get_label(p) for p in paths]
+    classes = sorted(set(labels))
+    label_map = {c: i for i, c in enumerate(classes)}
+    indices = np.random.permutation(len(paths))
+    n_valid = max(1, int(round(len(paths) * valid_split))) if valid_split else 0
+    splits = {"valid": indices[:n_valid], "train": indices[n_valid:]}
+    os.makedirs(dst_folder, exist_ok=True)
+    shard_info: Dict[str, List[Dict[str, Any]]] = {}
+    with ThreadPoolExecutor(max_workers=num_jobs) as pool:
+        for split, split_idx in splits.items():
+            shard_info[split] = []
+            for s in range(0, len(split_idx), shard_size):
+                chunk = split_idx[s : s + shard_size]
+                images = list(pool.map(lambda i: _load_image(paths[i]), chunk))
+                keep = [(img, labels[i]) for img, i in zip(images, chunk) if img is not None]
+                if not keep:
+                    continue
+                processed = [preparation.process(img) for img, _ in keep]
+                arr = np.stack(processed)
+                y = np.array([label_map[l] for _, l in keep], dtype=np.int64)[:, None]
+                shard_name = f"{split}_{s // shard_size:05d}.npz"
+                np.savez_compressed(os.path.join(dst_folder, shard_name), images=arr, labels=y)
+                shard_info[split].append({"file": shard_name, "num": len(keep)})
+    with open(meta_path, "w") as f:
+        json.dump({"classes": classes, "shards": shard_info}, f, indent=2)
+    return dst_folder
+
+
+class PackedImageDataset(IDataset):
+    """Random-access over packed shards with a 1-shard LRU (reference
+    `ImageFolderDataset`, `image_folder.py:693`)."""
+
+    def __init__(self, folder: str, split: str = "train") -> None:
+        with open(os.path.join(folder, META_FILE), "r") as f:
+            meta = json.load(f)
+        self.folder = folder
+        self.classes = meta["classes"]
+        self.shards = meta["shards"][split]
+        self.offsets = np.cumsum([0] + [s["num"] for s in self.shards])
+        self._cache_idx = -1
+        self._cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+    def __len__(self) -> int:
+        return int(self.offsets[-1])
+
+    def _shard(self, shard_idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        if shard_idx != self._cache_idx:
+            path = os.path.join(self.folder, self.shards[shard_idx]["file"])
+            with np.load(path) as z:
+                self._cache = (z["images"], z["labels"])
+            self._cache_idx = shard_idx
+        assert self._cache is not None
+        return self._cache
+
+    def __getitem__(self, item: Any) -> Dict[str, np.ndarray]:
+        indices = np.atleast_1d(np.asarray(item))
+        images = []
+        labels = []
+        for i in indices:
+            shard_idx = int(np.searchsorted(self.offsets, i, side="right")) - 1
+            imgs, ys = self._shard(shard_idx)
+            local = int(i - self.offsets[shard_idx])
+            images.append(imgs[local])
+            labels.append(ys[local])
+        return {
+            INPUT_KEY: np.stack(images),
+            LABEL_KEY: np.stack(labels).reshape(-1, 1),
+        }
+
+
+@IData.register("image_folder")
+class ImageFolderData(IArrayDataMixin, IData):
+    """IData over a prepared packed folder."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.folder: Optional[str] = None
+
+    @classmethod
+    def from_folder(
+        cls,
+        folder: str,
+        *,
+        config: Optional[DataConfig] = None,
+        processor_config: Any = None,
+    ) -> "ImageFolderData":
+        self = cls.init(config, processor_config)
+        self.folder = folder
+        return self
+
+    def to_info(self) -> Dict[str, Any]:
+        info = super().to_info()
+        info["folder"] = self.folder
+        return info
+
+    def from_info(self, info: Dict[str, Any]) -> None:
+        super().from_info(info)
+        self.folder = info.get("folder")
+
+    def get_loaders(self) -> Any:
+        assert self.folder is not None
+        postprocess = None
+        if self.processor is not None:
+            postprocess = lambda item, for_inference: self.processor.postprocess_item(item, for_inference=for_inference)
+        train = ArrayLoader(
+            PackedImageDataset(self.folder, "train"),
+            batch_size=self.config.batch_size,
+            shuffle=self.config.shuffle_train,
+            postprocess_fn=postprocess,
+        )
+        try:
+            valid_ds = PackedImageDataset(self.folder, "valid")
+            valid = ArrayLoader(
+                valid_ds,
+                batch_size=self.config.valid_batch_size or self.config.batch_size,
+                postprocess_fn=postprocess,
+                for_inference=True,
+            ) if len(valid_ds) else None
+        except (KeyError, IndexError):
+            valid = None
+        return train, valid
+
+    @property
+    def num_train(self) -> int:
+        assert self.folder is not None
+        return len(PackedImageDataset(self.folder, "train"))
+
+    @property
+    def num_valid(self) -> int:
+        assert self.folder is not None
+        try:
+            return len(PackedImageDataset(self.folder, "valid"))
+        except (KeyError, IndexError):
+            return 0

@@ -37,54 +37,66 @@ def _flash_kernel(
     k_ref,
     v_ref,
     o_ref,
+    acc_ref,
+    m_ref,
+    l_ref,
     *,
     sm_scale: float,
     causal: bool,
+    block_q: int,
     block_k: int,
     kv_len: int,
 ):
-    """One (batch*head, q-block) program: stream K/V blocks, online softmax."""
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # (block_q, d)
-    block_q = q.shape[0]
+    """Grid (bh, q_blocks, k_blocks): the k dimension iterates sequentially
+    (TPU grids are minor-to-major sequential), carrying the online-softmax
+    state in VMEM scratch; K/V stream block-by-block so any kv length fits."""
     q_idx = pl.program_id(1)
+    k_idx = pl.program_id(2)
+    num_k_blocks = pl.num_programs(2)
 
-    num_k_blocks = pl.cdiv(kv_len, block_k)
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
 
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+    def compute() -> None:
+        q = q_ref[0].astype(jnp.float32) * sm_scale  # (block_q, d)
+        k = k_ref[0].astype(jnp.float32)  # (block_k, d)
+        v = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_q, block_k)
-        # mask out-of-range keys (kv_len may not divide block_k)
-        k_pos = i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        k_pos = k_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         mask = k_pos < kv_len
         if causal:
             q_pos = q_idx * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             mask = jnp.logical_and(mask, k_pos <= q_pos)
         s = jnp.where(mask, s, _NEG_INF)
+        m_prev = m_ref[...]
+        l_prev = l_ref[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return acc, m_new, l_new
+        m_ref[...] = m_new
+        l_ref[...] = l_new
 
-    d = q_ref.shape[-1]
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
     if causal:
-        # only iterate k blocks that can be visible to this q block
-        upper = jnp.minimum(num_k_blocks, (q_idx + 1) * block_q // block_k + 1)
+        # skip k blocks fully above the causal diagonal
+        @pl.when(k_idx * block_k <= (q_idx + 1) * block_q - 1)
+        def _():
+            compute()
     else:
-        upper = num_k_blocks
-    acc, m, l = jax.lax.fori_loop(0, upper, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        compute()
+
+    @pl.when(k_idx == num_k_blocks - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -121,11 +133,12 @@ def flash_attention(
     kp = kp.reshape(bh, kv_len_pad, d_pad)
     vp = vp.reshape(bh, kv_len_pad, d_pad)
 
-    grid = (bh, q_len_pad // block_q)
+    grid = (bh, q_len_pad // block_q, kv_len_pad // block_k)
     kernel = functools.partial(
         _flash_kernel,
         sm_scale=sm_scale,
         causal=causal,
+        block_q=block_q,
         block_k=block_k,
         kv_len=kv_len,
     )
@@ -133,12 +146,17 @@ def flash_attention(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_len_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_len_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, q_len_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * q_len_pad * kv_len_pad * d_pad,
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
@@ -175,11 +193,10 @@ def xla_attention(
 def _use_pallas(q: jax.Array, k: jax.Array) -> bool:
     if jax.default_backend() != "tpu" and not _INTERPRET:
         return False
-    q_len, kv_len = q.shape[2], k.shape[2]
-    # kernel keeps full K/V in VMEM per program — cap kv length
+    # K/V stream block-by-block, so only the q block + head dim must fit VMEM
+    q_len = q.shape[2]
     d_pad = _round_up(q.shape[3], 128)
-    kv_bytes = 2 * kv_len * d_pad * 4
-    return q_len >= 128 and kv_bytes <= 8 * 1024 * 1024
+    return q_len >= 128 and d_pad <= 1024
 
 
 def sdp_attn(

@@ -1,0 +1,106 @@
+"""Tensor-parallel parameter placement rules.
+
+SURVEY.md §2.10 decision: TP = model-axis sharding of attention heads / MLP
+hidden dims, expressed as NamedSharding placements — GSPMD inserts the
+all-reduces over ICI (Megatron-style column→row parallel pairs become one
+psum per block, chosen by XLA). No module code changes: placement is a pure
+param-tree transform, composing with fsdp sharding of the remaining params.
+"""
+
+import re
+from typing import Any, List, Optional, Pattern, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (pattern, partition kind): "col" shards the OUTPUT dim, "row" the INPUT dim
+_DEFAULT_TP_RULES: List[Tuple[str, str]] = [
+    # attention projections: q/k/v column-parallel, out row-parallel
+    (r".*/to_q/kernel.*", "col"),
+    (r".*/to_k/kernel.*", "col"),
+    (r".*/to_v/kernel.*", "col"),
+    (r".*/to_qkv/kernel.*", "col"),
+    (r".*/in_proj/kernel.*", "col"),
+    (r".*/(q|k|v)_proj/kernel.*", "col"),
+    (r".*/to_out/kernel.*", "row"),
+    (r".*/out_proj/kernel.*", "row"),
+    # MLP / feed-forward: fc1 col, fc2 row (covers CLIP + transformer FF)
+    (r".*/fc1/kernel.*", "col"),
+    (r".*/fc2/kernel.*", "row"),
+    (r".*/ff/net1/net/kernel.*", "col"),
+    (r".*/ff/linear2/kernel.*", "row"),
+    # time embedding MLP
+    (r".*/time_fc1/kernel.*", "col"),
+    (r".*/time_fc2/kernel.*", "row"),
+]
+
+
+def compile_rules(rules: Optional[Sequence[Tuple[str, str]]] = None) -> List[Tuple[Pattern, str]]:
+    return [(re.compile(p), kind) for p, kind in (rules or _DEFAULT_TP_RULES)]
+
+
+def tp_spec_for(path: str, shape: Sequence[int], tp_size: int, rules: List[Tuple[Pattern, str]]) -> Optional[P]:
+    """PartitionSpec for a param under TP, or None for replicate."""
+    if len(shape) < 2 or tp_size <= 1:
+        return None
+    for pattern, kind in rules:
+        if pattern.match(path):
+            if kind == "col" and shape[-1] % tp_size == 0:
+                spec: List[Any] = [None] * len(shape)
+                spec[-1] = "model"
+                return P(*spec)
+            if kind == "row" and shape[-2] % tp_size == 0:
+                spec = [None] * len(shape)
+                spec[-2] = "model"
+                return P(*spec)
+    return None
+
+
+def place_params(
+    state: Any,
+    mesh: Mesh,
+    *,
+    use_fsdp: bool = False,
+    tp_rules: Optional[Sequence[Tuple[str, str]]] = None,
+) -> Any:
+    """Place a state pytree: TP rules first, then fsdp largest-axis sharding,
+    else replicate. Operates on any nnx State / pytree via path strings."""
+    tp_size = mesh.shape.get("model", 1)
+    fsdp_size = mesh.shape.get("fsdp", 1)
+    rules = compile_rules(tp_rules)
+    from ..toolkit.tree import _key_entry_to_str
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+    placed = []
+    for path_entries, leaf in flat:
+        path = "/".join(_key_entry_to_str(p) for p in path_entries)
+        if not hasattr(leaf, "shape") or getattr(leaf, "ndim", 0) == 0:
+            placed.append(jax.device_put(leaf, NamedSharding(mesh, P())))
+            continue
+        spec = tp_spec_for(path, leaf.shape, tp_size, rules) if tp_size > 1 else None
+        if spec is None and use_fsdp and fsdp_size > 1:
+            from .mesh import fsdp_param_sharding
+
+            placed.append(jax.device_put(leaf, fsdp_param_sharding(mesh, leaf.shape)))
+            continue
+        sharding = NamedSharding(mesh, spec if spec is not None else P())
+        placed.append(jax.device_put(leaf, sharding))
+    return jax.tree_util.tree_unflatten(treedef, placed)
+
+
+def describe_placement(state: Any, mesh: Mesh, **kwargs: Any) -> List[Tuple[str, str]]:
+    """Debug helper: list (path, spec) for sharded params."""
+    tp_size = mesh.shape.get("model", 1)
+    rules = compile_rules(kwargs.get("tp_rules"))
+    from ..toolkit.tree import _key_entry_to_str
+
+    out = []
+    flat, _ = jax.tree_util.tree_flatten_with_path(state)
+    for path_entries, leaf in flat:
+        path = "/".join(_key_entry_to_str(p) for p in path_entries)
+        if hasattr(leaf, "shape"):
+            spec = tp_spec_for(path, leaf.shape, tp_size, rules)
+            if spec is not None:
+                out.append((path, str(spec)))
+    return out

@@ -314,11 +314,21 @@ class Trainer(ITrainer):
         self._graphdef_eval, _ = nnx.split(model)
         model.set_mode(True)
 
-        # parameter placement: replicate, or shard over fsdp axis -------------
-        if self.config.shard_optimizer_states or self.config.use_zero:
-            full_state = shard_params_fsdp(full_state, self.mesh)
+        # parameter placement: TP rules + fsdp sharding, else replicate -------
+        tp_size = self.mesh.shape.get("model", 1)
+        use_fsdp = self.config.shard_optimizer_states or self.config.use_zero
+        if tp_size > 1 or use_fsdp:
+            from .parallel.tp import place_params
+
+            full_state = place_params(full_state, self.mesh, use_fsdp=use_fsdp)
         else:
             full_state = jax.device_put(full_state, replicated_sharding(self.mesh))
+
+        # finetune: pretrained ckpt + freeze/freeze_except regex (reference
+        # `trainer.py:457-493`) -----------------------------------------------
+        self._frozen_paths: set = set()
+        if self.config.finetune_config:
+            full_state = self._init_finetune(model, full_state)
 
         # optimizers ----------------------------------------------------------
         self._build_optimizers(model)
@@ -405,6 +415,34 @@ class Trainer(ITrainer):
             callback.finalize(self)
         self._fit_wall_time = time.time() - start_t
         return self
+
+    def _init_finetune(self, model: IDLModel, full_state: Any) -> Any:
+        """Load a pretrained checkpoint and freeze params by regex (reference
+        `trainer.py:457-493`). Frozen params get zero updates via an optax
+        mask rather than optimizer toggling."""
+        import re
+
+        cfg = dict(self.config.finetune_config or {})
+        ckpt = cfg.get("pretrained_ckpt")
+        if ckpt:
+            loaded = IDLModel.load(ckpt)
+            model.load_state_dict(loaded.state_dict(), strict=False)
+            model.set_mode(True)
+            _, full_state = nnx.split(model)
+        freeze = cfg.get("freeze", "")
+        freeze_except = cfg.get("freeze_except", "")
+        if freeze and freeze_except:
+            raise ValueError("`freeze` & `freeze_except` should not be provided together")
+        if freeze or freeze_except:
+            from .toolkit.tree import tree_to_npd
+
+            npd_keys = tree_to_npd(nnx.state(model, nnx.Param)).keys()
+            pattern = re.compile(freeze or freeze_except)
+            for k in npd_keys:
+                hit = bool(pattern.search(k))
+                if (freeze and hit) or (freeze_except and not hit):
+                    self._frozen_paths.add(k)
+        return full_state
 
     # ------------------------------------------------------------- monitoring
 
