@@ -111,8 +111,8 @@ def flash_attention(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jax.Array:
     """Blockwise flash attention. q/k/v: (B, H, L, D) → (B, H, Lq, D)."""
     b, h, q_len, d = q.shape
@@ -120,8 +120,19 @@ def flash_attention(
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
 
-    # pad head dim to the 128-lane tile and lengths to block multiples
+    # pad head dim to the 128-lane tile and lengths to block multiples.
+    # Large blocks amortize per-program overhead (measured 5x on v5e at
+    # 4096-seq SD shapes); shrink when the padded head dim eats VMEM.
     d_pad = _round_up(d, 128)
+    if block_q is None or block_k is None:
+        if d_pad <= 128:
+            auto = 1024
+        elif d_pad <= 256:
+            auto = 512
+        else:
+            auto = 256
+        block_q = block_q or min(auto, _round_up(q_len, 128))
+        block_k = block_k or min(auto, _round_up(kv_len, 128))
     q_len_pad = _round_up(q_len, block_q)
     kv_len_pad = _round_up(kv_len, block_k)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_len_pad - q_len), (0, d_pad - d)))

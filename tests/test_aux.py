@@ -1,0 +1,160 @@
+"""Aux subsystem tests: LoRA, export, image folder, annotators, dist,
+finetune/freeze, TP placement."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+
+def test_lora_roundtrip() -> None:
+    from cflearn_tpu.modules.core.lora import LoRAManager, LoRAPack
+    from cflearn_tpu.modules.core.mixed_stacks import BasicTransformerBlock
+
+    blk = BasicTransformerBlock(32, 4, 8, context_dim=16, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16))
+    base = blk(x, ctx)
+    pack = LoRAPack.create(blk, rank=2)
+    assert len(pack.deltas) == 8  # 2 attns x (q,k,v,out)
+    mgr = LoRAManager()
+    mgr.load_pack_with("style", pack)
+    mgr.apply_lora(blk, "style")
+    np.testing.assert_allclose(np.asarray(base), np.asarray(blk(x, ctx)), atol=1e-6)
+    for k in pack.deltas:
+        d, u = pack.deltas[k]
+        pack.deltas[k] = (d, np.ones_like(u) * 0.1)
+    mgr.apply_lora(blk, "style")
+    assert not np.allclose(np.asarray(base), np.asarray(blk(x, ctx)), atol=1e-5)
+    mgr.deactivate(blk)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(blk(x, ctx)), atol=1e-6)
+
+
+def test_stablehlo_export_roundtrip(tmp_path) -> None:
+    from cflearn_tpu.pipeline.export import export_model, load_exported
+    from cflearn_tpu.schema import DLConfig
+    from cflearn_tpu.schema.model import IDLModel
+
+    config = DLConfig(
+        module_name="fcnn",
+        module_config={"input_dim": 4, "output_dim": 2, "hidden_units": [8]},
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    batch = {"input": np.random.randn(4, 4).astype(np.float32)}
+    folder = export_model(model, batch, str(tmp_path))
+    fn = load_exported(folder)
+    direct = model.run({"input": batch["input"]}, training=False)
+    np.testing.assert_allclose(
+        np.asarray(fn(batch)["predictions"]), np.asarray(direct["predictions"]), atol=1e-5
+    )
+
+
+def test_image_folder(tmp_path) -> None:
+    from PIL import Image
+
+    from cflearn_tpu.data.cv import ImageFolderData, ResizedPreparation, prepare_image_folder
+
+    src = tmp_path / "src"
+    for cls in ["a", "b"]:
+        os.makedirs(src / cls, exist_ok=True)
+        for i in range(6):
+            Image.fromarray((np.random.rand(10, 12, 3) * 255).astype(np.uint8)).save(src / cls / f"{i}.png")
+    dst = prepare_image_folder(str(src), str(tmp_path / "packed"), preparation=ResizedPreparation(8), valid_split=0.25, shard_size=4, force=True)
+    data = ImageFolderData.from_folder(dst)
+    assert data.num_train + data.num_valid == 12
+    train, valid = data.get_loaders()
+    batch = train.get_one_batch()
+    assert batch["input"].shape[1:] == (8, 8, 3)
+    assert set(np.unique(batch["labels"])) <= {0, 1}
+
+
+def test_annotators() -> None:
+    from cflearn_tpu.api.cv.annotator import Annotator
+
+    img = (np.random.rand(32, 32, 3) * 255).astype(np.uint8)
+    for name in ["canny", "softedge", "depth"]:
+        out = Annotator.make(name, {}).annotate(img)
+        assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+
+
+def test_finetune_freeze(tmp_path) -> None:
+    from cflearn_tpu.data import ArrayData
+    from cflearn_tpu.monitors import LazyMonitor
+    from cflearn_tpu.schema import DLConfig, TrainerConfig
+    from cflearn_tpu.schema.model import IDLModel
+    from cflearn_tpu.trainer import Trainer
+
+    x = np.random.randn(32, 4).astype(np.float32)
+    y = (x.sum(1, keepdims=True) > 0).astype(np.int64)
+    config = DLConfig(module_name="fcnn", module_config={"input_dim": 4, "output_dim": 2, "hidden_units": [8]}, loss_name="cross_entropy")
+    model = IDLModel.from_config(config)
+    ckpt = str(tmp_path / "pre.npz")
+    model.save(ckpt)
+    model2 = IDLModel.from_config(config)
+    trainer = Trainer(
+        TrainerConfig(
+            workspace=str(tmp_path),
+            fixed_steps=1,
+            callback_names=[],
+            finetune_config={"pretrained_ckpt": ckpt, "freeze": "head"},
+        ),
+        monitors=[LazyMonitor()],
+    )
+    trainer.fit(ArrayData.init().fit(x, y), model2)
+    assert any("head" in p for p in trainer._frozen_paths)
+
+
+def test_tp_placement_rules() -> None:
+    from cflearn_tpu.modules.core.mixed_stacks import SpatialTransformer
+    from cflearn_tpu.parallel.mesh import make_mesh
+    from cflearn_tpu.parallel.tp import describe_placement
+    from cflearn_tpu.schema.config import MeshConfig
+
+    mc = MeshConfig()
+    mc.from_info({"data": 2, "fsdp": 2, "model": 2})
+    mesh = make_mesh(mc)
+    sp = SpatialTransformer(32, 4, 8, context_dim=32, rngs=nnx.Rngs(0))
+    placements = describe_placement(nnx.state(sp, nnx.Param), mesh)
+    kinds = {spec for _, spec in placements}
+    assert "PartitionSpec(None, 'model')" in kinds  # column parallel
+    assert "PartitionSpec('model', None)" in kinds  # row parallel
+
+
+def test_ddr_training(tmp_path) -> None:
+    from cflearn_tpu.data import ArrayData
+    from cflearn_tpu.monitors import LazyMonitor
+    from cflearn_tpu.schema import DLConfig, TrainerConfig
+    from cflearn_tpu.schema.model import IDLModel
+    from cflearn_tpu.trainer import Trainer
+
+    x = np.random.randn(32, 4).astype(np.float32)
+    y = x.sum(1, keepdims=True).astype(np.float32)
+    config = DLConfig(model="ml.ddr", module_name="ddr", module_config={"input_dim": 4, "output_dim": 1})
+    model = IDLModel.from_config(config)
+    trainer = Trainer(TrainerConfig(workspace=str(tmp_path), fixed_steps=2, callback_names=[]), monitors=[LazyMonitor()])
+    trainer.fit(ArrayData.init().fit(x, y), model)
+    out = model.run({"input": jnp.asarray(x[:4])}, training=False)
+    q = np.asarray(out["quantiles"])
+    # quantiles should be monotone along the anchor axis (softplus increments)
+    assert (np.diff(q, axis=1) >= -1e-4).all()
+
+
+def test_experiment_scheduler(tmp_path) -> None:
+    from cflearn_tpu.api.api import repeat_ml
+    from cflearn_tpu.schema.config import MLConfig
+
+    os.environ["CFLEARN_TPU_FORCE_CPU"] = "1"
+    x = np.random.randn(32, 4).astype(np.float32)
+    y = (x.sum(1, keepdims=True) > 0).astype(np.int64)
+    cfg = MLConfig(module_name="fcnn", fixed_steps=1, callback_names=[])
+    results = repeat_ml(x, y, config=cfg, workspace=str(tmp_path), num_repeat=2, num_jobs=1)
+    pipes = results.load_pipelines()
+    assert len(pipes) == 2
+    for p in pipes.values():
+        preds = p.predict(x[:4], return_classes=True)["predictions"]
+        assert preds.shape == (4, 1)
