@@ -1,0 +1,122 @@
+"""Ring attention — context-parallel attention over the `context` mesh axis.
+
+SURVEY.md §5.7: the reference has no sequence parallelism (only single-device
+memory tricks); here long-context attention shards the sequence over the
+`context` axis and rotates K/V blocks around the ring with
+`jax.lax.ppermute` (rides ICI), merging partial softmax results with the
+online (flash) recurrence. Each ring step's local attention uses the fused
+XLA path (or the Pallas kernel on TPU), so compute overlaps naturally with
+the next permute under XLA's scheduler.
+
+Usage (inside `shard_map` over a mesh with a "context" axis):
+
+    out = ring_attention(q_shard, k_shard, v_shard, axis_name="context")
+
+For causal masking, pass the GLOBAL query/key offsets implied by the axis
+index — handled internally from `jax.lax.axis_index`.
+"""
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1.0e30
+
+
+def _block_attend(
+    q: jax.Array,  # (B, H, Lq, D)
+    k: jax.Array,  # (B, H, Lk, D)
+    v: jax.Array,
+    sm_scale: float,
+    mask: Optional[jax.Array],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Unnormalized attention block: returns (acc, m, l) for online merging."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * sm_scale
+    if mask is not None:
+        s = jnp.where(mask, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)  # (B,H,Lq,1)
+    # guard fully-masked rows
+    m_safe = jnp.maximum(m, -0.5e30)
+    p = jnp.exp(s - m_safe)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+    return acc, m_safe, l
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str = "context",
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Attention where L is sharded over `axis_name`. Inputs are the LOCAL
+    shards (B, H, L_local, D); output is the local shard of the result."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    axis_size = jax.lax.axis_size(axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    l_local = q.shape[2]
+
+    def mask_for(kv_owner: jax.Array) -> Optional[jax.Array]:
+        if not causal:
+            return None
+        q_pos = my_idx * l_local + jnp.arange(l_local)[:, None]
+        k_pos = kv_owner * l_local + jnp.arange(l_local)[None, :]
+        return (k_pos <= q_pos)[None, None]
+
+    def step(carry, _):
+        acc, m, l, cur_k, cur_v, owner = carry
+        blk_acc, blk_m, blk_l = _block_attend(q, cur_k, cur_v, sm_scale, mask_for(owner))
+        new_m = jnp.maximum(m, blk_m)
+        alpha = jnp.exp(m - new_m)
+        beta = jnp.exp(blk_m - new_m)
+        acc = acc * alpha + blk_acc * beta
+        l = l * alpha + blk_l * beta
+        # rotate kv to the next device on the ring
+        perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+        nxt_k = jax.lax.ppermute(cur_k, axis_name, perm)
+        nxt_v = jax.lax.ppermute(cur_v, axis_name, perm)
+        owner = (owner - 1) % axis_size
+        return (acc, new_m, l, nxt_k, nxt_v, owner), None
+
+    b, h, lq, d = q.shape
+    acc0 = jnp.zeros((b, h, lq, d), jnp.float32)
+    m0 = jnp.full((b, h, lq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, lq, 1), jnp.float32)
+    (acc, m, l, _, _, _), _ = jax.lax.scan(
+        step, (acc0, m0, l0, k, v, my_idx), None, length=axis_size
+    )
+    out = acc / jnp.maximum(l, 1e-30)
+    return out.astype(q.dtype)
+
+
+def context_parallel_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: "jax.sharding.Mesh",
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Convenience wrapper: shard (B,H,L,D) tensors over the mesh's `context`
+    axis on L and run ring attention via shard_map."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(None, None, "context", None)
+
+    fn = shard_map(
+        partial(ring_attention, causal=causal, sm_scale=sm_scale),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_rep=False,
+    )
+    return fn(q, k, v)
