@@ -91,6 +91,43 @@ class PoolTokenMixer(nnx.Module):
         return pooled - x
 
 
+@token_mixers.register("rwkv")
+class RWKVTokenMixer(nnx.Module):
+    """RWKV-style linear-time token mixing (reference `token_mixers.py` rwkv
+    — time-mix with learned decay, computed as a `lax.scan` recurrence)."""
+
+    def __init__(self, in_dim: int, num_tokens: int, latent_dim: int, *, rngs: nnx.Rngs, **kwargs: Any) -> None:
+        key = rngs.params()
+        self.time_decay = nnx.Param(jax.random.normal(key, (in_dim,)) * 0.1 - 1.0)
+        self.time_first = nnx.Param(jax.random.normal(rngs.params(), (in_dim,)) * 0.1)
+        self.to_k = nnx.Linear(in_dim, in_dim, use_bias=False, rngs=rngs)
+        self.to_v = nnx.Linear(in_dim, in_dim, use_bias=False, rngs=rngs)
+        self.to_r = nnx.Linear(in_dim, in_dim, use_bias=False, rngs=rngs)
+        self.to_out = nnx.Linear(in_dim, in_dim, use_bias=False, rngs=rngs)
+
+    def __call__(self, x: jax.Array, **kwargs: Any) -> jax.Array:
+        k = self.to_k(x)
+        v = self.to_v(x)
+        r = jax.nn.sigmoid(self.to_r(x))
+        w = -jnp.exp(self.time_decay[...])  # negative decay rate
+        u = self.time_first[...]
+
+        def step(carry, kv):
+            num, den = carry
+            kt, vt = kv
+            ek = jnp.exp(kt)
+            out_num = num + jnp.exp(u + kt) * vt
+            out_den = den + jnp.exp(u + kt)
+            new_num = jnp.exp(w) * num + ek * vt
+            new_den = jnp.exp(w) * den + ek
+            return (new_num, new_den), out_num / jnp.maximum(out_den, 1e-8)
+
+        b, t, d = x.shape
+        init = (jnp.zeros((b, d)), jnp.zeros((b, d)))
+        _, wkv = jax.lax.scan(step, init, (k.swapaxes(0, 1), v.swapaxes(0, 1)))
+        return self.to_out(r * wkv.swapaxes(0, 1))
+
+
 # ----------------------------------------------------------------------------
 # channel mixers
 # ----------------------------------------------------------------------------
@@ -116,6 +153,38 @@ class FeedForward(nnx.Module):
         if self.dropout2 is not None:
             net = self.dropout2(net)
         return net
+
+
+@channel_mixers.register("mix_ff")
+class MixFeedForward(nnx.Module):
+    """FF with a depthwise token-local conv in the middle (reference
+    `channel_mixers.py` mix_ff)."""
+
+    def __init__(self, in_dim: int, latent_dim: int, dropout: float = 0.0, *, rngs: nnx.Rngs, **kwargs: Any) -> None:
+        self.fc1 = nnx.Linear(in_dim, latent_dim, rngs=rngs)
+        self.conv = nnx.Conv(latent_dim, latent_dim, kernel_size=(3,), padding="SAME", feature_group_count=latent_dim, rngs=rngs)
+        self.fc2 = nnx.Linear(latent_dim, in_dim, rngs=rngs)
+        self.dropout = nnx.Dropout(dropout, rngs=rngs) if dropout > 0 else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        net = jax.nn.gelu(self.conv(self.fc1(x)))
+        if self.dropout is not None:
+            net = self.dropout(net)
+        return self.fc2(net)
+
+
+@channel_mixers.register("rwkv")
+class RWKVChannelMixer(nnx.Module):
+    """RWKV channel mixing (reference `channel_mixers.py` rwkv)."""
+
+    def __init__(self, in_dim: int, latent_dim: int, dropout: float = 0.0, *, rngs: nnx.Rngs, **kwargs: Any) -> None:
+        self.to_k = nnx.Linear(in_dim, latent_dim, use_bias=False, rngs=rngs)
+        self.to_r = nnx.Linear(in_dim, in_dim, use_bias=False, rngs=rngs)
+        self.to_v = nnx.Linear(latent_dim, in_dim, use_bias=False, rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = jnp.square(jax.nn.relu(self.to_k(x)))
+        return jax.nn.sigmoid(self.to_r(x)) * self.to_v(k)
 
 
 class _Seq(nnx.Module):

@@ -231,8 +231,16 @@ class UNetDiffuser(nnx.Module):
         hs: List[jax.Array] = []
         net = self.conv_in(net)
         hs.append(net)
+
+        def run_block(block: Any, *args: Any, **kw: Any) -> jax.Array:
+            if self.use_checkpoint:
+                # rematerialize per block in training (reference
+                # `use_checkpoint`; jax.checkpoint trades FLOPs for HBM)
+                return jax.checkpoint(lambda *a: block(*a, **kw))(*args)
+            return block(*args, **kw)
+
         for block in self.input_blocks:
-            net = block(net, time_embed, context, hooks=hooks)
+            net = run_block(block, net, time_embed, context, hooks=hooks)
             hs.append(net)
         net = self.mid(net, time_embed, context, hooks=hooks)
         if control is not None:
@@ -242,7 +250,7 @@ class UNetDiffuser(nnx.Module):
             if control is not None:
                 skip = skip + control[len(hs)]
             net = jnp.concatenate([net, skip], axis=-1)
-            net = block(net, time_embed, context, hooks=hooks)
+            net = run_block(block, net, time_embed, context, hooks=hooks)
         net = jax.nn.silu(self.norm_out(net))
         return self.conv_out(net)
 

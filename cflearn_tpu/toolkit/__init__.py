@@ -29,3 +29,4 @@ from .misc import (
     truncate_string_to_length,
 )
 from .init_summary import Initializer, summary
+from .contexts import auto_num_layers, eval_context, gradient_checkpoint, no_grad_context, train_context
