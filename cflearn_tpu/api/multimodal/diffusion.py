@@ -336,6 +336,73 @@ class DiffusionAPI(IAPI):
             self._export(out, export_path)
         return out
 
+    def semantic2img(
+        self,
+        semantic: np.ndarray,
+        *,
+        num_steps: int = 20,
+        seed: Optional[int] = None,
+        **kwargs: Any,
+    ) -> np.ndarray:
+        """Segmentation-map → image via CONCAT conditioning (reference :1111;
+        requires an LDM trained with concat semantic conditioning)."""
+        from ...modules.multimodal.diffusion.utils import CONCAT_TYPE
+
+        if self.m.condition_type != CONCAT_TYPE:
+            raise ValueError("`semantic2img` requires a concat-conditioned LDM")
+        semantic = self._norm_image(semantic)
+        b, h, w, _ = semantic.shape
+        graphdef, state = nnx.split(self.m)
+        sampler_name, sampler_config = self.sampler_name, dict(self.sampler_config)
+
+        @jax.jit
+        def _run(st, sem, key):
+            m = nnx.merge(graphdef, st)
+            cond = m.get_cond(sem)
+            sampler = ISampler.make(sampler_name, dict(sampler_config, model=m))
+            z = jax.random.normal(key, (b, cond.shape[1], cond.shape[2], m.out_channels))
+            latents = sampler.sample(z, cond=cond, num_steps=num_steps, key=key)
+            return m.decode(latents)
+
+        key = jax.random.PRNGKey(seed or 0)
+        # downscale the semantic map to latent resolution for concat
+        sem_lat = jax.image.resize(
+            jnp.asarray(semantic), (b, h // 8, w // 8, semantic.shape[-1]), "nearest"
+        )
+        return _to_uint8(_run(nnx.state(self.m), sem_lat, key))
+
+    def sr(
+        self,
+        image: np.ndarray,
+        *,
+        num_steps: int = 20,
+        seed: Optional[int] = None,
+        **kwargs: Any,
+    ) -> np.ndarray:
+        """Diffusion super-resolution via concat conditioning on the LR image
+        (reference `sr`; requires an LDM-SR checkpoint)."""
+        from ...modules.multimodal.diffusion.utils import CONCAT_TYPE
+
+        if self.m.condition_type != CONCAT_TYPE:
+            raise ValueError("`sr` requires a concat-conditioned LDM (ldm.sr)")
+        image = self._norm_image(image)
+        b, h, w, c = image.shape
+        graphdef, state = nnx.split(self.m)
+        sampler_name, sampler_config = self.sampler_name, dict(self.sampler_config)
+        up = 4
+
+        @jax.jit
+        def _run(st, img, key):
+            m = nnx.merge(graphdef, st)
+            lr_up = jax.image.resize(img, (b, h * up, w * up, c), "bicubic")
+            sampler = ISampler.make(sampler_name, dict(sampler_config, model=m))
+            z = jax.random.normal(key, (b, h * up, w * up, m.out_channels))
+            latents = sampler.sample(z, cond=lr_up, num_steps=num_steps, key=key)
+            return m.decode(latents) if m.first_stage is not None else latents
+
+        key = jax.random.PRNGKey(seed or 0)
+        return _to_uint8(_run(nnx.state(self.m), jnp.asarray(image), key))
+
     def outpainting(self, image: np.ndarray, anchor: str = "center", **kwargs: Any) -> np.ndarray:
         """Pad + inpaint the borders (reference outpainting)."""
         image = self._norm_image(image)

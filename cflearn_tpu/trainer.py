@@ -363,6 +363,11 @@ class Trainer(ITrainer):
                 if not state.should_train:
                     break
                 state.step += 1
+                # first-class profiling (SURVEY §5.1): capture a jax.profiler
+                # trace for the configured steps into workspace/traces
+                profiling = bool(self.config.profile_steps) and state.step in self.config.profile_steps
+                if profiling:
+                    jax.profiler.start_trace(os.path.join(self.workspace, "traces"))
                 actives = tuple(
                     not ts.should_skip(model, state) for ts in model.train_steps
                 )
@@ -374,6 +379,9 @@ class Trainer(ITrainer):
                 self._full_state, self._opt_states, loss_items = step_fn(
                     self._full_state, self._opt_states, lr_scales, np_batch
                 )
+                if profiling:
+                    jax.block_until_ready(jax.tree_util.tree_leaves(loss_items))
+                    jax.profiler.stop_trace()
                 for k, v in loss_items.items():
                     window = self._loss_window.setdefault(k, [])
                     window.append(v)
