@@ -80,6 +80,16 @@ class DiffusionAPI(IAPI):
                 module.set_circular(enable)
         self._jit_cache.clear()
 
+    def set_tome_ratio(self, ratio: float) -> None:
+        """Enable ToMe token merging on all SpatialTransformers (the
+        reference lists ToMe as its SD seq-scaling tool, SURVEY §5.7)."""
+        from ...modules.core.mixed_stacks import SpatialTransformer
+
+        for _, module in nnx.iter_graph(self.m):
+            if isinstance(module, SpatialTransformer):
+                module.set_tome_ratio(ratio)
+        self._jit_cache.clear()
+
     # ----------------------------------------------------------------- lora
 
     def load_sd_lora(self, key: str, *, path: Optional[str] = None, pack: Optional[LoRAPack] = None) -> None:

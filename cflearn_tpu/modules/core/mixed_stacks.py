@@ -392,8 +392,23 @@ class BasicTransformerBlock(nnx.Module):
         self.norm3 = nnx.LayerNorm(query_dim, rngs=rngs)
         self.ff = FeedForward(query_dim, query_dim * 4, dropout, activation="geglu", rngs=rngs)
 
-    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, *, hooks: Optional[SpatialTransformerHooks] = None) -> jax.Array:
-        x = x + self.attn1(self.norm1(x), hooks=hooks)
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        *,
+        hooks: Optional[SpatialTransformerHooks] = None,
+        tome_info: Optional[Any] = None,
+    ) -> jax.Array:
+        if tome_info is not None:
+            # ToMe (tomesd-style): merge tokens for the self-attention only
+            from .tome import compute_merge
+
+            h, w, ratio = tome_info
+            merge, unmerge, _ = compute_merge(x, h, w, ratio=ratio)
+            x = x + unmerge(self.attn1(merge(self.norm1(x)), hooks=hooks))
+        else:
+            x = x + self.attn1(self.norm1(x), hooks=hooks)
         x = x + self.attn2(self.norm2(x), context=context, hooks=hooks)
         x = x + self.ff(self.norm3(x))
         return x
@@ -437,6 +452,11 @@ class SpatialTransformer(nnx.Module):
                 for _ in range(num_layers)
             ]
         )
+        # ToMe ratio (0 = off); set via `set_tome_ratio` / DiffusionAPI
+        self.tome_ratio = 0.0
+
+    def set_tome_ratio(self, ratio: float) -> None:
+        self.tome_ratio = float(ratio)
 
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, *, hooks: Optional[SpatialTransformerHooks] = None) -> jax.Array:
         b, h, w, c = x.shape
@@ -447,8 +467,9 @@ class SpatialTransformer(nnx.Module):
             net = self.proj_in(net)
         else:
             net = self.proj_in(net).reshape(b, h * w, -1)
+        tome_info = (h, w, self.tome_ratio) if self.tome_ratio > 0 else None
         for block in self.blocks:
-            net = block(net, context=context, hooks=hooks)
+            net = block(net, context=context, hooks=hooks, tome_info=tome_info)
         if self.use_linear:
             net = self.proj_out(net).reshape(b, h, w, c)
         else:

@@ -1,0 +1,101 @@
+"""ToMe — token merging for SD transformer blocks.
+
+Parity: reference `cflearn/modules/core/mixed_stacks/api.py:461-618`
+(`bipartite_soft_matching_random2d`, `compute_merge`) — merge similar tokens
+before self-attention and unmerge after, cutting attention cost roughly by
+(1-ratio)² at the highest resolutions.
+
+TPU-native deviations (static shapes for jit): the dst stride-2 anchor is
+deterministic (reference uses a random cell offset per call — `use_rand`
+off), and the number of merged tokens r is a static function of N and
+`ratio`; top-r selection uses `jax.lax.top_k`.
+"""
+
+import math
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bipartite_soft_matching_random2d(
+    metric: jax.Array,  # (B, N, C) similarity metric (tokens themselves or keys)
+    h: int,
+    w: int,
+    *,
+    ratio: float = 0.5,
+    sx: int = 2,
+    sy: int = 2,
+) -> Tuple[Callable[[jax.Array], jax.Array], Callable[[jax.Array], jax.Array], int]:
+    """Build (merge, unmerge) for (B, N, C) token tensors. Returns
+    (merge_fn, unmerge_fn, num_remaining)."""
+    b, n, c = metric.shape
+    assert n == h * w
+    # dst = top-left of each sy×sx cell; src = the rest
+    row = jnp.arange(h)
+    col = jnp.arange(w)
+    is_dst = ((row[:, None] % sy) == 0) & ((col[None, :] % sx) == 0)
+    is_dst = is_dst.reshape(-1)
+    dst_idx = jnp.nonzero(is_dst, size=(h // sy) * (w // sx))[0]
+    num_dst = (h // sy) * (w // sx)
+    num_src = n - num_dst
+    src_idx = jnp.nonzero(~is_dst, size=num_src)[0]
+    r = min(num_src, int(n * ratio))
+
+    metric_n = metric / (jnp.linalg.norm(metric, axis=-1, keepdims=True) + 1e-6)
+    src = jnp.take(metric_n, src_idx, axis=1)  # (B, num_src, C)
+    dst = jnp.take(metric_n, dst_idx, axis=1)  # (B, num_dst, C)
+    scores = jnp.einsum("bsc,bdc->bsd", src, dst)  # (B, num_src, num_dst)
+    best_score = jnp.max(scores, axis=-1)  # (B, num_src)
+    best_dst = jnp.argmax(scores, axis=-1)  # (B, num_src)
+    # top-r src tokens to merge
+    _, merge_order = jax.lax.top_k(best_score, num_src)
+    merged_src_pos = merge_order[:, :r]  # positions INTO src_idx
+    kept_src_pos = merge_order[:, r:]
+
+    def merge(x: jax.Array) -> jax.Array:
+        x_src = jnp.take(x, src_idx, axis=1)  # (B, num_src, C)
+        x_dst = jnp.take(x, dst_idx, axis=1)  # (B, num_dst, C)
+        merged_vals = jnp.take_along_axis(x_src, merged_src_pos[..., None], axis=1)  # (B, r, C)
+        merged_tgt = jnp.take_along_axis(best_dst, merged_src_pos, axis=1)  # (B, r)
+        # mean-merge: accumulate merged src into dst, divide by counts
+        ones = jnp.ones((x.shape[0], r, 1), x.dtype)
+        sums = jax.vmap(lambda d, t, v: d.at[t].add(v))(x_dst, merged_tgt, merged_vals)
+        counts = jax.vmap(lambda t, o: jnp.ones((num_dst, 1), x.dtype).at[t].add(o))(merged_tgt, ones)
+        x_dst = sums / counts
+        x_kept = jnp.take_along_axis(x_src, kept_src_pos[..., None], axis=1)  # (B, num_src - r, C)
+        return jnp.concatenate([x_dst, x_kept], axis=1)
+
+    def unmerge(x: jax.Array) -> jax.Array:
+        x_dst = x[:, :num_dst]
+        x_kept = x[:, num_dst:]
+        bsz = x.shape[0]
+        out = jnp.zeros((bsz, n, c_out(x)), x.dtype)
+        out = jax.vmap(lambda o, v: o.at[dst_idx].set(v))(out, x_dst)
+        kept_global = jnp.take(src_idx, kept_src_pos, axis=0) if kept_src_pos.ndim == 1 else jnp.take(
+            src_idx, kept_src_pos
+        )
+        out = jax.vmap(lambda o, idx, v: o.at[idx].set(v))(out, kept_global, x_kept)
+        merged_tgt = jnp.take_along_axis(best_dst, merged_src_pos, axis=1)
+        merged_global = jnp.take(src_idx, merged_src_pos)
+        merged_vals = jnp.take_along_axis(x_dst, merged_tgt[..., None], axis=1)
+        out = jax.vmap(lambda o, idx, v: o.at[idx].set(v))(out, merged_global, merged_vals)
+        return out
+
+    def c_out(x: jax.Array) -> int:
+        return x.shape[-1]
+
+    return merge, unmerge, n - r
+
+
+def compute_merge(
+    x: jax.Array, h: int, w: int, *, ratio: float = 0.5, min_tokens: int = 1024
+) -> Tuple[Callable, Callable, bool]:
+    """Reference `compute_merge` (`mixed_stacks/api.py:592`): only merge when
+    the token count is large enough to pay off."""
+    n = x.shape[1]
+    if n < min_tokens or ratio <= 0.0:
+        identity = lambda t: t
+        return identity, identity, False
+    merge, unmerge, _ = bipartite_soft_matching_random2d(x, h, w, ratio=ratio)
+    return merge, unmerge, True

@@ -26,6 +26,15 @@ Triplet = Tuple[str, str, str]  # torch_key, our_key, kind
 # ----------------------------------------------------------------------------
 
 def _fwd(kind: str, w: np.ndarray) -> np.ndarray:
+    if kind.startswith("linear_") and kind[-1] in "qkv" and kind[-2] == "3":
+        # fused qkv weight (3D, in) → one third, transposed (open_clip layout)
+        third = w.shape[0] // 3
+        i = "qkv".index(kind[-1])
+        return np.ascontiguousarray(w[i * third : (i + 1) * third].T)
+    if kind.startswith("bias_") and kind[-1] in "qkv" and kind[-2] == "3":
+        third = w.shape[0] // 3
+        i = "qkv".index(kind[-1])
+        return np.asarray(w[i * third : (i + 1) * third])
     if kind == "linear":
         return np.ascontiguousarray(w.T)
     if kind == "conv":
@@ -40,6 +49,8 @@ def _fwd(kind: str, w: np.ndarray) -> np.ndarray:
 
 
 def _inv(kind: str, w: np.ndarray) -> np.ndarray:
+    if kind.startswith(("linear_", "bias_")) and kind[-2] == "3":
+        raise ValueError("fused-qkv kinds are forward-only (inverse needs all three parts)")
     if kind == "linear":
         return np.ascontiguousarray(w.T)
     if kind == "conv":
@@ -358,6 +369,34 @@ def build_clip_text_mapping(
     return out
 
 
+def build_open_clip_text_mapping(
+    *,
+    prefix: str = "cond_stage_model.model",
+    our_prefix: str = "condition_model/encoder",
+    num_layers: int = 23,
+) -> List[Triplet]:
+    """SD v2's open_clip text tower (`transformer.resblocks.N` layout with
+    fused `attn.in_proj_weight`)."""
+    t, o = prefix, our_prefix
+    out: List[Triplet] = [
+        (f"{t}.token_embedding.weight", f"{o}/token_embedding/embedding/value", "embedding"),
+        (f"{t}.positional_embedding", f"{o}/positional_embedding/value", "embedding"),
+    ]
+    for n in range(num_layers):
+        lt = f"{t}.transformer.resblocks.{n}"
+        lo = f"{o}/blocks/{n}"
+        out += _norm(f"{lt}.ln_1", f"{lo}/ln_1")
+        out += _norm(f"{lt}.ln_2", f"{lo}/ln_2")
+        for p in "qkv":
+            out.append((f"{lt}.attn.in_proj_weight", f"{lo}/attn/{p}_proj/kernel/value", f"linear_3{p}"))
+            out.append((f"{lt}.attn.in_proj_bias", f"{lo}/attn/{p}_proj/bias/value", f"bias_3{p}"))
+        out += _linear(f"{lt}.attn.out_proj", f"{lo}/attn/out_proj")
+        out += _linear(f"{lt}.mlp.c_fc", f"{lo}/mlp/fc1")
+        out += _linear(f"{lt}.mlp.c_proj", f"{lo}/mlp/fc2")
+    out += _norm(f"{t}.ln_final", f"{o}/ln_final")
+    return out
+
+
 # ----------------------------------------------------------------------------
 # ESRGAN (RRDBNet)
 # ----------------------------------------------------------------------------
@@ -391,8 +430,7 @@ def build_sd_mapping(version: str = "v1") -> List[Triplet]:
     )
     vae = build_vae_mapping()
     if version.startswith("v2"):
-        # open_clip layout differs; v2 conversion handled separately
-        clip: List[Triplet] = []
+        clip: List[Triplet] = build_open_clip_text_mapping(num_layers=23)
     else:
         clip = build_clip_text_mapping()
     return unet + vae + clip
