@@ -100,10 +100,38 @@ def prepare_image_folder(
     n_valid = max(1, int(round(len(paths) * valid_split))) if valid_split else 0
     splits = {"valid": indices[:n_valid], "train": indices[n_valid:]}
     os.makedirs(dst_folder, exist_ok=True)
+    from ...native import has_native, write_records
+
+    use_native = has_native()
     shard_info: Dict[str, List[Dict[str, Any]]] = {}
+    image_shape: Optional[List[int]] = None
     with ThreadPoolExecutor(max_workers=num_jobs) as pool:
         for split, split_idx in splits.items():
             shard_info[split] = []
+            if use_native:
+                # one native rcache store per split: O(1) mmap random access
+                # (the LMDB-replacement path, SURVEY §2.9)
+                images_all: List[np.ndarray] = []
+                labels_all: List[int] = []
+                decoded = pool.map(lambda i: (_load_image(paths[i]), labels[i]), split_idx)
+                for img, label in decoded:
+                    if img is None:
+                        continue
+                    processed = preparation.process(img)
+                    image_shape = list(processed.shape)
+                    images_all.append(processed.reshape(-1))
+                    labels_all.append(label_map[label])
+                if not images_all:
+                    continue
+                records = np.stack(images_all)
+                store_name = f"{split}.rcache"
+                write_records(os.path.join(dst_folder, store_name), records)
+                np.save(
+                    os.path.join(dst_folder, f"{split}_labels.npy"),
+                    np.asarray(labels_all, dtype=np.int64)[:, None],
+                )
+                shard_info[split].append({"file": store_name, "num": len(images_all), "native": True})
+                continue
             for s in range(0, len(split_idx), shard_size):
                 chunk = split_idx[s : s + shard_size]
                 images = list(pool.map(lambda i: _load_image(paths[i]), chunk))
@@ -112,12 +140,17 @@ def prepare_image_folder(
                     continue
                 processed = [preparation.process(img) for img, _ in keep]
                 arr = np.stack(processed)
+                image_shape = list(arr.shape[1:])
                 y = np.array([label_map[l] for _, l in keep], dtype=np.int64)[:, None]
                 shard_name = f"{split}_{s // shard_size:05d}.npz"
                 np.savez_compressed(os.path.join(dst_folder, shard_name), images=arr, labels=y)
                 shard_info[split].append({"file": shard_name, "num": len(keep)})
     with open(meta_path, "w") as f:
-        json.dump({"classes": classes, "shards": shard_info}, f, indent=2)
+        json.dump(
+            {"classes": classes, "shards": shard_info, "image_shape": image_shape, "native": use_native},
+            f,
+            indent=2,
+        )
     return dst_folder
 
 
@@ -131,9 +164,17 @@ class PackedImageDataset(IDataset):
         self.folder = folder
         self.classes = meta["classes"]
         self.shards = meta["shards"][split]
+        self.image_shape = meta.get("image_shape")
         self.offsets = np.cumsum([0] + [s["num"] for s in self.shards])
         self._cache_idx = -1
         self._cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self._store = None
+        self._store_labels: Optional[np.ndarray] = None
+        if self.shards and self.shards[0].get("native"):
+            from ...native import RecordCache
+
+            self._store = RecordCache(os.path.join(folder, self.shards[0]["file"]))
+            self._store_labels = np.load(os.path.join(folder, f"{split}_labels.npy"))
 
     def __len__(self) -> int:
         return int(self.offsets[-1])
@@ -149,6 +190,13 @@ class PackedImageDataset(IDataset):
 
     def __getitem__(self, item: Any) -> Dict[str, np.ndarray]:
         indices = np.atleast_1d(np.asarray(item))
+        if self._store is not None:
+            flat = self._store.gather(indices.astype(np.int64))
+            images = flat.reshape((len(indices), *self.image_shape))
+            return {
+                INPUT_KEY: images,
+                LABEL_KEY: self._store_labels[indices].reshape(-1, 1),
+            }
         images = []
         labels = []
         for i in indices:
