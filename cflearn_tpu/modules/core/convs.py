@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from ...ops.group_norm import group_norm
+from ...ops.group_norm import gn_call, group_norm
 from .activations import build_activation
 
 _Pad = Union[str, int, Tuple[int, int]]
@@ -244,9 +244,9 @@ class ResidualBlock(nnx.Module):
             self.shortcut = None
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        net = jax.nn.silu(self.norm1(x))
+        net = gn_call(self.norm1, x, silu=True)
         net = self.conv1(net)
-        net = jax.nn.silu(self.norm2(net))
+        net = gn_call(self.norm2, net, silu=True)
         if self.dropout is not None:
             net = self.dropout(net)
         net = self.conv2(net)
@@ -285,16 +285,16 @@ class ResidualBlockWithTimeEmbedding(nnx.Module):
             self.shortcut = None
 
     def __call__(self, x: jax.Array, time_embed: jax.Array) -> jax.Array:
-        net = jax.nn.silu(self.norm1(x))
+        net = gn_call(self.norm1, x, silu=True)
         net = self.conv1(net)
         emb = self.time_proj(jax.nn.silu(time_embed))[:, None, None, :]
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb, 2, axis=-1)
-            net = self.norm2(net) * (1.0 + scale) + shift
+            net = gn_call(self.norm2, net) * (1.0 + scale) + shift
             net = jax.nn.silu(net)
         else:
             net = net + emb
-            net = jax.nn.silu(self.norm2(net))
+            net = gn_call(self.norm2, net, silu=True)
         if self.dropout is not None:
             net = self.dropout(net)
         net = self.conv2(net)

@@ -461,7 +461,9 @@ class SpatialTransformer(nnx.Module):
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, *, hooks: Optional[SpatialTransformerHooks] = None) -> jax.Array:
         b, h, w, c = x.shape
         residual = x
-        net = self.norm(x)
+        from ...ops.group_norm import gn_call
+
+        net = gn_call(self.norm, x)
         if self.use_linear:
             net = net.reshape(b, h * w, c)
             net = self.proj_in(net)

@@ -283,6 +283,9 @@ class TrainingBlock(Block):
     def run(self, data: IData, **kwargs: Any) -> None:
         trainer_block = self.get_previous(BuildTrainerBlock)
         model_block = self.get_previous(BuildModelBlock)
+        opt_block = self.try_get_previous(SerializeOptimizerBlock)
+        if opt_block is not None and getattr(opt_block, "opt_npd", None):
+            trainer_block.trainer._preloaded_opt_npd = opt_block.opt_npd
         trainer_block.trainer.fit(data, model_block.model, **kwargs)
 
 
@@ -334,6 +337,8 @@ class SerializeModelBlock(Block):
 class SerializeOptimizerBlock(Block):
     """Persist optimizer states for resume (reference `basic.py:833-868`)."""
 
+    opt_npd: Optional[Dict[str, Any]] = None
+
     def save_extra(self, folder: str) -> None:
         trainer_block = self.try_get_previous(BuildTrainerBlock)
         if trainer_block is None or trainer_block.trainer is None:
@@ -349,4 +354,7 @@ class SerializeOptimizerBlock(Block):
         np.savez_compressed(os.path.join(folder, "optimizers.npz"), **npd)
 
     def load_from(self, folder: str) -> None:
-        pass
+        path = os.path.join(folder, "optimizers.npz")
+        if os.path.isfile(path):
+            with np.load(path, allow_pickle=False) as z:
+                self.opt_npd = {k: z[k] for k in z.files}

@@ -105,6 +105,7 @@ class Trainer(ITrainer):
         self.checkpoint_scores: Dict[str, float] = {}
         self.lr_scales: Dict[str, PlateauState] = {}
         self._workspace: Optional[str] = None
+        self._preloaded_opt_npd: Optional[Dict[str, Any]] = None
         self._step_fn_cache: Dict[Any, Callable] = {}
         self._loss_window: Dict[str, List[float]] = {}
 
@@ -226,6 +227,13 @@ class Trainer(ITrainer):
         train_steps = model.train_steps
         txs = self.txs
         mesh = self.mesh
+        # callback-mutated kwargs (reference `mutate_train_forward_kwargs` /
+        # `mutate_train_loss_kwargs`, `schema.py:1726+`) — static closures
+        forward_kwargs: Dict[str, Any] = {}
+        loss_kwargs: Dict[str, Any] = {}
+        for callback in self.callbacks:
+            callback.mutate_train_forward_kwargs(forward_kwargs, self)
+            callback.mutate_train_loss_kwargs(loss_kwargs, self)
 
     # one XLA program: all train steps + optimizer updates + post-step hooks
         def _fn(
@@ -246,8 +254,8 @@ class Trainer(ITrainer):
                     # refresh: rebuild Variables at this trace level so
                     # BatchStat/Rng mutations inside forward are legal
                     m = nnx.merge(_gd, _refresh(diff_params), _refresh(_rest))
-                    fwd = m.run(batch, training=True)
-                    losses = _ts.loss_fn(m, batch, fwd)
+                    fwd = m.run(batch, training=True, **forward_kwargs)
+                    losses = _ts.loss_fn(m, batch, fwd, **loss_kwargs)
                     _, _, new_rest = nnx.split(m, _flt, ...)
                     return losses[LOSS_KEY], (losses, new_rest)
 
@@ -337,8 +345,36 @@ class Trainer(ITrainer):
             merged = nnx.merge(self._graphdef_train, full_state)
             _, diff, _ = nnx.split(merged, merged.params_filter(scope), ...)
             opt_states[scope] = tx.init(diff)
+        if self._preloaded_opt_npd:
+            # resume: restore serialized optimizer states (reference
+            # `SerializeOptimizerBlock`, `pipeline/blocks/basic.py:833-868`)
+            from .toolkit.tree import npd_to_tree
+
+            for scope in list(opt_states):
+                sub = {
+                    k[len(scope) + 2 :]: v
+                    for k, v in self._preloaded_opt_npd.items()
+                    if k.startswith(scope + "::")
+                }
+                if sub:
+                    try:
+                        opt_states[scope] = npd_to_tree(sub, opt_states[scope], strict=True)
+                    except KeyError:
+                        pass  # structure changed → fresh optimizer
 
         self.inference.bind(self)
+
+        # workspace artifacts (reference `trainer.py:286-293` + `model.txt`)
+        if is_local_rank_0():
+            try:
+                from .toolkit.init_summary import summary as _summary
+
+                with open(os.path.join(self.workspace, "summary.txt"), "w") as f:
+                    f.write(_summary(model, return_only=True))
+                with open(os.path.join(self.workspace, "model.txt"), "w") as f:
+                    f.write(repr(model))
+            except Exception:  # noqa: BLE001 — observability must not break fit
+                pass
 
         # callbacks -----------------------------------------------------------
         for callback in self.callbacks:

@@ -36,6 +36,7 @@ def _run(path: str) -> None:
         "cv/gan.py",
         "cv/ddpm.py",
         "multimodal/sd_txt2img.py",
+        "multimodal/clip_zero_shot.py",
     ],
 )
 def test_example(path: str) -> None:
