@@ -22,7 +22,9 @@ def get_weighted_indices(n: int, weights: Optional[np.ndarray], ensure_all_occur
     """Weighted multinomial resampling (reference `data/utils.py:46`)."""
     indices = np.arange(n)
     if weights is not None:
-        numbers = np.random.multinomial(n, weights / weights.sum())
+        p = np.asarray(weights, dtype=np.float64)
+        p = p / p.sum()
+        numbers = np.random.multinomial(n, p)
         if ensure_all_occur:
             numbers += 1
         indices = indices.repeat(numbers)

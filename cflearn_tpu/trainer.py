@@ -393,6 +393,35 @@ class Trainer(ITrainer):
         start_t = time.time()
         has_ckpt = False
 
+        try:
+            terminate, has_ckpt = self._loop(state, batcher, model, terminate, has_ckpt)
+        except KeyboardInterrupt:
+            # graceful terminate (reference `trainer.py:348-352`; re-raise in
+            # multi-process settings so the whole fleet stops)
+            if jax.process_count() > 1:
+                raise
+            print("> keyboard interrupt — terminating gracefully")
+
+        # rollback to best checkpoint (reference `trainer.py:363-366`) --------
+        self._sync_state_to_model()
+        if has_ckpt and is_local_rank_0():
+            self.restore_checkpoint()
+
+        if not skip_final_evaluation:
+            with state.disable_logging:
+                self.final_results = self._get_metrics(portion=self.config.valid_portion)
+        if self.final_results is not None:
+            self._log_metrics_msg(self.final_results)
+        if not has_ckpt and is_local_rank_0():
+            score = self.final_results.final_score if self.final_results is not None else 0.0
+            self.save_checkpoint(score)
+
+        for callback in self.callbacks:
+            callback.finalize(self)
+        self._fit_wall_time = time.time() - start_t
+        return self
+
+    def _loop(self, state: TrainerState, batcher: DeviceBatcher, model: IDLModel, terminate: bool, has_ckpt: bool) -> Tuple[bool, bool]:
         while state.should_train and not terminate:
             state.epoch += 1
             for np_batch in batcher:
@@ -440,25 +469,7 @@ class Trainer(ITrainer):
                     if monitor_results.terminate:
                         terminate = True
                         break
-
-        # rollback to best checkpoint (reference `trainer.py:363-366`) --------
-        self._sync_state_to_model()
-        if has_ckpt and is_local_rank_0():
-            self.restore_checkpoint()
-
-        if not skip_final_evaluation:
-            with state.disable_logging:
-                self.final_results = self._get_metrics(portion=self.config.valid_portion)
-        if self.final_results is not None:
-            self._log_metrics_msg(self.final_results)
-        if not has_ckpt and is_local_rank_0():
-            score = self.final_results.final_score if self.final_results is not None else 0.0
-            self.save_checkpoint(score)
-
-        for callback in self.callbacks:
-            callback.finalize(self)
-        self._fit_wall_time = time.time() - start_t
-        return self
+        return terminate, has_ckpt
 
     def _init_finetune(self, model: IDLModel, full_state: Any) -> Any:
         """Load a pretrained checkpoint and freeze params by regex (reference
