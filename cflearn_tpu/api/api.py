@@ -68,8 +68,9 @@ def fit_ml(
         config = MLConfig(module_name="fcnn")
     if config.model == "common":
         # reference auto-resolves ML models to the ml.* family
-        # (`schema.py:2018-2023`)
-        config.model = "ml.common"
+        # (`schema.py:2018-2023`): prefer a specialized `ml.<module>` model
+        specialized = f"ml.{config.module_name}"
+        config.model = specialized if IDLModel.has(specialized) else "ml.common"
     if debug or check_is_ci():
         config.to_debug()
     data = _make_ml_data(

@@ -120,7 +120,8 @@ def flash_attention(
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
 
-    # pad head dim to the 128-lane tile and lengths to block multiples.
+    # Mosaic pads sub-128 lane dims inside the kernel, so the head dim stays
+    # unpadded (no materialized pad/slice ops in XLA around every call).
     # Large blocks amortize per-program overhead (measured 5x on v5e at
     # 4096-seq SD shapes); shrink when the padded head dim eats VMEM.
     d_pad = _round_up(d, 128)
@@ -135,14 +136,14 @@ def flash_attention(
         block_k = block_k or min(auto, _round_up(kv_len, 128))
     q_len_pad = _round_up(q_len, block_q)
     kv_len_pad = _round_up(kv_len, block_k)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_len_pad - q_len), (0, d_pad - d)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_len_pad - kv_len), (0, d_pad - d)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_len_pad - kv_len), (0, d_pad - d)))
+    qp = q if q_len_pad == q_len else jnp.pad(q, ((0, 0), (0, 0), (0, q_len_pad - q_len), (0, 0)))
+    kp = k if kv_len_pad == kv_len else jnp.pad(k, ((0, 0), (0, 0), (0, kv_len_pad - kv_len), (0, 0)))
+    vp = v if kv_len_pad == kv_len else jnp.pad(v, ((0, 0), (0, 0), (0, kv_len_pad - kv_len), (0, 0)))
 
     bh = b * h
-    qp = qp.reshape(bh, q_len_pad, d_pad)
-    kp = kp.reshape(bh, kv_len_pad, d_pad)
-    vp = vp.reshape(bh, kv_len_pad, d_pad)
+    qp = qp.reshape(bh, q_len_pad, d)
+    kp = kp.reshape(bh, kv_len_pad, d)
+    vp = vp.reshape(bh, kv_len_pad, d)
 
     grid = (bh, q_len_pad // block_q, kv_len_pad // block_k)
     kernel = functools.partial(
@@ -157,14 +158,14 @@ def flash_attention(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d_pad), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d_pad), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, q_len_pad, d_pad), q.dtype),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, q_len_pad, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
@@ -175,7 +176,9 @@ def flash_attention(
         ),
         interpret=_INTERPRET,
     )(qp, kp, vp)
-    out = out.reshape(b, h, q_len_pad, d_pad)[:, :, :q_len, :d]
+    out = out.reshape(b, h, q_len_pad, d)
+    if q_len_pad != q_len:
+        out = out[:, :, :q_len]
     return out
 
 

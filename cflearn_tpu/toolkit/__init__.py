@@ -30,3 +30,4 @@ from .misc import (
 )
 from .init_summary import Initializer, summary
 from .contexts import auto_num_layers, eval_context, gradient_checkpoint, no_grad_context, train_context
+from ..ops.attention import sdp_attn  # reference `toolkit.py:911` parity
