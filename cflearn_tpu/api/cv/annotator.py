@@ -52,9 +52,29 @@ class CannyAnnotator(Annotator):
 
 @Annotator.register("softedge")
 class SoftEdgeAnnotator(Annotator):
-    """Sobel-magnitude soft edges (HED stand-in until the net is converted)."""
+    """Soft edges: the HED net when a checkpoint is available (reference
+    vendored `third_party/hed.py`), else sobel magnitude."""
+
+    def __init__(self, hed_ckpt: Any = None) -> None:
+        self._hed = None
+        if hed_ckpt:
+            from .third_party.hed import load_hed
+
+            self._hed = load_hed(hed_ckpt)
 
     def annotate(self, image: np.ndarray, **kwargs: Any) -> np.ndarray:
+        if self._hed is not None:
+            import jax.numpy as jnp
+
+            img = self._norm(image).astype(np.float32)
+            squeeze = img.ndim == 3
+            batch = img[None] if squeeze else img
+            edge = np.asarray(self._hed(jnp.asarray(batch)))
+            out = np.repeat((edge * 255).astype(np.uint8), 3, axis=-1)
+            return out[0] if squeeze else out
+        return self._sobel(image)
+
+    def _sobel(self, image: np.ndarray, **kwargs: Any) -> np.ndarray:
         import cv2
 
         image = self._norm(image)

@@ -122,15 +122,46 @@ class ViTEncoder(nnx.Module):
         return self.encoder(tokens, return_tokens=return_tokens)
 
 
+class _VGGStage(nnx.Module):
+    def __init__(self, in_ch: int, out_ch: int, num_convs: int, *, rngs: nnx.Rngs) -> None:
+        convs = []
+        ch = in_ch
+        for _ in range(num_convs):
+            convs.append(nnx.Conv(ch, out_ch, kernel_size=(3, 3), padding="SAME", rngs=rngs))
+            ch = out_ch
+        self.convs = nnx.List(convs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for conv in self.convs:
+            x = jax.nn.relu(conv(x))
+        return nnx.max_pool(x, (2, 2), strides=(2, 2))
+
+
+class _MBConvStage(nnx.Module):
+    """MobileNet-style: depthwise stride-2 + pointwise."""
+
+    def __init__(self, in_ch: int, out_ch: int, *, rngs: nnx.Rngs) -> None:
+        self.dw = nnx.Conv(in_ch, in_ch, kernel_size=(3, 3), strides=(2, 2), padding="SAME",
+                           feature_group_count=in_ch, rngs=rngs)
+        self.pw = nnx.Conv(in_ch, out_ch, kernel_size=(1, 1), rngs=rngs)
+        self.bn = nnx.BatchNorm(out_ch, rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return jax.nn.relu6(self.bn(self.pw(self.dw(x))))
+
+
 @register_module("backbone")
 @encoders.register("backbone")
 class BackboneEncoder(nnx.Module):
-    """Named-backbone wrapper (reference `encoder/backbone/api.py:33`).
+    """Named-backbone wrapper (reference `encoder/backbone/api.py:33` +
+    presets under `backbone/models/` for vgg/mobilenet/vit).
 
     The reference wraps torchvision backbones through
     `IntermediateLayerGetter`; here backbones are in-repo conv stacks
-    registered by name (torchvision is torch-only). Feature pyramid output.
+    registered by preset name — feature pyramid output via `return_stages`.
     """
+
+    presets = ("simple", "vgg16", "mobilenet")
 
     def __init__(
         self,
@@ -141,15 +172,29 @@ class BackboneEncoder(nnx.Module):
         num_stages: int = 4,
         rngs: nnx.Rngs,
     ) -> None:
-        stages = []
-        ch = in_channels
-        out = max(32, latent_channels // (2 ** (num_stages - 1)))
-        for _ in range(num_stages):
-            stages.append(
-                nnx.Conv(ch, out, kernel_size=(3, 3), strides=(2, 2), padding="SAME", rngs=rngs)
-            )
-            ch = out
-            out = min(latent_channels, out * 2)
+        self.name = name
+        stages: List[Any] = []
+        if name == "vgg16":
+            cfg = [(in_channels, 64, 2), (64, 128, 2), (128, 256, 3), (256, 512, 3)][:num_stages]
+            for i, o, n in cfg:
+                stages.append(_VGGStage(i, o, n, rngs=rngs))
+            ch = cfg[-1][1]
+        elif name == "mobilenet":
+            ch = in_channels
+            out = max(32, latent_channels // (2 ** (num_stages - 1)))
+            for _ in range(num_stages):
+                stages.append(_MBConvStage(ch, out, rngs=rngs))
+                ch = out
+                out = min(latent_channels, out * 2)
+        else:
+            ch = in_channels
+            out = max(32, latent_channels // (2 ** (num_stages - 1)))
+            for _ in range(num_stages):
+                stages.append(
+                    nnx.Conv(ch, out, kernel_size=(3, 3), strides=(2, 2), padding="SAME", rngs=rngs)
+                )
+                ch = out
+                out = min(latent_channels, out * 2)
         self.stages = nnx.List(stages)
         self.latent_channels = ch
 
@@ -157,7 +202,10 @@ class BackboneEncoder(nnx.Module):
         feats = []
         net = x
         for stage in self.stages:
-            net = jax.nn.relu(stage(net))
+            if isinstance(stage, nnx.Conv):
+                net = jax.nn.relu(stage(net))
+            else:
+                net = stage(net)
             feats.append(net)
         if return_stages:
             return feats
