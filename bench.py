@@ -20,6 +20,12 @@ import json
 import time
 
 import jax
+
+# persistent compilation cache: the full-pipeline program takes minutes to
+# compile through the remote compiler; cache hits make reruns start in seconds
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/cflearn_tpu/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx

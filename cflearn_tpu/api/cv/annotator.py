@@ -113,6 +113,37 @@ class DepthAnnotator(Annotator):
         return out[0] if squeeze else out
 
 
+@Annotator.register("pose")
+class PoseAnnotator(Annotator):
+    """Body pose hints via the OpenPose net (reference vendored
+    `third_party/openpose/`); requires a converted `body_pose_model`
+    checkpoint — raises a clear error otherwise."""
+
+    def __init__(self, ckpt: Any = None) -> None:
+        self._net = None
+        if ckpt:
+            from .third_party.openpose import load_openpose
+
+            self._net = load_openpose(ckpt)
+
+    def annotate(self, image: np.ndarray, **kwargs: Any) -> np.ndarray:
+        if self._net is None:
+            raise ValueError(
+                "pose annotation needs a converted body_pose_model checkpoint "
+                "(Annotator.make('pose', {'ckpt': path}))"
+            )
+        import jax.numpy as jnp
+
+        from .third_party.openpose import render_keypoints
+
+        img = self._norm(image).astype(np.float32) / 255.0 - 0.5
+        squeeze = img.ndim == 3
+        batch = img[None] if squeeze else img
+        _, heatmaps = self._net(jnp.asarray(batch))
+        out = render_keypoints(np.asarray(heatmaps), batch.shape[1:3])
+        return out[0] if squeeze else out
+
+
 class ControlNetHints:
     """Hint-type enum (reference `ControlNetHints`, :1662)."""
 
