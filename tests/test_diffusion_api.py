@@ -1,0 +1,117 @@
+"""DiffusionAPI end-to-end flows on a tiny LDM (reference analogue: the
+examples-driven diffusion tests)."""
+
+import numpy as np
+import pytest
+from flax import nnx
+
+from cflearn_tpu.api.multimodal.diffusion import ControlledDiffusionAPI, DiffusionAPI
+from cflearn_tpu.modules.multimodal.diffusion.cond_models import CLIPTextConditionModel
+from cflearn_tpu.modules.multimodal.diffusion.ldm import LDM
+from cflearn_tpu.modules.multimodal.diffusion.unet import ControlNet
+
+
+@pytest.fixture(scope="module")
+def tiny_api() -> DiffusionAPI:
+    rngs = nnx.Rngs(0)
+    ldm = LDM(
+        img_size=8,
+        in_channels=4,
+        out_channels=4,
+        num_timesteps=50,
+        condition_model=CLIPTextConditionModel(latent_dim=32, num_layers=1, num_heads=2, rngs=rngs),
+        unet_config=dict(
+            start_channels=32,
+            num_res_blocks=1,
+            channel_multipliers=(1, 2),
+            attention_downsample_rates=(1,),
+            num_heads=4,
+            context_dim=32,
+        ),
+        first_stage_config=dict(
+            img_size=64,
+            inner_channels=32,
+            z_channels=4,
+            embedding_channels=4,
+            channel_multipliers=[1, 2, 2, 2],
+            num_res_blocks=1,
+        ),
+        rngs=rngs,
+    )
+    return DiffusionAPI(ldm)
+
+
+def test_txt2img_deterministic(tiny_api) -> None:
+    a = tiny_api.txt2img("a cat", size=(64, 64), num_steps=2, seed=7)
+    b = tiny_api.txt2img("a cat", size=(64, 64), num_steps=2, seed=7)
+    assert a.shape == (1, 64, 64, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
+    c = tiny_api.txt2img("a cat", size=(64, 64), num_steps=2, seed=8)
+    assert not np.array_equal(a, c)
+
+
+def test_img2img_and_inpainting(tiny_api) -> None:
+    base = tiny_api.txt2img("x", size=(64, 64), num_steps=2, seed=0)
+    i2i = tiny_api.img2img(base, cond="y", fidelity=0.5, num_steps=3, seed=1)
+    assert i2i.shape == base.shape
+    mask = np.zeros((64, 64))
+    mask[16:48, 16:48] = 1
+    inp = tiny_api.inpainting(base, mask, cond="z", num_steps=2, seed=2)
+    assert inp.shape == base.shape
+
+
+def test_sampler_switch_and_variations(tiny_api) -> None:
+    tiny_api.switch_sampler("k_euler_a")
+    out = tiny_api.txt2img("s", size=(64, 64), num_steps=2, seed=3)
+    assert out.shape == (1, 64, 64, 3)
+    tiny_api.switch_sampler("ddim")
+    var = tiny_api.sample(1, cond="v", size=(64, 64), num_steps=2, seed=4, variations=[(9, 0.4)])
+    assert var.shape == (1, 64, 64, 3)
+    with pytest.raises(ValueError):
+        tiny_api.switch_sampler("not_a_sampler")
+
+
+def test_tome(tiny_api) -> None:
+    base = tiny_api.txt2img("t", size=(64, 64), num_steps=2, seed=5)
+    tiny_api.set_tome_ratio(0.5)
+    merged = tiny_api.txt2img("t", size=(64, 64), num_steps=2, seed=5)
+    tiny_api.set_tome_ratio(0.0)
+    assert merged.shape == base.shape
+    # below compute_merge's min_tokens the merge is gated OFF → identical
+    np.testing.assert_array_equal(base, merged)
+    # at real token counts the merge is active and lossy
+    import jax
+    import jax.numpy as jnp
+
+    from cflearn_tpu.modules.core.mixed_stacks import SpatialTransformer
+
+    sp = SpatialTransformer(32, 4, 8, context_dim=32, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 32))
+    a = sp(x, ctx)
+    sp.set_tome_ratio(0.5)
+    b = sp(x, ctx)
+    assert not bool(jnp.allclose(a, b, atol=1e-5))
+
+
+def test_controlled_api(tiny_api) -> None:
+    control = ControlNet(
+        hint_channels=3,
+        in_channels=4,
+        start_channels=32,
+        num_res_blocks=1,
+        channel_multipliers=(1, 2),
+        attention_downsample_rates=(1,),
+        num_heads=4,
+        context_dim=32,
+        rngs=nnx.Rngs(1),
+    )
+    api = ControlledDiffusionAPI(tiny_api.m)
+    api.prepare_control("canny", control)
+    hint = (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
+    edges = api.get_hint_of("canny", hint)
+    out = api.sample_with_control(1, {"canny": edges}, cond="c", size=(64, 64), num_steps=2, seed=0)
+    assert out.shape == (1, 64, 64, 3)
+    api.switch_control()  # drop all
+    with pytest.raises(ValueError):
+        api.sample_with_control(1, {"canny": edges}, size=(64, 64), num_steps=2)
