@@ -181,24 +181,56 @@ class DiffusionAPI(IAPI):
             fn = jax.jit(_run)
 
         elif kind == "inpainting":
+            # two flavors (reference :1050 + `from_sd_inpainting`):
+            # * 9-channel inpainting UNet → hybrid cond (concat mask+masked
+            #   latents, cross-attn text);
+            # * plain UNet → repaint-style latent blending.
+            uses_inpaint_unet = self.m.unet.in_channels > self.m.out_channels
 
             def _run(st: Any, tokens: jax.Array, uncond_tokens: jax.Array, image: jax.Array, mask: jax.Array, key: jax.Array) -> jax.Array:
+                from ...modules.multimodal.diffusion.utils import (
+                    CONCAT_TYPE,
+                    CROSS_ATTN_TYPE,
+                )
+
                 m = nnx.merge(graphdef, st)
-                cond = m.get_cond(tokens)
-                uncond = m.get_cond(uncond_tokens) if guidance != 1.0 else None
+                text = m.get_cond(tokens)
+                text_u = m.get_cond(uncond_tokens) if guidance != 1.0 else None
+                masked = image * (1.0 - mask)
                 z0 = m.encode_first_stage(image)
+                zm = m.encode_first_stage(masked)
                 b, lh, lw, lc = z0.shape
-                # latent-space mask + repaint loop via masked blending each step
                 latent_mask = jax.image.resize(mask, (b, lh, lw, 1), "nearest")
                 sampler = ISampler.make(sampler_name, dict(sampler_config, model=m))
                 k1, k2 = jax.random.split(key)
                 z = jax.random.normal(k1, z0.shape, z0.dtype)
-                latents = sampler.sample(
-                    z, cond=cond, uncond=uncond, guidance_scale=guidance,
-                    num_steps=num_steps, key=k2,
-                )
-                # blend: keep unmasked regions from the original latents
-                latents = latents * latent_mask + z0 * (1.0 - latent_mask)
+                if uses_inpaint_unet:
+                    # hybrid conditioning: mask + masked latents concat to the
+                    # UNet input, text through cross-attention. The sampler's
+                    # CFG batching concatenates conds, so pack concat+context
+                    # channels into one context tensor is not possible —
+                    # instead run with condition_type hybrid via dict cond.
+                    concat = jnp.concatenate([latent_mask, zm], axis=-1)
+                    cond = {CONCAT_TYPE: concat, CROSS_ATTN_TYPE: text}
+                    uncond = (
+                        {CONCAT_TYPE: concat, CROSS_ATTN_TYPE: text_u}
+                        if text_u is not None
+                        else None
+                    )
+                    backup = m.condition_type
+                    m.condition_type = "hybrid"
+                    latents = sampler.sample(
+                        z, cond=cond, uncond=uncond, guidance_scale=guidance,
+                        num_steps=num_steps, key=k2,
+                    )
+                    m.condition_type = backup
+                else:
+                    latents = sampler.sample(
+                        z, cond=text, uncond=text_u, guidance_scale=guidance,
+                        num_steps=num_steps, key=k2,
+                    )
+                    # repaint blend: keep unmasked regions from the original
+                    latents = latents * latent_mask + z0 * (1.0 - latent_mask)
                 return m.decode(latents)
 
             fn = jax.jit(_run)

@@ -77,7 +77,10 @@ class ISampler(WithRegister):
             return m.predict_eps_from(x, t.astype(jnp.int32), out)
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
-        c2 = jnp.concatenate([cond, uncond], axis=0)
+        # cond may be a pytree (hybrid concat+cross_attn conditioning)
+        c2 = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), cond, uncond
+        )
         if kwargs.get("control_hint") is not None:
             kwargs = dict(kwargs)
             hint = kwargs["control_hint"]
