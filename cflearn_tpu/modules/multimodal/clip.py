@@ -61,9 +61,9 @@ class CLIPMLP(nnx.Module):
 
 class CLIPBlock(nnx.Module):
     def __init__(self, dim: int, num_heads: int, *, activation: str = "quick_gelu", rngs: nnx.Rngs) -> None:
-        self.ln_1 = nnx.LayerNorm(dim, rngs=rngs)
+        self.ln_1 = nnx.LayerNorm(dim, epsilon=1e-5, rngs=rngs)
         self.attn = CLIPAttention(dim, num_heads, rngs=rngs)
-        self.ln_2 = nnx.LayerNorm(dim, rngs=rngs)
+        self.ln_2 = nnx.LayerNorm(dim, epsilon=1e-5, rngs=rngs)
         self.mlp = CLIPMLP(dim, activation=activation, rngs=rngs)
 
     def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
@@ -99,7 +99,7 @@ class TeTEncoder(nnx.Module):
         self.blocks = nnx.List(
             [CLIPBlock(latent_dim, num_heads, activation=activation, rngs=rngs) for _ in range(num_layers)]
         )
-        self.ln_final = nnx.LayerNorm(latent_dim, rngs=rngs)
+        self.ln_final = nnx.LayerNorm(latent_dim, epsilon=1e-5, rngs=rngs)
 
     def __call__(
         self,
@@ -161,11 +161,11 @@ class CLIPVisionTower(nnx.Module):
         self.positional_embedding = nnx.Param(
             jax.random.normal(rngs.params(), (num_patches + 1, latent_dim)) * 0.02
         )
-        self.ln_pre = nnx.LayerNorm(latent_dim, rngs=rngs)
+        self.ln_pre = nnx.LayerNorm(latent_dim, epsilon=1e-5, rngs=rngs)
         self.blocks = nnx.List(
             [CLIPBlock(latent_dim, num_heads, activation=activation, rngs=rngs) for _ in range(num_layers)]
         )
-        self.ln_post = nnx.LayerNorm(latent_dim, rngs=rngs)
+        self.ln_post = nnx.LayerNorm(latent_dim, epsilon=1e-5, rngs=rngs)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         net = self.conv(x)  # (B, H/p, W/p, D)
