@@ -194,7 +194,7 @@ class MultiHeadSpatialAttention(nnx.Module):
             num_heads = in_channels // num_head_channels
         assert num_heads is not None and in_channels % num_heads == 0
         self.num_heads = num_heads
-        self.norm = nnx.GroupNorm(in_channels, num_groups=num_groups, rngs=rngs)
+        self.norm = nnx.GroupNorm(in_channels, num_groups=num_groups, epsilon=1e-5, rngs=rngs)
         self.to_qkv = nnx.Linear(in_channels, 3 * in_channels, rngs=rngs)
         self.to_out = nnx.Linear(in_channels, in_channels, rngs=rngs)
 

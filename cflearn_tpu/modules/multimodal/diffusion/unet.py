@@ -193,7 +193,7 @@ class UNetDiffuser(nnx.Module):
                 output_blocks.append(_InBlock(mods))
         self.output_blocks = nnx.List(output_blocks)
 
-        self.norm_out = nnx.GroupNorm(ch, num_groups=32, rngs=rngs)
+        self.norm_out = nnx.GroupNorm(ch, num_groups=32, epsilon=1e-5, rngs=rngs)
         self.conv_out = zero_module(
             nnx.Conv(ch, out_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
         )
