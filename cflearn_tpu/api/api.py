@@ -237,6 +237,24 @@ def supported_modules() -> List[str]:
     return module_registry.keys()
 
 
+def supported_samplers() -> List[str]:
+    from ..modules.multimodal.diffusion.samplers import ISampler
+
+    return sorted(ISampler.d)
+
+
+def supported_optimizers() -> List[str]:
+    from ..optimizers import optimizer_dict
+
+    return sorted(optimizer_dict)
+
+
+def supported_schedulers() -> List[str]:
+    from ..schedulers import scheduler_dict
+
+    return sorted(scheduler_dict)
+
+
 # ----------------------------------------------------------------------------
 # distributed experiment entry points
 # ----------------------------------------------------------------------------

@@ -10,3 +10,4 @@ from .api import (
 )
 from .blocks import Block
 from .common import Pipeline
+from .export import aot_compile, export_model, load_exported, pack_stablehlo
