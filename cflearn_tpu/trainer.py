@@ -235,6 +235,24 @@ class Trainer(ITrainer):
             callback.mutate_train_forward_kwargs(forward_kwargs, self)
             callback.mutate_train_loss_kwargs(loss_kwargs, self)
 
+        # finetune freezing: per-scope boolean mask trees over the diff params
+        # (reference sets requires_grad=False, `trainer.py:457-493`; here the
+        # functional equivalent zeroes grads before the optimizer — matching
+        # the reference's clipping semantics — and updates after it, so
+        # decoupled weight decay cannot move frozen leaves either)
+        freeze_masks: Dict[str, Any] = {}
+        if self._frozen_paths:
+            from .toolkit.tree import _key_entry_to_str
+
+            for scope in sorted({ts.scope for ts in train_steps}):
+                _, diff0, _ = nnx.split(model, model.params_filter(scope), ...)
+                flat, treedef = jax.tree_util.tree_flatten_with_path(diff0)
+                mask_leaves = [
+                    "/".join(_key_entry_to_str(p) for p in path) in self._frozen_paths
+                    for path, _ in flat
+                ]
+                freeze_masks[scope] = jax.tree_util.tree_unflatten(treedef, mask_leaves)
+
     # one XLA program: all train steps + optimizer updates + post-step hooks
         def _fn(
             full_state: Any,
@@ -261,7 +279,16 @@ class Trainer(ITrainer):
 
                 grads, (losses, new_rest) = jax.grad(loss_fn, has_aux=True)(diff)
                 new_rest = _refresh(new_rest)
+                fmask = freeze_masks.get(ts.scope)
+                if fmask is not None:
+                    grads = jax.tree_util.tree_map(
+                        lambda g, fz: jnp.zeros_like(g) if fz else g, grads, fmask
+                    )
                 updates, new_opt = txs[ts.scope].update(grads, opt_states[ts.scope], diff)
+                if fmask is not None:
+                    updates = jax.tree_util.tree_map(
+                        lambda u, fz: jnp.zeros_like(u) if fz else u, updates, fmask
+                    )
                 scale = lr_scales.get(ts.scope)
                 if scale is not None:
                     updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
@@ -402,9 +429,11 @@ class Trainer(ITrainer):
                 raise
             print("> keyboard interrupt — terminating gracefully")
 
-        # rollback to best checkpoint (reference `trainer.py:363-366`) --------
+        # rollback to best checkpoint (reference `trainer.py:363-366`).
+        # All processes restore (reads are safe on every rank) so model state
+        # stays consistent across hosts for subsequent collective eval.
         self._sync_state_to_model()
-        if has_ckpt and is_local_rank_0():
+        if has_ckpt:
             self.restore_checkpoint()
 
         if not skip_final_evaluation:

@@ -95,18 +95,32 @@ def test_finetune_freeze(tmp_path) -> None:
     model = IDLModel.from_config(config)
     ckpt = str(tmp_path / "pre.npz")
     model.save(ckpt)
+    pretrained = {k: np.asarray(v) for k, v in model.state_dict().items()}
     model2 = IDLModel.from_config(config)
     trainer = Trainer(
         TrainerConfig(
             workspace=str(tmp_path),
-            fixed_steps=1,
+            fixed_steps=4,
             callback_names=[],
             finetune_config={"pretrained_ckpt": ckpt, "freeze": "head"},
         ),
         monitors=[LazyMonitor()],
     )
-    trainer.fit(ArrayData.init().fit(x, y), model2)
-    assert any("head" in p for p in trainer._frozen_paths)
+    trainer.fit(ArrayData.init().fit(x, y), model2, skip_final_evaluation=True)
+    frozen = trainer._frozen_paths
+    assert any("head" in p for p in frozen)
+    assert any(p not in frozen for p in pretrained)
+    # frozen params must be bit-identical to the pretrained checkpoint after
+    # real optimization steps; trainable params must have moved
+    after = model2.state_dict()
+    moved = 0
+    for k, before in pretrained.items():
+        now = np.asarray(after[k])
+        if k in frozen:
+            np.testing.assert_array_equal(now, before, err_msg=f"frozen {k} moved")
+        elif not np.array_equal(now, before):
+            moved += 1
+    assert moved > 0, "no trainable params moved"
 
 
 def test_tp_placement_rules() -> None:
