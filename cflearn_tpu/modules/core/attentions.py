@@ -85,8 +85,12 @@ class Attention(nnx.Module):
         v: Optional[jax.Array] = None,
         *,
         mask: Optional[jax.Array] = None,
+        bias: Optional[jax.Array] = None,
         causal: bool = False,
     ) -> jax.Array:
+        """`mask` follows the reference convention (`attentions.py:212`):
+        True marks slots to be zeroed/masked OUT (inverted before SDPA, which
+        wants True = keep). `bias` is an additive logits bias."""
         if self.is_self_attention:
             qkv = self.in_proj(q)
             q_, k_, v_ = jnp.split(qkv, 3, axis=-1)
@@ -98,7 +102,10 @@ class Attention(nnx.Module):
         kh = _split_heads(k_, self.num_heads)
         vh = _split_heads(v_, self.num_heads)
         training = self.dropout is not None and not self.dropout.deterministic
-        out = sdp_attn(qh, kh, vh, sm_scale=self.scale, mask=mask, causal=causal, training=training)
+        keep = None if mask is None else jnp.logical_not(mask)
+        out = sdp_attn(
+            qh, kh, vh, sm_scale=self.scale, mask=keep, bias=bias, causal=causal, training=training
+        )
         out = _merge_heads(out)
         if self.dropout is not None:
             out = self.dropout(out)
@@ -149,7 +156,9 @@ class CrossAttention(nnx.Module):
         kh = _split_heads(k, self.heads)
         vh = _split_heads(v, self.heads)
         training = self.dropout is not None and not self.dropout.deterministic
-        out = sdp_attn(qh, kh, vh, sm_scale=self.scale, mask=mask, training=training)
+        # reference convention: mask marks slots to be zeroed (`attentions.py:559`)
+        keep = None if mask is None else jnp.logical_not(mask)
+        out = sdp_attn(qh, kh, vh, sm_scale=self.scale, mask=keep, training=training)
         out = _merge_heads(out)
         out = self.to_out(out)
         if self.dropout is not None:
@@ -239,30 +248,29 @@ class LinearDepthWiseAttention(nnx.Module):
 
 @register_attention("decayed")
 class DecayedAttention(Attention):
-    """Attention with a learned per-position decay mask (reference
-    `attentions.py:283`)."""
+    """Attention with a fixed per-position decay (reference
+    `attentions.py:283-327`). The reference multiplies post-softmax weights
+    by `exp(-(0.1**(h+3)) * (i-j)^2)` (lower triangle; 1 above the diagonal)
+    and renormalizes — exactly equivalent to adding the log of that decay to
+    the logits, which is how it is applied here (additive `bias`, SDPA-fusable)."""
 
     def __init__(self, input_dim: int, num_heads: int = 1, *, seq_len: int, dropout: float = 0.0, rngs: nnx.Rngs, **kwargs: Any) -> None:
         super().__init__(input_dim, num_heads, dropout=dropout, rngs=rngs, **kwargs)
-        mask = np_decay_mask(seq_len, num_heads)
-        self.decay_mask = nnx.Variable(jnp.asarray(mask))
+        self.decay_bias = nnx.Variable(jnp.asarray(np_decay_log_bias(seq_len, num_heads)))
 
     def __call__(self, q: jax.Array, k: Optional[jax.Array] = None, v: Optional[jax.Array] = None, **kwargs: Any) -> jax.Array:
-        kwargs["mask"] = self.decay_mask.value[None]
+        kwargs["bias"] = self.decay_bias.value[None]
         return super().__call__(q, k, v, **kwargs)
 
 
-def np_decay_mask(seq_len: int, num_heads: int) -> Any:
+def np_decay_log_bias(seq_len: int, num_heads: int) -> Any:
+    """Additive log-domain equivalent of the reference's multiplicative decay
+    (`attentions.py:313-327`): bias[h, i, j] = -(0.1**(h+3)) * (i-j)^2 for
+    j <= i, 0 above the diagonal."""
     import numpy as np
 
-    mask = np.zeros((num_heads, seq_len, seq_len), dtype=np.float32)
-    for h in range(num_heads):
-        gamma = 1.0 - 2.0 ** (-5.0 - h)
-        for i in range(seq_len):
-            for j in range(seq_len):
-                if j <= i:
-                    mask[h, i, j] = gamma ** (i - j)
-    # convert to additive log-mask
-    with np.errstate(divide="ignore"):
-        log_mask = np.where(mask > 0, np.log(np.maximum(mask, 1e-30)), -1e30)
-    return log_mask
+    i = np.arange(seq_len)[:, None]
+    j = np.arange(seq_len)[None, :]
+    sq = np.where(j <= i, (i - j).astype(np.float32) ** 2, 0.0)
+    rates = np.asarray([0.1 ** (h + 3) for h in range(num_heads)], dtype=np.float32)
+    return -rates[:, None, None] * sq[None]

@@ -147,7 +147,13 @@ class UpsampleConv2d(nnx.Module):
 
 
 class Downsample(nnx.Module):
-    """Strided-conv (or avg-pool) downsample."""
+    """Strided-conv (or avg-pool) downsample.
+
+    Padding conventions differ across the reference stacks: the SD VAE
+    encoder pads asymmetrically (0,1,0,1) (`encoder/attn.py:25`), while the
+    SD UNet's `ResDownsample` uses a symmetric padding=1 stride-2 conv
+    (`core/convs/residual.py:94`). Default stays the VAE convention;
+    the UNet passes `symmetric=True`."""
 
     def __init__(
         self,
@@ -155,18 +161,19 @@ class Downsample(nnx.Module):
         out_channels: Optional[int] = None,
         *,
         use_conv: bool = True,
+        symmetric: bool = False,
         rngs: nnx.Rngs,
     ) -> None:
         out_channels = out_channels or in_channels
         self.use_conv = use_conv
         if use_conv:
-            # SD uses asymmetric padding (0,1,0,1) for stride-2 downsampling
+            pad = (1, 1) if symmetric else (0, 1)
             self.conv = nnx.Conv(
                 in_channels,
                 out_channels,
                 kernel_size=(3, 3),
                 strides=(2, 2),
-                padding=[(0, 1), (0, 1)],
+                padding=[pad, pad],
                 rngs=rngs,
             )
         else:

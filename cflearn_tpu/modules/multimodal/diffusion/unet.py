@@ -146,7 +146,9 @@ class UNetDiffuser(nnx.Module):
                 input_blocks.append(_InBlock(mods))
                 input_chans.append(ch)
             if level != len(channel_multipliers) - 1:
-                input_blocks.append(_InBlock([Downsample(ch, use_conv=True, rngs=rngs)]))
+                input_blocks.append(
+                    _InBlock([Downsample(ch, use_conv=True, symmetric=True, rngs=rngs)])
+                )
                 input_chans.append(ch)
                 ds *= 2
         self.input_blocks = nnx.List(input_blocks)
@@ -282,7 +284,12 @@ class ControlNet(nnx.Module):
         prev = hint_channels
         strides = [1, 1, 2, 1, 2, 1, 2]
         for c, s in zip(chs, strides):
-            mods.append(nnx.Conv(prev, c, kernel_size=(3, 3), strides=(s, s), padding="SAME", rngs=rngs))
+            # explicit symmetric padding=1 (torch convention, reference
+            # `unet.py:446-454`): XLA's stride-2 "SAME" pads (0,1) which would
+            # shift the conv window by one pixel vs converted weights
+            mods.append(
+                nnx.Conv(prev, c, kernel_size=(3, 3), strides=(s, s), padding=[(1, 1), (1, 1)], rngs=rngs)
+            )
             prev = c
         self.hint_blocks = nnx.List(mods)
         self.hint_out = zero_module(

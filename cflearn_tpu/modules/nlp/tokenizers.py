@@ -100,12 +100,27 @@ class CLIPTokenizer(ITokenizer):
         }
         self.sot_token = self.encoder["<|startoftext|>"]
         self.eot_token = self.encoder["<|endoftext|>"]
-        import re
+        # CLIP's pre-tokenization pattern: letter runs stay together, each
+        # digit is its own token, everything else (non-space) groups. Using
+        # `\w+` here would merge digits into one token ("2023" → one BPE word
+        # instead of '2</w>','0</w>','2</w>','3</w>') and silently mismatch
+        # pretrained CLIP/SD conditioning.
+        try:
+            import regex
 
-        self.pat = re.compile(
-            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\s\w]+|\w+",
-            re.IGNORECASE,
-        )
+            self.pat = regex.compile(
+                r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+                r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+                regex.IGNORECASE,
+            )
+        except ImportError:  # stdlib approximation of the unicode classes
+            import re
+
+            self.pat = re.compile(
+                r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+                r"|[^\W\d_]+|\d|[^\s\w]+|_+",
+                re.IGNORECASE,
+            )
 
     @staticmethod
     def _load_merges(bpe_path: Optional[str]) -> Optional[List[Tuple[str, str]]]:

@@ -142,3 +142,90 @@ def test_tokenizer_fallback() -> None:
     assert out.shape == (2, 77)
     assert out[0, 0] == tok.sot_token
     assert tok.eot_token in out[0]
+
+
+def test_clip_pretokenization_pattern() -> None:
+    """CLIP's pattern splits digits into single-character tokens and never
+    merges letters with digits — `\\w+` would (silently breaking pretrained
+    conditioning for any prompt with numbers)."""
+    from cflearn_tpu.modules.nlp.tokenizers import CLIPTokenizer
+
+    pat = CLIPTokenizer().pat
+    assert pat.findall("photo of 2023") == ["photo", "of", "2", "0", "2", "3"]
+    assert pat.findall("sd15 model") == ["sd", "1", "5", "model"]
+    assert pat.findall("it's a cat!!") == ["it", "'s", "a", "cat", "!!"]
+    assert pat.findall("café ça") == ["café", "ça"]
+
+
+def test_downsample_torch_padding_parity() -> None:
+    """Stride-2 downsample window alignment vs torch, both conventions:
+    the UNet's ResDownsample is a symmetric padding=1 conv (reference
+    `core/convs/residual.py:94`), the VAE encoder pads (0,1,0,1) then runs a
+    padding=0 conv (reference `encoder/attn.py:25`). A converted checkpoint
+    only matches if the conv windows align exactly."""
+    import torch
+    import torch.nn.functional as F
+    from flax import nnx
+
+    from cflearn_tpu.modules.core.convs import Downsample
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 8, 10, 10).astype(np.float32)  # NCHW (torch)
+    w = rng.randn(8, 8, 3, 3).astype(np.float32)
+    b = rng.randn(8).astype(np.float32)
+
+    tx = torch.from_numpy(x)
+    tw, tb = torch.from_numpy(w), torch.from_numpy(b)
+    ref_unet = F.conv2d(tx, tw, tb, stride=2, padding=1).numpy()
+    ref_vae = F.conv2d(F.pad(tx, (0, 1, 0, 1)), tw, tb, stride=2, padding=0).numpy()
+
+    for symmetric, ref in [(True, ref_unet), (False, ref_vae)]:
+        down = Downsample(8, use_conv=True, symmetric=symmetric, rngs=nnx.Rngs(0))
+        down.conv.kernel.value = jnp.asarray(w.transpose(2, 3, 1, 0))  # OIHW→HWIO
+        down.conv.bias.value = jnp.asarray(b)
+        out = np.asarray(down(jnp.asarray(x.transpose(0, 2, 3, 1))))  # NHWC
+        np.testing.assert_allclose(out.transpose(0, 3, 1, 2), ref, atol=1e-5)
+
+
+def test_decayed_attention_matches_multiplicative_reference() -> None:
+    """The reference multiplies post-softmax weights by a decay matrix and
+    renormalizes (`attentions.py:322-327`); ours adds the log-decay to the
+    logits. These are mathematically identical — verify numerically."""
+    from cflearn_tpu.modules.core.attentions import DecayedAttention, np_decay_log_bias
+
+    seq_len, heads, dim = 6, 2, 8
+    attn = DecayedAttention(dim, heads, seq_len=seq_len, is_self_attention=True, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, seq_len, dim))
+    out = np.asarray(attn(x))
+
+    # numpy reference: softmax then multiplicative decay + renorm
+    qkv = np.asarray(attn.in_proj(x))
+    q, k, v = np.split(qkv, 3, axis=-1)
+    dh = dim // heads
+    q = q.reshape(1, seq_len, heads, dh).transpose(0, 2, 1, 3)
+    k = k.reshape(1, seq_len, heads, dh).transpose(0, 2, 1, 3)
+    v = v.reshape(1, seq_len, heads, dh).transpose(0, 2, 1, 3)
+    logits = q @ k.transpose(0, 1, 3, 2) / np.sqrt(dh)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    decay = np.exp(np_decay_log_bias(seq_len, heads))
+    w = w * decay[None]
+    w = w / (w.sum(-1, keepdims=True) + 1e-8)
+    ref = (w @ v).transpose(0, 2, 1, 3).reshape(1, seq_len, dim)
+    ref = np.asarray(attn.out_proj(jnp.asarray(ref)))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_attention_mask_polarity_zeroes_marked_slots() -> None:
+    """Reference convention (`attentions.py:212`): mask=True marks slots to
+    be zeroed out. A fully-masked key position must get zero weight."""
+    dim = 8
+    attn = Attention(dim, 2, is_self_attention=True, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, dim))
+    mask = np.zeros((1, 1, 4, 4), dtype=bool)
+    mask[..., -1] = True  # zero out the last key slot
+    out_masked = np.asarray(attn(x, mask=jnp.asarray(mask)))
+    # perturbing the masked-out position must not change the output of other queries
+    x2 = x.at[0, -1].set(x[0, -1] + 10.0)
+    out_masked2 = np.asarray(attn(x2, mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(out_masked[0, :3], out_masked2[0, :3], atol=1e-5)
