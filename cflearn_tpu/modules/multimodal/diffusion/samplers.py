@@ -83,12 +83,38 @@ class ISampler(WithRegister):
         )
         if kwargs.get("control_hint") is not None:
             kwargs = dict(kwargs)
-            hint = kwargs["control_hint"]
-            kwargs["control_hint"] = jnp.concatenate([hint, hint], axis=0)
+            # CFG-safe hint batching: single hint array or list of hints
+            kwargs["control_hint"] = jax.tree_util.tree_map(
+                lambda h: jnp.concatenate([h, h], axis=0), kwargs["control_hint"]
+            )
         out = m.denoise(x2, t2, c2, **kwargs)
         eps = m.predict_eps_from(x2, t2.astype(jnp.int32), out)
         eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
         return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+    def _pop_control_gate_schedule(
+        self, kwargs: Dict[str, Any], num_exec_steps: int
+    ) -> Tuple[Dict[str, Any], Optional[np.ndarray]]:
+        """Consume `control_hint_start`/`control_hint_end` kwargs and build a
+        static per-executed-step gate matrix (S, n_controls) — the TPU-native
+        form of the reference's per-step Python gating
+        (`ddpm.py:398-401`: start*total <= step <= end*total)."""
+        start = kwargs.pop("control_hint_start", None)
+        end = kwargs.pop("control_hint_end", None)
+        if start is None and end is None:
+            return kwargs, None
+        ch = kwargs.get("control_hint")
+        n = len(ch) if isinstance(ch, (list, tuple)) else 1
+        starts = list(start) if isinstance(start, (list, tuple)) else [start] * n
+        ends = list(end) if isinstance(end, (list, tuple)) else [end] * n
+        gates = np.ones((num_exec_steps, n), dtype=np.float32)
+        for i in range(n):
+            for s_idx in range(num_exec_steps):
+                if starts[i] is not None and starts[i] * num_exec_steps > s_idx:
+                    gates[s_idx, i] = 0.0
+                if ends[i] is not None and ends[i] * num_exec_steps < s_idx:
+                    gates[s_idx, i] = 0.0
+        return kwargs, gates
 
     def _np_acp(self) -> np.ndarray:
         """Host-side alphas_cumprod — recomputed from the model's static
@@ -155,17 +181,25 @@ class DDIMSampler(ISampler):
             key = jax.random.PRNGKey(0)
         keys = jax.random.split(key, len(order))
         b = z.shape[0]
+        kwargs, gates = self._pop_control_gate_schedule(dict(kwargs), len(order))
+        gates_r = None if gates is None else jnp.asarray(gates)
 
         def step(x: jax.Array, inputs: Any) -> Tuple[jax.Array, None]:
-            t, a_t, a_prev, sigma_t, k = inputs
+            if gates_r is None:
+                t, a_t, a_prev, sigma_t, k = inputs
+                kw = kwargs
+            else:
+                t, a_t, a_prev, sigma_t, k, g = inputs
+                kw = dict(kwargs, control_gates=g)
             tb = jnp.full((b,), t)
-            eps = self._denoise(x, tb, cond, uncond, guidance_scale, **kwargs)
+            eps = self._denoise(x, tb, cond, uncond, guidance_scale, **kw)
             x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * eps
             noise = sigma_t * jax.random.normal(k, x.shape, x.dtype)
             return jnp.sqrt(a_prev) * x0 + dir_xt + noise, None
 
-        out, _ = jax.lax.scan(step, z, (ts_r, a_r, ap_r, s_r, keys))
+        xs = (ts_r, a_r, ap_r, s_r, keys) if gates_r is None else (ts_r, a_r, ap_r, s_r, keys, gates_r)
+        out, _ = jax.lax.scan(step, z, xs)
         return out
 
     def sample_from(
@@ -540,32 +574,306 @@ class LCMSampler(ISampler):
         acp = self._np_acp()
         n_train = len(acp)
         ts = np.linspace(n_train - 1, 0, num_steps).round().astype(np.int64)
+        ts_next = np.concatenate([ts[1:], ts[-1:]])  # next (smaller) timestep
         a_r = jnp.asarray(acp[ts], dtype=z.dtype)
+        a_next_r = jnp.asarray(acp[ts_next], dtype=z.dtype)
+        is_last = jnp.arange(num_steps) == num_steps - 1
         ts_r = jnp.asarray(ts)
         if key is None:
             key = jax.random.PRNGKey(0)
         keys = jax.random.split(key, num_steps)
         b = z.shape[0]
+        # consistency-model boundary scaling (reference `lcm.py:66-71`):
+        # c_skip/c_out with sigma_data=0.5, t scaled by 1/0.1
+        sigma_data = 0.5
+        t_div = jnp.asarray(ts, dtype=jnp.float32) / 0.1
+        c_skip_r = sigma_data**2 / (t_div**2 + sigma_data**2)
+        c_out_r = t_div / jnp.sqrt(t_div**2 + sigma_data**2)
 
         def step(carry: Any, inputs: Any) -> Tuple[Any, None]:
             x, _ = carry
-            t, a_t, k = inputs
+            t, a_t, a_next, c_skip, c_out, last, k = inputs
             tb = jnp.full((b,), t)
             eps = self._denoise(x, tb, cond, uncond, guidance_scale, **kwargs)
             x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
-            # re-noise for all but conceptually-last steps; the scan re-noises
-            # every step and we keep x0 as the final output
+            denoised = c_out.astype(x.dtype) * x0 + c_skip.astype(x.dtype) * x
+            # re-noise at the NEXT timestep's noise level (reference
+            # `lcm.py:50-54` q_samples at `_t_index_prev`); skip on last step
             noise = jax.random.normal(k, x.shape, x.dtype)
-            x_new = jnp.sqrt(a_t) * x0 + jnp.sqrt(1.0 - a_t) * noise
-            return (x_new, x0), None
+            renoised = jnp.sqrt(a_next) * denoised + jnp.sqrt(1.0 - a_next) * noise
+            x_new = jnp.where(last, denoised, renoised)
+            return (x_new, denoised), None
 
-        (final_x, x0_out), _ = jax.lax.scan(step, (z, z), (ts_r, a_r, keys))
-        return x0_out
+        (final_x, _), _ = jax.lax.scan(
+            step, (z, z), (ts_r, a_r, a_next_r, c_skip_r, c_out_r, is_last, keys)
+        )
+        return final_x
 
     def sample_from(self, x0: jax.Array, **kwargs: Any) -> jax.Array:
         return _generic_sample_from(self, x0, **kwargs)
 
 
 @ISampler.register("solver")
-class DPMSolverSampler(KDPMpp2MSampler):
-    """DPM-Solver (reference `solver.py:23`) — 2M multistep variant."""
+class DPMSolverSampler(ISampler):
+    """Multistep DPM-Solver, orders 1-3 (reference `solver.py:23`).
+
+    Implements the discrete-schedule noise conversion (log-alpha
+    interpolation over the model's alphas_cumprod), `time_uniform` /
+    `logSNR` / `time_quadratic` skip types, and both data-prediction
+    (`predict_x0=True`, i.e. DPM-Solver++) and noise-prediction updates
+    with optional Imagen-style dynamic thresholding.
+
+    TPU-native structure: all timesteps are host-static, so every
+    multistep coefficient (lambda_t, alpha_t, sigma ratios, expm1 terms)
+    is precomputed as numpy scalars; the warmup steps (growing order) are
+    Python-unrolled and the steady-state runs as one `lax.scan` whose xs
+    are the per-step coefficient vectors — only `x` and the model
+    outputs are traced."""
+
+    def __init__(
+        self,
+        model: Any,
+        *,
+        order: int = 2,
+        skip_type: str = "time_uniform",
+        predict_x0: bool = True,
+        thresholding: bool = False,
+        threshold_max_val: float = 1.0,
+        t0: Optional[float] = None,
+        tT: Optional[float] = None,
+        default_steps: int = 25,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(model, default_steps=default_steps, **kwargs)
+        if order not in (1, 2, 3):
+            raise ValueError("solver order must be 1, 2 or 3")
+        self.order = order
+        self.skip_type = skip_type
+        self.predict_x0 = predict_x0
+        self.thresholding = thresholding
+        self.threshold_max_val = threshold_max_val
+        acp = self._np_acp().astype(np.float64)
+        self.total_N = len(acp)
+        # discrete schedule (reference `solver.py:50-54`)
+        self._t_array = np.linspace(0.0, 1.0, self.total_N + 1)[1:]
+        self._log_alpha_array = 0.5 * np.log(acp)
+        self.t0 = (1.0 / self.total_N) if t0 is None else t0
+        self.tT = 1.0 if tT is None else tT
+
+    # ---------------------------------------------------- marginal functions
+
+    def _log_mean_coef(self, t: np.ndarray) -> np.ndarray:
+        return np.interp(t, self._t_array, self._log_alpha_array)
+
+    def _alpha(self, t: np.ndarray) -> np.ndarray:
+        return np.exp(self._log_mean_coef(t))
+
+    def _sigma(self, t: np.ndarray) -> np.ndarray:
+        return np.sqrt(1.0 - np.exp(2.0 * self._log_mean_coef(t)))
+
+    def _lambda(self, t: np.ndarray) -> np.ndarray:
+        lmc = self._log_mean_coef(t)
+        return lmc - 0.5 * np.log(1.0 - np.exp(2.0 * lmc))
+
+    def _inverse_lambda(self, lam: np.ndarray) -> np.ndarray:
+        log_alpha = -0.5 * np.logaddexp(0.0, -2.0 * lam)
+        # log_alpha_array decreases with t → flip for np.interp
+        return np.interp(log_alpha, self._log_alpha_array[::-1], self._t_array[::-1])
+
+    def _get_time_steps(self, num_steps: int) -> np.ndarray:
+        """`total_step` values from tT down to t0 (reference `solver.py:345`)."""
+        t0, tT, n = self.t0, self.tT, num_steps - 1
+        if self.skip_type == "logSNR":
+            lams = np.linspace(self._lambda(np.float64(tT)), self._lambda(np.float64(t0)), n + 1)
+            return self._inverse_lambda(lams)
+        if self.skip_type == "time_uniform":
+            return np.linspace(tT, t0, n + 1)
+        if self.skip_type == "time_quadratic":
+            return np.linspace(math.sqrt(tT), math.sqrt(t0), n + 1) ** 2
+        raise ValueError(f"unrecognized skip_type '{self.skip_type}' occurred")
+
+    # ------------------------------------------------------------- model fn
+
+    def _model_fn(
+        self,
+        x: jax.Array,
+        t: float,
+        cond: Optional[Any],
+        uncond: Optional[Any],
+        guidance_scale: float,
+        **kwargs: Any,
+    ) -> jax.Array:
+        """eps or x0 prediction at continuous time t (reference
+        `solver.py:157-200`): model timestep = N * max(t - 1/N, 0)."""
+        ts_model = self.total_N * max(t - 1.0 / self.total_N, 0.0)
+        tb = jnp.full((x.shape[0],), ts_model, dtype=jnp.float32)
+        eps = self._denoise(x, tb, cond, uncond, guidance_scale, **kwargs)
+        if not self.predict_x0:
+            return eps
+        alpha_t = float(self._alpha(np.float64(t)))
+        sigma_t = float(self._sigma(np.float64(t)))
+        x0 = (x - sigma_t * eps) / alpha_t
+        if self.thresholding:
+            p = 0.995
+            s = jnp.quantile(jnp.abs(x0).reshape(x0.shape[0], -1), p, axis=1)
+            s = jnp.maximum(s, self.threshold_max_val)
+            s = s.reshape((-1,) + (1,) * (x0.ndim - 1))
+            x0 = jnp.clip(x0, -s, s) / s
+        return x0
+
+    # --------------------------------------------------------------- updates
+
+    def _update_coefs(self, t_prevs: List[float], t: float) -> Dict[str, float]:
+        """Static per-step coefficients for an update from t_prevs[-1] to t.
+        len(t_prevs) == effective order."""
+        lam_t = self._lambda(np.float64(t))
+        lam_p0 = self._lambda(np.float64(t_prevs[-1]))
+        h = float(lam_t - lam_p0)
+        out: Dict[str, float] = {"h": h}
+        if self.predict_x0:
+            out["x_coef"] = float(self._sigma(np.float64(t)) / self._sigma(np.float64(t_prevs[-1])))
+            out["m_coef"] = float(self._alpha(np.float64(t)) * np.expm1(-h))
+        else:
+            out["x_coef"] = float(
+                np.exp(self._log_mean_coef(np.float64(t)) - self._log_mean_coef(np.float64(t_prevs[-1])))
+            )
+            out["m_coef"] = float(self._sigma(np.float64(t)) * np.expm1(h))
+        if len(t_prevs) >= 2:
+            h_0 = float(self._lambda(np.float64(t_prevs[-1])) - self._lambda(np.float64(t_prevs[-2])))
+            out["inv_r0"] = h / h_0
+        if len(t_prevs) >= 3:
+            h_1 = float(self._lambda(np.float64(t_prevs[-2])) - self._lambda(np.float64(t_prevs[-3])))
+            r0, r1 = h_0 / h, h_1 / h
+            out["r0"] = r0
+            out["r1"] = r1
+            alpha_t = float(self._alpha(np.float64(t)))
+            sigma_t = float(self._sigma(np.float64(t)))
+            if self.predict_x0:
+                em = np.expm1(-h)
+                out["d1_coef"] = float(alpha_t * (em / h + 1.0))
+                out["d2_coef"] = float(-alpha_t * ((em + h) / h**2 - 0.5))
+            else:
+                ep = np.expm1(h)
+                out["d1_coef"] = float(-sigma_t * (ep / h - 1.0))
+                out["d2_coef"] = float(-sigma_t * ((ep - h) / h**2 - 0.5))
+        return out
+
+    @staticmethod
+    def _apply_update(x: jax.Array, models: List[jax.Array], c: Dict[str, Any]) -> jax.Array:
+        """Order-k update (k = len(models)); reference `solver.py:222-328`.
+        Coefficients may be floats (unrolled) or traced scalars (scan xs)."""
+        m0 = models[-1]
+        x_t = c["x_coef"] * x - c["m_coef"] * m0
+        if len(models) == 1:
+            return x_t
+        d1_0 = c["inv_r0"] * (m0 - models[-2])
+        if len(models) == 2:
+            return x_t - 0.5 * c["m_coef"] * d1_0
+        m1, m2 = models[-2], models[-3]
+        d1_0 = (1.0 / c["r0"]) * (m0 - m1)
+        d1_1 = (1.0 / c["r1"]) * (m1 - m2)
+        d1 = d1_0 + (c["r0"] / (c["r0"] + c["r1"])) * (d1_0 - d1_1)
+        d2 = (1.0 / (c["r0"] + c["r1"])) * (d1_0 - d1_1)
+        return x_t + c["d1_coef"] * d1 + c["d2_coef"] * d2
+
+    # ----------------------------------------------------------------- sample
+
+    def sample(
+        self,
+        z: jax.Array,
+        *,
+        cond: Optional[Any] = None,
+        uncond: Optional[Any] = None,
+        guidance_scale: float = 1.0,
+        num_steps: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        start_step: int = 0,
+        **kwargs: Any,
+    ) -> jax.Array:
+        num_steps = num_steps or self.default_steps
+        ts = self._get_time_steps(num_steps)  # tT → t0, len == num_steps
+        if start_step:
+            ts = ts[start_step:]
+        total = len(ts)
+        order = min(self.order, max(total - 1, 1))
+        x = z
+
+        def mf(x_: jax.Array, t_: float) -> jax.Array:
+            return self._model_fn(x_, t_, cond, uncond, guidance_scale, **kwargs)
+
+        # warmup: step 0 records; steps 1..order-1 run with growing order
+        # (reference `solver.py:126-139`)
+        t_prevs: List[float] = [float(ts[0])]
+        models: List[jax.Array] = [mf(x, float(ts[0]))]
+        for i in range(1, order):
+            t = float(ts[i])
+            coefs = self._update_coefs(t_prevs[-len(models):], t)
+            x = self._apply_update(x, models, coefs)
+            t_prevs.append(t)
+            models.append(mf(x, t))
+            if len(models) > order:
+                t_prevs.pop(0)
+                models.pop(0)
+
+        # steady state: scan steps order..total-2 at full order, then the
+        # final update without the trailing (unused) model evaluation
+        steady = list(range(order, total - 1))
+        if steady:
+            coef_rows = []
+            keys_order = None
+            win = list(t_prevs)
+            for i in steady:
+                t = float(ts[i])
+                c = self._update_coefs(win[-order:], t)
+                if keys_order is None:
+                    keys_order = sorted(c)
+                coef_rows.append([c[k] for k in keys_order])
+                win.append(t)
+                win = win[-order:]
+            coef_arr = jnp.asarray(np.asarray(coef_rows, dtype=np.float32))
+            ts_model = np.asarray(
+                [self.total_N * max(float(ts[i]) - 1.0 / self.total_N, 0.0) for i in steady],
+                dtype=np.float32,
+            )
+            alpha_arr = np.asarray([float(self._alpha(np.float64(ts[i]))) for i in steady], dtype=np.float32)
+            sigma_arr = np.asarray([float(self._sigma(np.float64(ts[i]))) for i in steady], dtype=np.float32)
+            b = x.shape[0]
+
+            def scan_step(carry: Any, inputs: Any) -> Tuple[Any, None]:
+                x_, ms = carry
+                crow, tm, a_t, s_t = inputs
+                c = dict(zip(keys_order, list(crow)))
+                x_new = self._apply_update(x_, list(ms), c)
+                tb = jnp.full((b,), tm, dtype=jnp.float32)
+                eps = self._denoise(x_new, tb, cond, uncond, guidance_scale, **kwargs)
+                if self.predict_x0:
+                    m_new = (x_new - s_t * eps) / a_t
+                    if self.thresholding:
+                        p = 0.995
+                        s = jnp.quantile(jnp.abs(m_new).reshape(b, -1), p, axis=1)
+                        s = jnp.maximum(s, self.threshold_max_val)
+                        s = s.reshape((-1,) + (1,) * (m_new.ndim - 1))
+                        m_new = jnp.clip(m_new, -s, s) / s
+                else:
+                    m_new = eps
+                ms = tuple(list(ms)[1:] + [m_new])
+                return (x_new, ms), None
+
+            (x, models_t), _ = jax.lax.scan(
+                scan_step,
+                (x, tuple(models)),
+                (coef_arr, jnp.asarray(ts_model), jnp.asarray(alpha_arr), jnp.asarray(sigma_arr)),
+            )
+            models = list(models_t)
+            win_t = win
+        else:
+            win_t = list(t_prevs)
+
+        if total > 1:
+            t_final = float(ts[-1])
+            coefs = self._update_coefs(win_t[-order:], t_final)
+            x = self._apply_update(x, models, coefs)
+        return x
+
+    def sample_from(self, x0: jax.Array, **kwargs: Any) -> jax.Array:
+        return _generic_sample_from(self, x0, **kwargs)

@@ -190,3 +190,127 @@ def test_rrdb_upscales() -> None:
     net = RRDBNet(latent_channels=8, growth_channels=4, num_blocks=1, rngs=nnx.Rngs(0))
     out = net(jnp.ones((1, 8, 8, 3)))
     assert out.shape == (1, 32, 32, 3)
+
+
+class _ConstantEpsModel:
+    """Stub diffusion with eps(x, t) = const: every consistent ODE sampler
+    (DDIM eta=0, DPM-Solver all orders) is EXACT — pred x0 is the same at
+    every step — giving a sharp convergence oracle."""
+
+    parameterization = "eps"
+
+    def __init__(self, num_timesteps: int = 1000) -> None:
+        import numpy as np
+
+        self.num_timesteps = num_timesteps
+        self.schedule_info = {
+            "schedule": "linear",
+            "num_timesteps": num_timesteps,
+            "linear_start": 1e-4,
+            "linear_end": 2e-2,
+        }
+        betas = np.linspace(1e-4**0.5, 2e-2**0.5, num_timesteps) ** 2
+        self.acp = np.cumprod(1.0 - betas)
+        self.eps_const = jnp.asarray(
+            np.random.RandomState(0).randn(1, 4, 4, 2).astype(np.float32)
+        )
+
+    def denoise(self, x, t, cond=None, **kwargs):
+        return jnp.broadcast_to(self.eps_const, x.shape)
+
+    def predict_eps_from(self, x_t, t, model_out):
+        return model_out
+
+    def q_sample(self, x0, t, noise):
+        sa = jnp.sqrt(jnp.asarray(self.acp, x0.dtype))[t].reshape(-1, 1, 1, 1)
+        return sa * x0 + jnp.sqrt(1.0 - sa**2) * noise
+
+
+def test_dpm_solver_exact_on_constant_eps() -> None:
+    """DPM-Solver orders 1-3 (x0- and eps-prediction, all skip types) must
+    recover the analytic solution for a constant-eps field; done-criterion of
+    VERDICT #6 (real multistep solver, not a k-sampler alias)."""
+    from cflearn_tpu.modules.multimodal.diffusion.samplers import ISampler
+
+    model = _ConstantEpsModel()
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 2))
+    c = model.eps_const
+    aT = float(np.sqrt(model.acp[-1]))
+    x0_true = (z - np.sqrt(1 - aT**2) * c) / aT
+
+    for order in (1, 2, 3):
+        for predict_x0 in (True, False):
+            for skip in ("time_uniform", "logSNR", "time_quadratic"):
+                sampler = ISampler.make(
+                    "solver",
+                    {"model": model, "order": order, "predict_x0": predict_x0, "skip_type": skip},
+                )
+                out = sampler.sample(z, num_steps=10)
+                t0 = sampler.t0
+                a0 = float(sampler._alpha(np.float64(t0)))
+                s0 = float(sampler._sigma(np.float64(t0)))
+                expected = a0 * x0_true + s0 * c
+                np.testing.assert_allclose(
+                    np.asarray(out), np.asarray(expected), atol=2e-3,
+                    err_msg=f"order={order} predict_x0={predict_x0} skip={skip}",
+                )
+
+
+def test_dpm_solver_beats_ddim_at_low_steps() -> None:
+    """On a real (random) tiny UNet: solver@10 closer to ddim@100 than
+    ddim@10 is (higher-order multistep convergence)."""
+    from cflearn_tpu.modules.multimodal.diffusion import DDPM, ISampler
+
+    ddpm = DDPM(
+        img_size=8,
+        in_channels=3,
+        out_channels=3,
+        num_timesteps=100,
+        unet_config=dict(
+            start_channels=32,
+            num_res_blocks=1,
+            channel_multipliers=(1,),
+            attention_downsample_rates=(),
+            num_heads=2,
+            context_dim=None,
+            use_spatial_transformer=False,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 3))
+    ref = np.asarray(ISampler.make("ddim", {"model": ddpm}).sample(z, num_steps=50))
+    ddim10 = np.asarray(ISampler.make("ddim", {"model": ddpm}).sample(z, num_steps=10))
+    solver10 = np.asarray(
+        ISampler.make("solver", {"model": ddpm, "order": 2}).sample(z, num_steps=10)
+    )
+    err_ddim = float(np.abs(ddim10 - ref).mean())
+    err_solver = float(np.abs(solver10 - ref).mean())
+    assert np.isfinite(err_solver)
+    assert err_solver < err_ddim, (err_solver, err_ddim)
+
+
+def test_unet_control_injection_changes_output() -> None:
+    """Control residuals must actually alter the UNet output (guards the
+    injection indexing in `UNetDiffuser.__call__`; with the init-time zero
+    `conv_out` this is only observable after perturbing it)."""
+    from cflearn_tpu.modules.multimodal.diffusion.unet import ControlNet, UNetDiffuser
+
+    unet = UNetDiffuser(
+        in_channels=4, out_channels=4, start_channels=32, num_res_blocks=1,
+        channel_multipliers=(1, 2), attention_downsample_rates=(1,), num_heads=4,
+        context_dim=32, rngs=nnx.Rngs(0),
+    )
+    k = unet.conv_out.kernel[...]
+    unet.conv_out.kernel[...] = 0.05 * jax.random.normal(jax.random.PRNGKey(1), k.shape, k.dtype)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    t = jnp.full((1,), 25)
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 77, 32))
+    base = unet(x, t, ctx)
+    assert float(jnp.abs(base).max()) > 0.0
+    n_levels = len(unet.input_blocks) + 2
+    # each control level individually must reach the output
+    for lv in range(n_levels):
+        ctrl = [jnp.zeros(()) for _ in range(n_levels)]
+        ctrl[lv] = jnp.zeros(()) + 0.5
+        out = unet(x, t, ctx, control=ctrl)
+        assert float(jnp.abs(out - base).max()) > 0.0, f"control level {lv} is dead"
