@@ -178,12 +178,20 @@ class DDPM(nnx.Module):
         timesteps: jax.Array,
         cond: Optional[Any] = None,
         *,
-        control_net: Optional[ControlNet] = None,
-        control_hint: Optional[jax.Array] = None,
-        control_scales: Optional[List[float]] = None,
+        control_net: Optional[Any] = None,
+        control_hint: Optional[Any] = None,
+        control_scales: Optional[List[Any]] = None,
+        control_gates: Optional[Any] = None,
         hooks: Optional[Any] = None,
     ) -> jax.Array:
-        """Condition dispatch + ControlNet injection (reference :358-420)."""
+        """Condition dispatch + ControlNet injection (reference :358-475).
+
+        Multi-control: `control_net`/`control_hint` may be lists — residuals
+        are summed with per-control `control_scales` (list of per-level lists)
+        as in the reference's multi-control path (`ddpm.py:430-456`).
+        `control_gates` are optional per-control 0/1 scalars (traced) that
+        implement the reference's start/end step gating inside one XLA
+        program (multiplicative instead of Python `continue`)."""
         context = None
         labels = None
         if cond is not None:
@@ -201,9 +209,27 @@ class DDPM(nnx.Module):
                 raise ValueError(f"unrecognized condition type '{self.condition_type}'")
         control = None
         if control_net is not None and control_hint is not None:
-            control = control_net(net, control_hint, timesteps, context)
-            if control_scales is not None:
-                control = [c * s for c, s in zip(control, control_scales)]
+            multi = isinstance(control_net, (list, tuple))
+            nets = list(control_net) if multi else [control_net]
+            hints = list(control_hint) if multi else [control_hint]
+            if control_scales is None:
+                scales_per: List[Optional[List[float]]] = [None] * len(nets)
+            elif isinstance(control_scales[0], (list, tuple)):
+                scales_per = list(control_scales)
+            else:
+                scales_per = [list(control_scales)] * len(nets)
+            for i, (cn, hint) in enumerate(zip(nets, hints)):
+                cn_in = getattr(cn, "in_channels", None) or cn.unet.in_channels
+                # inpainting workaround (reference `ddpm.py:441-445`): a
+                # 4-channel control branch driving a 9-channel inpainting UNet
+                cnet_in = net if cn_in == net.shape[-1] else net[..., :cn_in]
+                ci = cn(cnet_in, hint, timesteps, context)
+                sc = scales_per[i] if i < len(scales_per) else None
+                if sc is not None:
+                    ci = [c * s for c, s in zip(ci, sc)]
+                if control_gates is not None:
+                    ci = [c * control_gates[i] for c in ci]
+                control = ci if control is None else [a + b for a, b in zip(control, ci)]
         return self.unet(net, timesteps, context, labels, control=control, hooks=hooks)
 
     # ------------------------------------------------------------- sampling

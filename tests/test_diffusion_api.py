@@ -115,3 +115,59 @@ def test_controlled_api(tiny_api) -> None:
     api.switch_control()  # drop all
     with pytest.raises(ValueError):
         api.sample_with_control(1, {"canny": edges}, size=(64, 64), num_steps=2)
+
+
+def test_multi_controlnet(tiny_api) -> None:
+    """Two simultaneous ControlNets with per-hint scales and start/end
+    gating (reference `diffusion.py:1760-1866`, `ddpm.py:430-456`)."""
+    def make_cn(seed):
+        cn = ControlNet(
+            hint_channels=3,
+            in_channels=4,
+            start_channels=32,
+            num_res_blocks=1,
+            channel_multipliers=(1, 2),
+            attention_downsample_rates=(1,),
+            num_heads=4,
+            context_dim=32,
+            rngs=nnx.Rngs(seed),
+        )
+        # fresh ControlNets output exactly zero (zero convs) — nudge them so
+        # each control actually contributes to the test
+        import jax
+
+        for i, conv in enumerate(list(cn.zero_convs) + [cn.mid_zero]):
+            k = conv.kernel.value
+            conv.kernel.value = 0.02 * jax.random.normal(jax.random.PRNGKey(seed * 100 + i), k.shape, k.dtype)
+        return cn
+
+    api = ControlledDiffusionAPI(tiny_api.m)
+    api.prepare_control("canny", make_cn(1))
+    api.prepare_control("depth", make_cn(2))
+    api.control_scales["depth"] = 0.5
+    # a fresh UNet ends in a zero conv → eps is identically 0 and every
+    # comparison would trivially pass; perturb it (and restore afterwards)
+    import jax
+
+    conv_out = tiny_api.m.unet.conv_out
+    orig_kernel = conv_out.kernel[...]
+    try:
+        conv_out.kernel[...] = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(9), orig_kernel.shape, orig_kernel.dtype
+        )
+        h1 = (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
+        h2 = (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
+        both = api.sample_with_control(
+            1, {"canny": h1, "depth": h2}, cond="c", size=(64, 64), num_steps=3, seed=0
+        )
+        assert both.shape == (1, 64, 64, 3)
+        single = api.sample_with_control(1, {"canny": h1}, cond="c", size=(64, 64), num_steps=3, seed=0)
+        assert not np.array_equal(both, single)  # the second control contributes
+        # gating a control off for ALL steps must equal not passing it at all
+        gated_off = api.sample_with_control(
+            1, {"canny": h1, "depth": h2}, cond="c", size=(64, 64), num_steps=3, seed=0,
+            hint_starts={"depth": 2.0},
+        )
+        np.testing.assert_array_equal(gated_off, single)
+    finally:
+        conv_out.kernel[...] = orig_kernel
