@@ -94,14 +94,48 @@ class SoftEdgeAnnotator(Annotator):
 
 @Annotator.register("depth")
 class DepthAnnotator(Annotator):
-    """Blur-based pseudo-depth (MiDaS conversion is a later-round target)."""
+    """MiDaS DPT depth (reference `MiDaSAPI.detect_depth`, `midas/api.py:209`):
+    uint8 RGB → [-1,1] → DPT → min-max-normalized uint8 inverse depth.
+
+    Needs a converted MiDaS checkpoint (`Annotator.make("depth",
+    {"ckpt": path})`); without one it falls back to a blur proxy (same
+    policy as softedge's sobel fallback — the learned net is the real path)."""
+
+    def __init__(self, ckpt: Any = None, model_type: str = "dpt_large") -> None:
+        self._net = None
+        if ckpt:
+            from .third_party.midas import load_midas
+
+            self._net = load_midas(ckpt, model_type=model_type)
 
     def annotate(self, image: np.ndarray, **kwargs: Any) -> np.ndarray:
-        import cv2
-
         image = self._norm(image)
         squeeze = image.ndim == 3
         batch = image[None] if squeeze else image
+        if self._net is not None:
+            out = self._detect(batch)
+        else:
+            out = self._blur_proxy(batch)
+        return out[0] if squeeze else out
+
+    def _detect(self, batch: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        h, w = batch.shape[1:3]
+        ph, pw = -h % 32, -w % 32  # DPT needs multiples of 32
+        x = batch.astype(np.float32) / 127.5 - 1.0
+        if ph or pw:
+            x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        depth = np.asarray(self._net(jnp.asarray(x)))[:, :h, :w]
+        lo = depth.min(axis=(1, 2), keepdims=True)
+        hi = depth.max(axis=(1, 2), keepdims=True)
+        depth = (depth - lo) / np.maximum(hi - lo, 1e-6)
+        return np.repeat((depth * 255.0).clip(0, 255).astype(np.uint8)[..., None], 3, axis=-1)
+
+    @staticmethod
+    def _blur_proxy(batch: np.ndarray) -> np.ndarray:
+        import cv2
+
         outs = []
         for img in batch:
             gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32)
@@ -109,8 +143,7 @@ class DepthAnnotator(Annotator):
             depth = 255.0 - blurred
             depth = (255 * (depth - depth.min()) / max(float(np.ptp(depth)), 1e-6)).astype(np.uint8)
             outs.append(np.repeat(depth[..., None], 3, axis=-1))
-        out = np.stack(outs)
-        return out[0] if squeeze else out
+        return np.stack(outs)
 
 
 @Annotator.register("pose")
@@ -141,6 +174,89 @@ class PoseAnnotator(Annotator):
         batch = img[None] if squeeze else img
         _, heatmaps = self._net(jnp.asarray(batch))
         out = render_keypoints(np.asarray(heatmaps), batch.shape[1:3])
+        return out[0] if squeeze else out
+
+
+@Annotator.register("pidi")
+class PiDiAnnotator(Annotator):
+    """Soft edges via PiDiNet (reference `PiDiAPI`, `third_party/pidi.py:491`):
+    uint8 RGB / 255 → sigmoid edge map → uint8 (optional threshold)."""
+
+    def __init__(self, ckpt: Any = None, inplane: int = 60, dil: int = 24) -> None:
+        self._net = None
+        if ckpt:
+            from .third_party.pidi import load_pidi
+
+            self._net = load_pidi(ckpt, inplane=inplane, dil=dil)
+
+    def annotate(self, image: np.ndarray, threshold: Any = None, **kwargs: Any) -> np.ndarray:
+        if self._net is None:
+            raise ValueError(
+                "pidi annotation needs a converted table5_pidinet checkpoint "
+                "(Annotator.make('pidi', {'ckpt': path}))"
+            )
+        import jax.numpy as jnp
+
+        image = self._norm(image)
+        squeeze = image.ndim == 3
+        batch = image[None] if squeeze else image
+        edge = np.asarray(self._net(jnp.asarray(batch.astype(np.float32) / 255.0)))
+        if threshold is not None:
+            edge = (edge > threshold).astype(np.float32)
+        out = np.repeat((edge * 255.0).clip(0, 255).astype(np.uint8)[..., None], 3, axis=-1)
+        return out[0] if squeeze else out
+
+
+@Annotator.register("mlsd")
+class MLSDAnnotator(Annotator):
+    """Line-segment hints via M-LSD (reference `MLSDDetector`,
+    `third_party/mlsd/api.py:15-66`): resize to 512, detect segments, draw
+    white 1px lines on black."""
+
+    def __init__(self, ckpt: Any = None, value_threshold: float = 0.1, distance_threshold: float = 0.1) -> None:
+        self.value_threshold = value_threshold
+        self.distance_threshold = distance_threshold
+        self._net = None
+        if ckpt:
+            from .third_party.mlsd import load_mlsd
+
+            self._net = load_mlsd(ckpt)
+
+    def annotate(self, image: np.ndarray, **kwargs: Any) -> np.ndarray:
+        if self._net is None:
+            raise ValueError(
+                "mlsd annotation needs a converted mlsd_large_512_fp32 "
+                "checkpoint (Annotator.make('mlsd', {'ckpt': path}))"
+            )
+        import cv2
+
+        import jax.numpy as jnp
+
+        from .third_party.mlsd import decode_lines
+
+        image = self._norm(image)
+        squeeze = image.ndim == 3
+        batch = image[None] if squeeze else image
+        outs = []
+        for img in batch:
+            h, w = img.shape[:2]
+            resized = cv2.resize(img, (512, 512), interpolation=cv2.INTER_AREA)
+            # reference appends an all-ONES plane before normalizing
+            # (`utils.py:57-69`), so the alpha channel is ~-0.992 post-norm
+            x = np.concatenate([resized.astype(np.float32), np.ones((512, 512, 1), np.float32)], axis=-1)
+            x = x / 127.5 - 1.0
+            tp_map = np.asarray(self._net(jnp.asarray(x[None])))[0]
+            lines = decode_lines(
+                tp_map,
+                score_thr=kwargs.get("value_threshold", self.value_threshold),
+                dist_thr=kwargs.get("distance_threshold", self.distance_threshold),
+            )
+            canvas = np.zeros((512, 512), dtype=np.uint8)
+            for x0, y0, x1, y1 in lines:
+                cv2.line(canvas, (int(x0), int(y0)), (int(x1), int(y1)), 255, 1)
+            canvas = cv2.resize(canvas, (w, h), interpolation=cv2.INTER_NEAREST)
+            outs.append(np.repeat(canvas[..., None], 3, axis=-1))
+        out = np.stack(outs)
         return out[0] if squeeze else out
 
 
