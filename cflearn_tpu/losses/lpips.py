@@ -83,9 +83,28 @@ class LPIPS(nnx.Module):
 
 @ILoss.register("lpips")
 class LPIPSLoss(ILoss):
-    def __init__(self, reduction: str = "mean") -> None:
+    """`pretrained` policy: "auto" (default) loads the torchvision-VGG16 +
+    lpips lin-head checkpoints when they are reachable/cached and falls back
+    to random weights with a warning otherwise (keeps zero-egress CI
+    runnable); True requires them; False skips."""
+
+    def __init__(self, reduction: str = "mean", pretrained: Any = "auto") -> None:
         super().__init__(reduction)
-        self.net = LPIPS(rngs=nnx.Rngs(0))
+        if pretrained in (False, None):
+            self.net = LPIPS(rngs=nnx.Rngs(0))
+        else:
+            try:
+                self.net = load_lpips(pretrained=True)
+            except Exception as e:  # noqa: BLE001 — auto policy degrades
+                if pretrained is True:
+                    raise
+                import warnings
+
+                warnings.warn(
+                    f"LPIPS pretrained weights unavailable ({e}); using random "
+                    "weights — perceptual distances are NOT meaningful"
+                )
+                self.net = LPIPS(rngs=nnx.Rngs(0))
 
     def get_forward_args(self, forward_results: Any, batch: Any) -> Any:
         from ..constants import INPUT_KEY, PREDICTIONS_KEY
@@ -94,3 +113,79 @@ class LPIPSLoss(ILoss):
 
     def forward(self, predictions: jax.Array, target: jax.Array) -> jax.Array:
         return self.net(predictions, target)
+
+
+# -----------------------------------------------------------------------------
+# pretrained weights (reference `losses/lpips.py:50-64`: torchvision VGG16
+# backbone + the 7.6KB "lpips" lin-head checkpoint from the zoo index)
+# -----------------------------------------------------------------------------
+
+_VGG16_TORCH_CONV_IDS = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+
+def convert_vgg16(torch_sd: Any) -> Any:
+    """torchvision `vgg16-397923af.pth` features.* → our VGG16Features npd."""
+    import numpy as np
+
+    out = {}
+    for i, ti in enumerate(_VGG16_TORCH_CONV_IDS):
+        w = np.asarray(torch_sd[f"features.{ti}.weight"])
+        out[f"convs/{i}/kernel/value"] = np.transpose(w, (2, 3, 1, 0))
+        out[f"convs/{i}/bias/value"] = np.asarray(torch_sd[f"features.{ti}.bias"])
+    return out
+
+
+def convert_lpips(torch_sd: Any) -> Any:
+    """The reference-hosted `lpips.pt` lin heads (`mappings.{i}.net.1.weight`,
+    torch (1, C, 1, 1)) → our `lins/{i}` 1x1 convs ((1, 1, C, 1) HWIO)."""
+    import numpy as np
+
+    out = {}
+    for k, v in torch_sd.items():
+        parts = k.split(".")
+        # accept both `mappings.{i}.net.{j}.weight` (reference) and the
+        # original lpips repo's `lin{i}.model.{j}.weight`
+        if parts[0] == "mappings":
+            i = int(parts[1])
+        elif parts[0].startswith("lin") and parts[0][3:].isdigit():
+            i = int(parts[0][3:])
+        else:
+            continue
+        w = np.asarray(v)  # (1, C, 1, 1)
+        out[f"lins/{i}/kernel/value"] = np.transpose(w, (2, 3, 1, 0))
+    return out
+
+
+def load_lpips(
+    lpips_ckpt: Any = None,
+    vgg_ckpt: Any = None,
+    *,
+    pretrained: bool = False,
+    rngs: Any = None,
+) -> LPIPS:
+    """Build LPIPS; when `pretrained` (or explicit paths), load the VGG16
+    backbone + lin heads. Downloads resolve through the zoo index entries
+    `vgg16_torchvision` / `lpips` (sha-verified where recorded)."""
+    net = LPIPS(rngs=rngs or nnx.Rngs(0))
+    if not (pretrained or lpips_ckpt or vgg_ckpt):
+        return net
+    from ..toolkit.misc import download
+    from ..toolkit.tree import npd_to_tree
+    from ..zoo.common import get_available
+    from ..zoo.convert import load_torch_state_dict
+
+    index = get_available().get("checkpoints", {})
+    if vgg_ckpt is None:
+        entry = index.get("vgg16_torchvision", {})
+        vgg_ckpt = str(download(entry["url"], sha=entry.get("sha")))
+    if lpips_ckpt is None:
+        entry = index.get("lpips", {})
+        lpips_ckpt = str(download(entry["url"], sha=entry.get("sha")))
+    vgg_npd = convert_vgg16(load_torch_state_dict(vgg_ckpt))
+    nnx.update(net.vgg, npd_to_tree(vgg_npd, nnx.state(net.vgg), strict=True))
+    lin_npd = {
+        k[len("lins/"):]: v for k, v in convert_lpips(load_torch_state_dict(lpips_ckpt)).items()
+    }
+    lins_state = nnx.state(net.lins)
+    nnx.update(net.lins, npd_to_tree(lin_npd, lins_state, strict=True))
+    return net

@@ -102,7 +102,21 @@ class AEModel(IDLModel):
             if use_discriminator
             else nnx.data(None)
         )
-        self.perceptual = LPIPS(rngs=rngs) if use_perceptual else nnx.data(None)
+        if use_perceptual:
+            # pretrained perceptual distance by default (reference loads the
+            # lpips checkpoint unconditionally, `losses/lpips.py:62`); in
+            # zero-egress environments this degrades to random with a warning
+            from ...losses.lpips import load_lpips
+
+            try:
+                self.perceptual = load_lpips(pretrained=True, rngs=rngs)
+            except Exception:  # noqa: BLE001
+                import warnings
+
+                warnings.warn("LPIPS pretrained weights unavailable; using random weights")
+                self.perceptual = LPIPS(rngs=rngs)
+        else:
+            self.perceptual = nnx.data(None)
         self.loss = nnx.data(None)
 
     @property

@@ -35,11 +35,17 @@ def inject(api: Any, npd: Dict[str, np.ndarray]) -> None:
 
 
 def convert_controlnet(ckpt_path: str) -> Dict[str, np.ndarray]:
-    """ControlNet checkpoint → our npd (reference `sd.py:332`). Uses the UNet
-    mapping over the `control_model.` prefix plus the hint-block convs."""
+    """ControlNet checkpoint → our npd (reference `sd.py:332`)."""
     from ..zoo import convert as C
 
-    torch_sd = C.load_torch_state_dict(ckpt_path)
+    return convert_controlnet_sd(C.load_torch_state_dict(ckpt_path))
+
+
+def convert_controlnet_sd(torch_sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """ControlNet state dict → our npd. Uses the UNet mapping over the
+    `control_model.` prefix plus the hint-block convs."""
+    from ..zoo import convert as C
+
     mapping = C.build_unet_mapping(prefix="control_model", our_prefix="unet")
     npd = C.apply_mapping(mapping, torch_sd, strict=False)
     # zero convs + hint blocks are named directly

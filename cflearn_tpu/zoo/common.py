@@ -63,8 +63,29 @@ def _npd_cache_path(tag: str) -> Path:
     return folder / f"{tag}.npz"
 
 
-def load_states(download_info: Dict[str, Any], converter: Optional[str], converter_kwargs: Optional[Dict[str, Any]] = None) -> Dict[str, np.ndarray]:
+def resolve_download(entry: Any) -> Dict[str, Any]:
+    """Resolve a preset `download` value: either an inline dict or the name
+    of a checkpoint in `available.json` (sha-verified when recorded)."""
+    if isinstance(entry, str):
+        index = get_available().get("checkpoints", {})
+        if entry not in index:
+            raise ValueError(f"'{entry}' is not in the checkpoint index")
+        info = dict(index[entry])
+        info.setdefault("tag", entry)
+        return info
+    return dict(entry)
+
+
+def load_states(download_info: Any, converter: Optional[str], converter_kwargs: Optional[Dict[str, Any]] = None) -> Dict[str, np.ndarray]:
     """Download (or find cached) torch checkpoint, convert, cache npd."""
+    download_info = resolve_download(download_info)
+    converter = download_info.get("converter", converter)
+    if download_info.get("layout") == "cflearn":
+        raise ValueError(
+            "this index entry is the reference's re-hosted cflearn-layout "
+            "checkpoint (kept for provenance); use the upstream 'original' "
+            "entry instead — conversion mappings consume original layouts"
+        )
     tag = download_info.get("tag") or download_info["url"].split("/")[-1]
     cache = _npd_cache_path(tag)
     if cache.is_file():
@@ -81,12 +102,46 @@ def load_states(download_info: Dict[str, Any], converter: Optional[str], convert
     kwargs = converter_kwargs or {}
     if converter == "sd":
         npd = C.convert_sd(torch_sd, **kwargs)
+    elif converter == "sd_v2":
+        npd = C.convert_sd(torch_sd, version="v2", **kwargs)
     elif converter == "esrgan":
         npd = C.apply_mapping(C.build_esrgan_mapping(**kwargs), torch_sd, strict=False)
     elif converter == "clip_text":
         npd = C.apply_mapping(C.build_clip_text_mapping(**kwargs), torch_sd, strict=False)
     elif converter == "vae":
         npd = C.apply_mapping(C.build_vae_mapping(**kwargs), torch_sd, strict=False)
+    elif converter == "controlnet":
+        from ..scripts.sd import convert_controlnet_sd
+
+        npd = convert_controlnet_sd(torch_sd, **kwargs)
+    elif converter == "hed":
+        from ..api.cv.third_party.hed import convert_hed
+
+        npd = convert_hed(torch_sd)
+    elif converter == "mlsd":
+        from ..api.cv.third_party.mlsd import convert_mlsd
+
+        npd = convert_mlsd(torch_sd)
+    elif converter == "midas":
+        from ..api.cv.third_party.midas import convert_midas
+
+        npd = convert_midas(torch_sd)
+    elif converter == "pidi":
+        from ..api.cv.third_party.pidi import convert_pidi
+
+        npd = convert_pidi(torch_sd)
+    elif converter == "openpose":
+        from ..api.cv.third_party.openpose import convert_openpose
+
+        npd = convert_openpose(torch_sd)
+    elif converter == "vgg16":
+        from ..losses.lpips import convert_vgg16
+
+        npd = convert_vgg16(torch_sd)
+    elif converter == "lpips":
+        from ..losses.lpips import convert_lpips
+
+        npd = convert_lpips(torch_sd)
     else:
         npd = {k: np.asarray(v) for k, v in torch_sd.items()}
     np.savez_compressed(cache, **npd)
@@ -126,10 +181,16 @@ def load_sd(version: str = "v1", *, pretrained: bool = False, rngs: Optional[nnx
     else:
         m = StableDiffusion(version=version, rngs=rngs)
     if pretrained:
-        available = get_available().get(f"ldm_sd_{version}")
-        if available is None:
+        entry = {
+            "v1": "sd_v1.5",
+            "v1_inpainting": "sd_v1.5_inpainting",
+            "v2": "sd_v2.1",
+            "v2_v": "sd_v2.1",
+            "v2_base": "sd_v2_base",
+        }.get(version)
+        if entry is None or entry not in get_available().get("checkpoints", {}):
             raise ValueError(f"no pretrained checkpoint registered for sd {version}")
-        npd = load_states(available, "sd")
+        npd = load_states(entry, "sd_v2" if version.startswith("v2") else "sd")
         state = nnx.state(m)
         nnx.update(m, npd_to_tree(npd, state, strict=False))
     return m
