@@ -70,7 +70,10 @@ def main() -> None:
             num_steps=NUM_STEPS, key=key,
         )
         images = m.decode(latents)
-        return images
+        # uint8 on device: the host pull through the axon tunnel (~20MB/s)
+        # must move 1 byte/px, not 4 — the conversion is part of the real
+        # pipeline anyway (the API returns uint8 images)
+        return ((jnp.clip(images, -1.0, 1.0) + 1.0) * 127.5).astype(jnp.uint8)
 
     fn = jax.jit(txt2img)
 

@@ -61,12 +61,15 @@ def _flash_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
 
     def compute() -> None:
-        q = q_ref[0].astype(jnp.float32) * sm_scale  # (block_q, d)
-        k = k_ref[0].astype(jnp.float32)  # (block_k, d)
-        v = v_ref[0].astype(jnp.float32)
+        # keep q/k/v in their input dtype on the MXU (bf16 runs several x
+        # faster than f32 passes); accumulate f32 via preferred_element_type
+        q = q_ref[0]  # (block_q, d)
+        k = k_ref[0]  # (block_k, d)
+        v = v_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
+        )  # (block_q, block_k), f32
+        s = s * sm_scale
         k_pos = k_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         mask = k_pos < kv_len
         if causal:
@@ -80,8 +83,10 @@ def _flash_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        # PV in the value dtype (bf16 p is the standard flash trade: exp
+        # outputs are in [0,1] where bf16 relative error is ~2^-8)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         m_ref[...] = m_new
         l_ref[...] = l_new
@@ -190,13 +195,18 @@ def xla_attention(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     mask: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """XLA fused attention (differentiable fallback). (B,H,L,D) layout."""
+    """XLA fused attention (differentiable fallback). (B,H,L,D) layout.
+
+    `mask` is boolean (True = keep), broadcastable to (B, H, Lq, Lk);
+    `bias` is an additive float logits bias of the same broadcast shape."""
     # jax.nn.dot_product_attention expects (B, L, H, D)
     out = jax.nn.dot_product_attention(
         q.transpose(0, 2, 1, 3),
         k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3),
+        bias=bias,
         scale=sm_scale,
         is_causal=causal and mask is None,
         mask=mask,
@@ -207,10 +217,13 @@ def xla_attention(
 def _use_pallas(q: jax.Array, k: jax.Array) -> bool:
     if jax.default_backend() != "tpu" and not _INTERPRET:
         return False
-    # K/V stream block-by-block, so only the q block + head dim must fit VMEM
+    # K/V stream block-by-block, so only the q block + head dim must fit VMEM.
+    # Short-KV shapes (e.g. SD cross-attention, kv=77) are overhead-bound in
+    # the kernel and measured ~2x faster on XLA's fused attention.
     q_len = q.shape[2]
+    kv_len = k.shape[2]
     d_pad = _round_up(q.shape[3], 128)
-    return q_len >= 128 and d_pad <= 1024
+    return q_len >= 128 and kv_len >= 256 and d_pad <= 1024
 
 
 def sdp_attn(
@@ -221,11 +234,13 @@ def sdp_attn(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     mask: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
     training: bool = False,
     force_xla: bool = False,
 ) -> jax.Array:
     """Scaled-dot-product attention dispatcher (reference `sdp_attn`,
-    `toolkit.py:911`). (B, H, L, D) in/out."""
-    if mask is None and not training and not force_xla and _use_pallas(q, k):
+    `toolkit.py:911`). (B, H, L, D) in/out. `mask`: True = keep;
+    `bias`: additive logits bias."""
+    if mask is None and bias is None and not training and not force_xla and _use_pallas(q, k):
         return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
-    return xla_attention(q, k, v, causal=causal, sm_scale=sm_scale, mask=mask)
+    return xla_attention(q, k, v, causal=causal, sm_scale=sm_scale, mask=mask, bias=bias)
