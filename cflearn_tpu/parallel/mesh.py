@@ -49,6 +49,18 @@ def set_mesh(mesh: Optional[Mesh]) -> None:
     _current_mesh = mesh
 
 
+def get_active_context_mesh() -> Optional[Mesh]:
+    """The ambient mesh iff it carries a real context-parallel axis —
+    the switch `ops.sdp_attn` consults to route self-attention through
+    ring attention (SURVEY §5.7). Returns None when no mesh was set or
+    the `context` axis is trivial."""
+    if _current_mesh is None:
+        return None
+    if _current_mesh.shape.get("context", 1) <= 1:
+        return None
+    return _current_mesh
+
+
 @contextmanager
 def mesh_context(mesh: Mesh) -> Iterator[Mesh]:
     global _current_mesh
@@ -134,6 +146,18 @@ def get_world_size() -> int:
 
 
 def maybe_initialize_distributed() -> None:
-    """Multi-host init (reference: implicit in `Accelerator()`); env-driven."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    """Multi-host init (reference: implicit in `Accelerator()`); env-driven.
+
+    `jax.distributed.initialize()` does NOT read our coordinator env vars
+    itself (it only auto-detects managed clusters), so pass them explicitly.
+    """
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(num) if num else None,
+        process_id=int(pid) if pid else None,
+    )

@@ -68,3 +68,66 @@ def test_sharded_training_step() -> None:
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_sdp_attn_auto_routes_through_ring_on_context_mesh() -> None:
+    """The mesh-config switch (SURVEY §5.7): with a context>1 mesh active,
+    every self-attention-shaped sdp_attn call becomes ring attention and
+    matches the dense result; cross-attention shapes stay on the dense path."""
+    from flax import nnx
+
+    from cflearn_tpu.modules.core.attentions import Attention
+    from cflearn_tpu.ops.attention import sdp_attn
+    from cflearn_tpu.parallel.mesh import get_active_context_mesh, set_mesh
+
+    mesh = _mesh(data=1, context=8)
+    np.random.seed(0)
+    q = jnp.asarray(np.random.randn(1, 2, 64, 16).astype(np.float32))
+    dense = np.asarray(sdp_attn(q, q, q))
+    attn = Attention(32, 2, is_self_attention=True, rngs=nnx.Rngs(0))
+    x = jnp.asarray(np.random.randn(1, 64, 32).astype(np.float32))
+    base = np.asarray(attn(x))
+    try:
+        set_mesh(mesh)
+        assert get_active_context_mesh() is not None
+        routed = np.asarray(sdp_attn(q, q, q))
+        np.testing.assert_allclose(routed, dense, atol=1e-5)
+        # module-level: identical results through the ring
+        np.testing.assert_allclose(np.asarray(attn(x)), base, atol=1e-5)
+        # cross-attention shape (kv != q) must not be ring-routed
+        kv = jnp.asarray(np.random.randn(1, 2, 24, 16).astype(np.float32))
+        out = sdp_attn(q, kv, kv)
+        assert out.shape == q.shape
+    finally:
+        set_mesh(None)
+
+
+def test_training_step_on_context_mesh(tmp_path) -> None:
+    """A full training step jitted over a mesh with a context axis (the
+    CP-axis training-step test from the round plan)."""
+    from cflearn_tpu.data import ArrayData
+    from cflearn_tpu.monitors import LazyMonitor
+    from cflearn_tpu.schema import DLConfig, TrainerConfig
+    from cflearn_tpu.schema.model import IDLModel
+    from cflearn_tpu.trainer import Trainer
+
+    np.random.seed(0)
+    x = np.random.randn(32, 8).astype(np.float32)
+    y = (x.sum(1, keepdims=True) > 0).astype(np.int64)
+    config = DLConfig(
+        module_name="fcnn",
+        module_config={"input_dim": 8, "output_dim": 2, "hidden_units": [16]},
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    trainer = Trainer(
+        TrainerConfig(
+            workspace=str(tmp_path),
+            fixed_steps=2,
+            callback_names=[],
+            mesh={"data": 2, "context": 4},
+        ),
+        monitors=[LazyMonitor()],
+    )
+    trainer.fit(ArrayData.init().fit(x, y), model, skip_final_evaluation=True)
+    assert trainer.state is not None and trainer.state.step == 2
