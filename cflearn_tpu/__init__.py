@@ -11,6 +11,8 @@ from .api import (
     evaluate,
     fit_array,
     fit_ml,
+    fuse_evaluation,
+    fuse_inference,
     load_evaluation,
     load_inference,
     load_training,

@@ -149,6 +149,11 @@ def fuse_inference(src_folders: List[str], **kwargs: Any) -> Any:
     return DLPipelineSerializer.fuse_inference(src_folders, **kwargs)
 
 
+def fuse_evaluation(src_folders: List[str], **kwargs: Any) -> Any:
+    """Fused ensemble + metric evaluation (reference `api/api.py:435-447`)."""
+    return DLPipelineSerializer.fuse_evaluation(src_folders, **kwargs)
+
+
 # ----------------------------------------------------------------------------
 # evaluation
 # ----------------------------------------------------------------------------

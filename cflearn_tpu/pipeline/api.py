@@ -324,15 +324,56 @@ class DLPipelineSerializer:
 
     # fuse: ensemble multiple trained pipelines --------------------------------
 
+    @staticmethod
+    def _pick_folders(src_folders: List[str], num_picked: Any) -> List[str]:
+        """`num_picked` (int, or float fraction) keeps the best folders by
+        their recorded checkpoint score (reference `pack_multiple`/fuse
+        semantics, `api/api.py:424-447`); folders without scores keep their
+        given order."""
+        if num_picked is None:
+            return list(src_folders)
+        import json as _json
+
+        from ..constants import CHECKPOINTS_FOLDER, SCORES_FILE
+
+        def score_of(folder: str) -> float:
+            path = os.path.join(folder, CHECKPOINTS_FOLDER, SCORES_FILE)
+            if not os.path.isfile(path):
+                path = os.path.join(folder, SCORES_FILE)
+            if os.path.isfile(path):
+                with open(path, "r") as f:
+                    scores = _json.load(f)
+                if scores:
+                    return max(float(v) for v in scores.values())
+            return float("-inf")
+
+        n = num_picked if isinstance(num_picked, int) else max(1, round(num_picked * len(src_folders)))
+        ranked = sorted(src_folders, key=score_of, reverse=True)
+        return ranked[:n]
+
     @classmethod
     def fuse_inference(
         cls,
         src_folders: List[str],
         *,
+        num_picked: Any = None,
         cuda: Any = None,
     ) -> DLInferencePipeline:
-        pipelines = [cls.load_inference(f) for f in src_folders]
+        pipelines = [cls.load_inference(f) for f in cls._pick_folders(src_folders, num_picked)]
         return FusedInferencePipeline(pipelines)
+
+    @classmethod
+    def fuse_evaluation(
+        cls,
+        src_folders: List[str],
+        *,
+        num_picked: Any = None,
+        cuda: Any = None,
+    ) -> "FusedEvaluationPipeline":
+        """Fused ensemble with metric evaluation (reference `fuse_evaluation`,
+        `api/api.py:435-447`)."""
+        pipelines = [cls.load_evaluation(f) for f in cls._pick_folders(src_folders, num_picked)]
+        return FusedEvaluationPipeline(pipelines)
 
 
 class FusedInferencePipeline(_InferencePipelineMixin):
@@ -356,6 +397,24 @@ class FusedInferencePipeline(_InferencePipelineMixin):
     @property
     def inference(self) -> "FusedInference":
         return FusedInference(self.pipelines)
+
+
+class FusedEvaluationPipeline(FusedInferencePipeline):
+    """Fused ensemble + metric evaluation (reference `DLEvaluationPipeline`
+    focus of `fuse_evaluation`, `pipeline/api.py:435-447`): predictions are
+    averaged across sub-pipelines, then scored with the fused metrics."""
+
+    def evaluate(self, loader_or_x: Any, y: Any = None, **kwargs: Any) -> MetricsOutputs:
+        config = self.pipelines[0].config
+        metrics = IMetric.fuse(
+            config.metric_names or "acc",
+            config.metric_configs,
+            metric_weights=config.metric_weights,
+        )
+        loader = self.pipelines[0]._as_loader(loader_or_x, y, 128)
+        outputs = self.inference.get_outputs(loader, metrics=metrics, return_outputs=False)
+        assert outputs.metric_outputs is not None
+        return outputs.metric_outputs
 
 
 class FusedInference:

@@ -129,3 +129,51 @@ def test_ml_data_with_strings() -> None:
     batch = train_loader.get_one_batch()
     assert np.isfinite(batch["input"]).all()
     assert valid_loader is not None
+
+
+def test_fuse_evaluation(tmp_path) -> None:
+    """`fuse_evaluation` (reference `api/api.py:435-447`): fused ensemble
+    scored with the framework metrics; `num_picked` keeps the best folders."""
+    x, y = _toy()
+    folders = []
+    for i in range(3):
+        config = _debug_config(workspace=str(tmp_path / str(i)), metric_names=["acc"])
+        p = cf.fit_ml(x, y, config=config)
+        folders.append(os.path.join(p._workspace, "pipeline"))
+    fused = cf.fuse_evaluation(folders)
+    out = fused.evaluate(x, y)
+    assert "acc" in out.metric_values and 0.0 <= out.metric_values["acc"] <= 1.0
+    # prediction fusion semantics match fuse_inference
+    individual = [cf.load_inference(f).predict(x[:8])["predictions"] for f in folders]
+    np.testing.assert_allclose(
+        fused.predict(x[:8])["predictions"], np.mean(individual, axis=0), atol=1e-5
+    )
+    picked = cf.fuse_evaluation(folders, num_picked=2)
+    assert len(picked.pipelines) == 2
+    picked_f = cf.fuse_evaluation(folders, num_picked=0.34)
+    assert len(picked_f.pipelines) == 1
+
+
+def test_sklearn_evaluation_bridge() -> None:
+    """`GeneralEvaluationPipeline` + `SKLearnClassifier` (reference
+    `pipeline/third_party.py:17-44`): sklearn models evaluated with our
+    metric system."""
+    from sklearn.linear_model import LogisticRegression
+
+    from cflearn_tpu.data import ArrayData
+    from cflearn_tpu.pipeline.third_party import GeneralEvaluationPipeline, SKLearnClassifier
+    from cflearn_tpu.schema.config import DLConfig
+
+    x, y = _toy()
+    skm = LogisticRegression().fit(x, y.ravel())
+    bridge = GeneralEvaluationPipeline(
+        DLConfig(module_name="fcnn", metric_names=["acc", "auc"]),
+        SKLearnClassifier(skm),
+    )
+    loader, _ = ArrayData.init().fit(x, y).get_loaders()
+    out = bridge.evaluate(loader)
+    sk_acc = skm.score(x, y.ravel())
+    assert out.metric_values["acc"] == pytest.approx(sk_acc, abs=1e-6)
+    assert 0.5 <= out.metric_values["auc"] <= 1.0
+    with pytest.raises(ValueError):
+        GeneralEvaluationPipeline(DLConfig(module_name="fcnn"), SKLearnClassifier(skm))
