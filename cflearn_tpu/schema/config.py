@@ -108,6 +108,12 @@ class TrainerConfig(DataClassBase):
     remat: bool = False
     profile_steps: Optional[List[int]] = None
     tqdm_settings: Optional[Dict[str, Any]] = None
+    # sanitizer analogue (SURVEY §5.2): jax debug flags applied around fit.
+    # `debug_nans` re-runs NaN-producing ops de-optimized and raises at the
+    # source; `transfer_guard` ("allow"|"log"|"disallow") catches implicit
+    # host↔device transfers inside the training loop.
+    debug_nans: bool = False
+    transfer_guard: Optional[str] = None
 
     @property
     def is_debug(self) -> bool:

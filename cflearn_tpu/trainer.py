@@ -327,6 +327,12 @@ class Trainer(ITrainer):
         self.model = model
         self._prepare_workspace()
 
+        # sanitizer analogue (SURVEY §5.2): NaN debugging + transfer guard
+        if self.config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        if self.config.transfer_guard:
+            jax.config.update("jax_transfer_guard", self.config.transfer_guard)
+
         # mesh + placement ----------------------------------------------------
         self.mesh = make_mesh(self.config.get_mesh_config())
         set_mesh(self.mesh)
@@ -448,6 +454,10 @@ class Trainer(ITrainer):
         for callback in self.callbacks:
             callback.finalize(self)
         self._fit_wall_time = time.time() - start_t
+        if self.config.debug_nans:
+            jax.config.update("jax_debug_nans", False)
+        if self.config.transfer_guard:
+            jax.config.update("jax_transfer_guard", "allow")
         return self
 
     def _loop(self, state: TrainerState, batcher: DeviceBatcher, model: IDLModel, terminate: bool, has_ckpt: bool) -> Tuple[bool, bool]:

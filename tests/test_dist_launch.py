@@ -1,0 +1,42 @@
+"""Real subprocess test of `dist.launch.run_distributed` — the round-1 gap:
+the multi-process path (jax.distributed via coordinator env vars) was never
+exercised. Spawns 2 CPU processes, initializes the collective runtime, and
+checks a cross-process psum."""
+
+import os
+import sys
+import textwrap
+
+import pytest
+
+
+@pytest.mark.timeout(300)
+def test_run_distributed_two_process_psum(tmp_path) -> None:
+    script = tmp_path / "worker.py"
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    script.write_text(textwrap.dedent(f"""
+        import os
+        import jax
+        if os.environ.get("CFLEARN_TPU_FORCE_CPU") == "1":
+            jax.config.update("jax_platforms", "cpu")
+        import sys
+        sys.path.insert(0, {str(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))!r})
+        from cflearn_tpu.parallel.mesh import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
+        assert jax.process_count() == 2, jax.process_count()
+        import jax.numpy as jnp
+        from jax.experimental.multihost_utils import process_allgather
+
+        gathered = process_allgather(jnp.asarray([jax.process_index()]))
+        total = int(gathered.sum())
+        assert total == 1, total  # 0 + 1
+        with open(os.path.join({str(out_dir)!r}, f"rank{{jax.process_index()}}.ok"), "w") as f:
+            f.write(str(total))
+    """))
+    from cflearn_tpu.dist.launch import run_distributed
+
+    code = run_distributed(str(script), num_processes=2, coordinator_port=23461, force_cpu=True)
+    assert code == 0
+    assert sorted(p.name for p in out_dir.iterdir()) == ["rank0.ok", "rank1.ok"]
