@@ -36,7 +36,12 @@ NUM_STEPS = 20
 GUIDANCE = 7.5
 
 
+TOME_RATIO = 0.5  # ToMe-SD's standard ratio: ~negligible FID delta at r=0.5
+# (Bolya & Hoffman 2023, tomesd); merges run on the 64x64 self-attention only
+
+
 def build_sd():
+    from cflearn_tpu.modules.core.mixed_stacks import SpatialTransformer
     from cflearn_tpu.modules.multimodal.diffusion.ldm import StableDiffusion
 
     model = StableDiffusion(version="v1", rngs=nnx.Rngs(0))
@@ -47,6 +52,10 @@ def build_sd():
         params,
     )
     nnx.update(model, params)
+    if TOME_RATIO > 0:
+        for _, module in nnx.iter_graph(model):
+            if isinstance(module, SpatialTransformer):
+                module.set_tome_ratio(TOME_RATIO)
     return model
 
 

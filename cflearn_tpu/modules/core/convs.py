@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from ...ops.conv import conv_call
 from ...ops.group_norm import gn_call, group_norm
 from .activations import build_activation
 
@@ -75,7 +76,7 @@ class Conv2d(nnx.Module):
             out = self.conv(x)
             self.conv.padding = backup
         else:
-            out = self.conv(x)
+            out = conv_call(self.conv, x)
         if self.gain != 1.0:
             out = out * self.gain
         return out
@@ -252,11 +253,11 @@ class ResidualBlock(nnx.Module):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         net = gn_call(self.norm1, x, silu=True)
-        net = self.conv1(net)
+        net = conv_call(self.conv1, net)
         net = gn_call(self.norm2, net, silu=True)
         if self.dropout is not None:
             net = self.dropout(net)
-        net = self.conv2(net)
+        net = conv_call(self.conv2, net)
         skip = x if self.shortcut is None else self.shortcut(x)
         return skip + net
 
@@ -293,7 +294,7 @@ class ResidualBlockWithTimeEmbedding(nnx.Module):
 
     def __call__(self, x: jax.Array, time_embed: jax.Array) -> jax.Array:
         net = gn_call(self.norm1, x, silu=True)
-        net = self.conv1(net)
+        net = conv_call(self.conv1, net)
         emb = self.time_proj(jax.nn.silu(time_embed))[:, None, None, :]
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb, 2, axis=-1)
@@ -304,6 +305,6 @@ class ResidualBlockWithTimeEmbedding(nnx.Module):
             net = gn_call(self.norm2, net, silu=True)
         if self.dropout is not None:
             net = self.dropout(net)
-        net = self.conv2(net)
+        net = conv_call(self.conv2, net)
         skip = x if self.shortcut is None else self.shortcut(x)
         return skip + net
