@@ -36,18 +36,21 @@ _INTERPRET = bool(int(os.environ.get("CFLEARN_TPU_PALLAS_INTERPRET", "0")))
 
 # VMEM budget for picking the row-tile height (v5e has ~16MB more or less;
 # leave headroom for Mosaic's own buffers)
-_VMEM_BUDGET = int(14.5 * 1024 * 1024)
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def _conv3x3_kernel(x_ref, w_ref, o_ref, *, th: int, w_len: int):
-    """x_ref: (1, th+2, W+2, C) halo rows; w_ref: (3, 3, C, co_blk);
-    o_ref: (1, th, W, co_blk). Accumulate 9 matmuls in f32."""
-    x = x_ref[0]
+def _conv3x3_kernel(x_ref, w_ref, o_ref, *, nb: int, th: int, w_len: int):
+    """x_ref: (nb, th+2, W+2, C) halo rows for nb batch images; w_ref:
+    (3, 3, C, co_blk); o_ref: (nb, th, W, co_blk). Folding nb images into
+    one (nb*th*W, C) matmul keeps the MXU M-dimension large at small
+    spatial sizes. Accumulate 9 matmuls in f32."""
+    x = x_ref[...]
+    c = x.shape[-1]
     acc = None
     for di in range(3):
         for dj in range(3):
-            xs = x[di : di + th, dj : dj + w_len, :]
-            xs2 = xs.reshape(th * w_len, x.shape[-1])
+            xs = x[:, di : di + th, dj : dj + w_len, :]
+            xs2 = xs.reshape(nb * th * w_len, c)
             part = jax.lax.dot_general(
                 xs2,
                 w_ref[di, dj],
@@ -55,7 +58,7 @@ def _conv3x3_kernel(x_ref, w_ref, o_ref, *, th: int, w_len: int):
                 preferred_element_type=jnp.float32,
             )
             acc = part if acc is None else acc + part
-    o_ref[0] = acc.reshape(th, w_len, -1).astype(o_ref.dtype)
+    o_ref[...] = acc.reshape(nb, th, w_len, -1).astype(o_ref.dtype)
 
 
 def _conv3x3_kernel_fold(x_ref, w_ref, o_ref, xc_ref, *, th: int, w_len: int):
@@ -81,32 +84,50 @@ def _conv3x3_kernel_fold(x_ref, w_ref, o_ref, xc_ref, *, th: int, w_len: int):
     o_ref[0] = acc.reshape(th, w_len, -1).astype(o_ref.dtype)
 
 
-def _vmem_estimate(th: int, w: int, c: int, co_blk: int, x_bytes: int) -> int:
+def _vmem_estimate(nb: int, th: int, w: int, c: int, co_blk: int, co: int, x_bytes: int) -> int:
+    """Calibrated against Mosaic's reported scoped-vmem allocations on v5e:
+    x and out are double-buffered; the f32 accumulator effectively costs two
+    copies (the value plus its reshape on the store); the weight tile is
+    double-buffered when its block index varies over the grid (Co blocking)
+    and single-buffered when constant."""
+    w_bufs = 2 if co_blk < co else 1
     return (
-        2 * (th + 2) * (w + 2) * c * x_bytes  # x halo tile (double buffered)
-        + 2 * th * w * co_blk * x_bytes  # out tile (double buffered)
-        + th * w * co_blk * 4  # f32 accumulator temporary
-        + 3 * (th + 2) * w * c * x_bytes  # sliced-window / dj-fold copies
-        + 2 * 9 * c * co_blk * x_bytes  # weight tile (Mosaic double-buffers)
+        2 * nb * (th + 2) * (w + 2) * c * x_bytes  # x halo tile (double buffered)
+        + 2 * nb * th * w * co_blk * x_bytes  # out tile (double buffered)
+        + 2 * nb * th * w * co_blk * 4  # f32 accumulator (+ reshape temp)
+        + w_bufs * 9 * c * co_blk * x_bytes  # weight tile
     )
 
 
-def _pick_config(h: int, w: int, c: int, co: int, x_bytes: int):
-    """Choose (row-tile th, out-channel block co_blk) under the VMEM budget,
-    or None when no configuration fits (dispatcher falls back to XLA).
-    Prefer large th (amortizes halo + feeds the MXU) and unblocked Co (no
-    re-reads of x from HBM). Mosaic needs the minor block dim to be a
-    multiple of 128 or the full dim, so Co blocking candidates are
-    multiple-of-128 divisors of Co."""
+def _pick_config(bsz: int, h: int, w: int, c: int, co: int, x_bytes: int):
+    """Choose (batch-fold nb, row-tile th, out-channel block co_blk) under
+    the VMEM budget, or None when no configuration fits (dispatcher falls
+    back to XLA). Small spatial sizes fold several batch images into one
+    program so the matmul M-dim stays large; large spatial tiles rows.
+    Mosaic needs the minor block dim to be a multiple of 128 or the full
+    dim, so Co blocking candidates are multiple-of-128 divisors of Co."""
     co_cands = [co] + [d for d in range(co - 128, 0, -128) if co % d == 0 and d % 128 == 0]
+    nb_cands = [n for n in range(min(bsz, 16), 0, -1) if bsz % n == 0]
+    best = None  # (m, th, co_blk, nb)
     for co_blk in co_cands:
         th = h
         while th >= 1:
-            if th * w <= 8192 and _vmem_estimate(th, w, c, co_blk, x_bytes) <= _VMEM_BUDGET:
-                while h % th != 0:
-                    th -= 1
-                return th, co_blk
-            th //= 2
+            if h % th == 0:
+                for nb in nb_cands:
+                    m = nb * th * w
+                    if m > 8192:
+                        continue
+                    if _vmem_estimate(nb, th, w, c, co_blk, co, x_bytes) > _VMEM_BUDGET:
+                        continue
+                    # prefer the largest matmul M; tie-break on larger th
+                    # (fewer duplicated halo rows) then larger co_blk
+                    # (fewer HBM re-reads of x)
+                    if best is None or (m, th, co_blk) > (best[0], best[1], best[2]):
+                        best = (m, th, co_blk, nb)
+                    break  # nb_cands is descending: first fit has max nb for this th
+            th -= 1 if th <= 8 else th // 2
+    if best is not None:
+        return best[3], best[1], best[2]
     return None
 
 
@@ -124,22 +145,30 @@ def conv3x3_pallas(
     co = w.shape[-1]
     out_dtype = out_dtype or x.dtype
 
-    cfg = _pick_config(h, w_len, c, co, x.dtype.itemsize)
+    cfg = _pick_config(bsz, h, w_len, c, co, x.dtype.itemsize)
     if cfg is None:
         return _xla_conv3x3(x, w, b)
-    th, co_blk = cfg
+    nb, th, co_blk = cfg
     n_co = co // co_blk
     n_h = h // th
     if fold is None:
         # measured on v5e: the dj-fold's VMEM staging copy costs more than
         # the deeper contraction saves at every SD hot shape
         fold = False
+    if fold and cfg is not None:
+        # the fold staging scratch is extra VMEM the shared model ignores
+        nb0, th0, co_blk0 = cfg
+        extra = (th0 + 2) * w_len * 3 * c * x.dtype.itemsize
+        if nb0 != 1 or _vmem_estimate(1, th0, w_len, c, co_blk0, co, x.dtype.itemsize) + extra > _VMEM_BUDGET:
+            fold = False
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
-    grid = (bsz, n_h, n_co)
+    grid = (bsz // nb, n_h, n_co)
     scratch = []
     if fold:
+        nb = 1
+        grid = (bsz, n_h, n_co)
         w_in = w.reshape(3, 3 * c, co)
         w_spec = pl.BlockSpec((3, 3 * c, co_blk), lambda bi, hi, ci: (0, 0, ci))
         kernel = functools.partial(_conv3x3_kernel_fold, th=th, w_len=w_len)
@@ -147,18 +176,18 @@ def conv3x3_pallas(
     else:
         w_in = w
         w_spec = pl.BlockSpec((3, 3, c, co_blk), lambda bi, hi, ci: (0, 0, 0, ci))
-        kernel = functools.partial(_conv3x3_kernel, th=th, w_len=w_len)
+        kernel = functools.partial(_conv3x3_kernel, nb=nb, th=th, w_len=w_len)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (pl.Element(1), pl.Element(th + 2), pl.Element(w_len + 2), pl.Element(c)),
-                lambda bi, hi, ci: (bi, hi * th, 0, 0),
+                (pl.Element(nb), pl.Element(th + 2), pl.Element(w_len + 2), pl.Element(c)),
+                lambda bi, hi, ci, _nb=nb, _th=th: (bi * _nb, hi * _th, 0, 0),
             ),
             w_spec,
         ],
-        out_specs=pl.BlockSpec((1, th, w_len, co_blk), lambda bi, hi, ci: (bi, hi, 0, ci)),
+        out_specs=pl.BlockSpec((nb, th, w_len, co_blk), lambda bi, hi, ci: (bi, hi, 0, ci)),
         out_shape=jax.ShapeDtypeStruct((bsz, h, w_len, co), out_dtype),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(

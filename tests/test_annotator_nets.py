@@ -468,3 +468,87 @@ def test_isnet_conversion_and_segment(tmp_path) -> None:
     assert mask.shape == (50, 70)
     assert mask.min() >= 0.0 and mask.max() <= 1.0
     assert np.isfinite(mask).all()
+
+
+def test_iharm_conversion_and_run(tmp_path) -> None:
+    """iDIH-HRNet image harmonization: mechanical conversion coverage (the
+    module tree mirrors the torch names) + Predictor contract (pad to
+    divisor, normalize, blend, uint8 out, background preserved-ish by the
+    image-fusion attention)."""
+    import torch
+
+    from cflearn_tpu.api.cv.third_party.iharm import (
+        HRNetIHModel,
+        ImageHarmonizationAPI,
+        convert_iharm,
+    )
+    from cflearn_tpu.toolkit.tree import npd_to_tree
+
+    kwargs = dict(width=4, ocr_width=8, ch=8, depth=7)
+    net = HRNetIHModel(rngs=nnx.Rngs(0), **kwargs)
+    params = tree_to_npd(nnx.state(net, nnx.Param))
+    stats = tree_to_npd(nnx.state(net, nnx.BatchStat))
+    npd = {**params, **stats}
+    rng = np.random.RandomState(0)
+    sd = {}
+    for k, v in npd.items():
+        path = k.rsplit("/", 2)[0].replace("/", ".")
+        leaf = k.split("/")[-2]
+        if leaf == "kernel" and "deconv_blocks" in k:
+            kh, kw, i, o = v.shape  # stored pre-flipped (kh, kw, in, out)
+            sd[f"{path}.weight"] = rng.randn(i, o, kh, kw).astype(np.float32) * 0.1
+        elif leaf == "kernel":
+            kh, kw, i, o = v.shape
+            sd[f"{path}.weight"] = rng.randn(o, i, kh, kw).astype(np.float32) * 0.1
+        elif leaf == "scale" and path.endswith("mask_conv.1"):
+            sd[f"{path}.scale"] = rng.rand(*v.shape).astype(np.float32)
+        elif leaf == "scale":
+            sd[f"{path}.weight"] = rng.rand(*v.shape).astype(np.float32) + 0.5
+        elif leaf == "bias":
+            sd[f"{path}.bias"] = rng.randn(*v.shape).astype(np.float32) * 0.1
+        elif leaf == "mean":
+            sd[f"{path}.running_mean"] = rng.randn(*v.shape).astype(np.float32) * 0.1
+        elif leaf == "var":
+            sd[f"{path}.running_var"] = rng.rand(*v.shape).astype(np.float32) + 0.5
+    back = convert_iharm(sd)
+    missing = set(npd) - set(back)
+    assert not missing, f"conversion does not cover: {sorted(missing)[:8]}"
+    extra = set(back) - set(npd)
+    assert not extra, f"conversion produces unknown keys: {sorted(extra)[:8]}"
+
+    ckpt = str(tmp_path / "iharm.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+    api = ImageHarmonizationAPI(ckpt, **kwargs)
+    img = (rng.rand(140, 200, 3) * 255).astype(np.uint8)
+    mask = np.zeros((140, 200), np.float32)
+    mask[40:90, 60:150] = 1.0
+    out = api.run(img, mask)
+    assert out.shape == (140, 200, 3)
+    assert out.dtype == np.uint8
+    assert np.isfinite(out.astype(np.float32)).all()
+
+
+def test_iharm_conv_transpose_matches_torch() -> None:
+    """TorchConvTranspose (input-dilated conv with pre-flipped kernel) must
+    match torch ConvTranspose2d(k=4, s=2, p in {0, 1}) exactly."""
+    import torch
+
+    from cflearn_tpu.api.cv.third_party.iharm import TorchConvTranspose
+
+    rng = np.random.RandomState(1)
+    for p in (0, 1):
+        x = rng.randn(2, 5, 7, 3).astype(np.float32)
+        w = rng.randn(3, 6, 4, 4).astype(np.float32) * 0.2  # (in, out, kh, kw)
+        b = rng.randn(6).astype(np.float32) * 0.1
+        tref = torch.nn.functional.conv_transpose2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            torch.from_numpy(w),
+            torch.from_numpy(b),
+            stride=2,
+            padding=p,
+        ).permute(0, 2, 3, 1).numpy()
+        mod = TorchConvTranspose(3, 6, 4, 2, p, rngs=nnx.Rngs(0))
+        mod.kernel[...] = jnp.asarray(np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]))
+        mod.bias[...] = jnp.asarray(b)
+        got = np.asarray(mod(jnp.asarray(x)))
+        np.testing.assert_allclose(got, tref, atol=1e-4)
