@@ -53,37 +53,37 @@ def bipartite_soft_matching_random2d(
     merged_src_pos = merge_order[:, :r]  # positions INTO src_idx
     kept_src_pos = merge_order[:, r:]
 
+    merged_tgt = jnp.take_along_axis(best_dst, merged_src_pos, axis=1)  # (B, r)
+    # one-hot of the merge targets — feature scatters become MXU matmuls
+    # (TPU scatter on (B, r, C) tensors measured ~3x the cost of the whole
+    # attention saving; the one-hot einsum runs at matmul speed)
+    tgt_onehot = (
+        merged_tgt[..., None] == jnp.arange(num_dst)[None, None, :]
+    )  # (B, r, num_dst) bool
+
     def merge(x: jax.Array) -> jax.Array:
         x_src = jnp.take(x, src_idx, axis=1)  # (B, num_src, C)
         x_dst = jnp.take(x, dst_idx, axis=1)  # (B, num_dst, C)
         merged_vals = jnp.take_along_axis(x_src, merged_src_pos[..., None], axis=1)  # (B, r, C)
-        merged_tgt = jnp.take_along_axis(best_dst, merged_src_pos, axis=1)  # (B, r)
-        # mean-merge: accumulate merged src into dst, divide by counts
-        ones = jnp.ones((x.shape[0], r, 1), x.dtype)
-        sums = jax.vmap(lambda d, t, v: d.at[t].add(v))(x_dst, merged_tgt, merged_vals)
-        counts = jax.vmap(lambda t, o: jnp.ones((num_dst, 1), x.dtype).at[t].add(o))(merged_tgt, ones)
-        x_dst = sums / counts
+        oh = tgt_onehot.astype(x.dtype)
+        sums = x_dst + jnp.einsum("brd,brc->bdc", oh, merged_vals)
+        counts = 1.0 + jnp.sum(oh, axis=1)[..., None]  # (B, num_dst, 1)
         x_kept = jnp.take_along_axis(x_src, kept_src_pos[..., None], axis=1)  # (B, num_src - r, C)
-        return jnp.concatenate([x_dst, x_kept], axis=1)
+        return jnp.concatenate([sums / counts, x_kept], axis=1)
 
     def unmerge(x: jax.Array) -> jax.Array:
-        x_dst = x[:, :num_dst]
-        x_kept = x[:, num_dst:]
         bsz = x.shape[0]
-        out = jnp.zeros((bsz, n, c_out(x)), x.dtype)
-        out = jax.vmap(lambda o, v: o.at[dst_idx].set(v))(out, x_dst)
-        kept_global = jnp.take(src_idx, kept_src_pos, axis=0) if kept_src_pos.ndim == 1 else jnp.take(
-            src_idx, kept_src_pos
-        )
-        out = jax.vmap(lambda o, idx, v: o.at[idx].set(v))(out, kept_global, x_kept)
-        merged_tgt = jnp.take_along_axis(best_dst, merged_src_pos, axis=1)
-        merged_global = jnp.take(src_idx, merged_src_pos)
-        merged_vals = jnp.take_along_axis(x_dst, merged_tgt[..., None], axis=1)
-        out = jax.vmap(lambda o, idx, v: o.at[idx].set(v))(out, merged_global, merged_vals)
-        return out
-
-    def c_out(x: jax.Array) -> int:
-        return x.shape[-1]
+        # every output token reads one row of the merged tensor: build the
+        # int32 source map (index-width scatters — measured cheaper than the
+        # argsort inverse and ~300x less data than feature-width scatters),
+        # then do a single feature-width gather
+        kept_global = jnp.take(src_idx, kept_src_pos)  # (B, num_src - r)
+        merged_global = jnp.take(src_idx, merged_src_pos)  # (B, r)
+        inv = jnp.zeros((bsz, n), jnp.int32)
+        inv = inv.at[:, dst_idx].set(jnp.arange(num_dst, dtype=jnp.int32)[None])
+        inv = jax.vmap(lambda o, idx: o.at[idx].set(num_dst + jnp.arange(kept_src_pos.shape[1], dtype=jnp.int32)))(inv, kept_global)
+        inv = jax.vmap(lambda o, idx, v: o.at[idx].set(v))(inv, merged_global, merged_tgt.astype(jnp.int32))
+        return jnp.take_along_axis(x, inv[..., None], axis=1)
 
     return merge, unmerge, n - r
 

@@ -142,6 +142,18 @@ def load_states(download_info: Any, converter: Optional[str], converter_kwargs: 
         from ..losses.lpips import convert_lpips
 
         npd = convert_lpips(torch_sd)
+    elif converter == "lama":
+        from ..api.cv.third_party.lama import convert_lama
+
+        npd = convert_lama(torch_sd)
+    elif converter == "isnet":
+        from ..api.cv.third_party.isnet import convert_isnet
+
+        npd = convert_isnet(torch_sd)
+    elif converter == "iharm":
+        from ..api.cv.third_party.iharm import convert_iharm
+
+        npd = convert_iharm(torch_sd)
     else:
         npd = {k: np.asarray(v) for k, v in torch_sd.items()}
     np.savez_compressed(cache, **npd)

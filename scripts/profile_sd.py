@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-BATCH = 4
+BATCH = 4  # overridden by --batch
 
 
 def _sync(out):
@@ -44,9 +44,12 @@ def timed(fn, *args, iters=8, warmup=2):
 
 
 def main() -> None:
+    global BATCH
     p = argparse.ArgumentParser()
     p.add_argument("--tome", type=float, default=0.0)
+    p.add_argument("--batch", type=int, default=4)
     args = p.parse_args()
+    BATCH = args.batch
 
     from cflearn_tpu.modules.multimodal.diffusion.ldm import StableDiffusion
 
