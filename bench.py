@@ -70,8 +70,9 @@ def main() -> None:
 
     def txt2img(st, tokens, uncond_tokens, key):
         m = nnx.merge(graphdef, st)
-        cond = m.get_cond(tokens)
-        uncond = m.get_cond(uncond_tokens)
+        # one batched text-encoder call for cond + uncond
+        both = m.get_cond(jnp.concatenate([tokens, uncond_tokens], axis=0))
+        cond, uncond = jnp.split(both, 2, axis=0)
         sampler = ISampler.make("ddim", {"model": m})
         z = jax.random.normal(key, (BATCH, 64, 64, 4), dtype=jnp.float32)
         latents = sampler.sample(

@@ -104,19 +104,67 @@ def context_parallel_attention(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    method: str = "auto",
 ) -> jax.Array:
     """Convenience wrapper: shard (B,H,L,D) tensors over the mesh's `context`
-    axis on L and run ring attention via shard_map."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis on L and run context-parallel attention via shard_map.
+
+    `method`: "ring" (KV blocks rotate via ppermute — works for any head
+    count), "ulysses" (two all_to_alls re-shard sequence<->heads — fewer
+    collectives, needs H % cp == 0), or "auto" (ulysses when heads divide
+    the axis, ring otherwise)."""
+    from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
+    cp = mesh.shape["context"]
+    if method == "auto":
+        method = "ulysses" if q.shape[1] % cp == 0 else "ring"
+    if method == "ulysses" and q.shape[1] % cp != 0:
+        raise ValueError(f"ulysses needs heads ({q.shape[1]}) divisible by context axis ({cp})")
+    inner = ulysses_attention if method == "ulysses" else ring_attention
     spec = P(None, None, "context", None)
 
     fn = shard_map(
-        partial(ring_attention, causal=causal, sm_scale=sm_scale),
+        partial(inner, causal=causal, sm_scale=sm_scale),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
         check_rep=False,
     )
     return fn(q, k, v)
+
+
+def ulysses_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str = "context",
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Ulysses-style context-parallel attention (SURVEY §5.7c): instead of
+    rotating K/V around a ring, ONE `all_to_all` re-shards the tensors from
+    sequence-sharded to head-sharded, each device runs dense attention over
+    the FULL sequence for its subset of heads, and a second `all_to_all`
+    restores sequence sharding. Two collectives total (vs cp-1 permutes for
+    the ring) — the better trade for attention-heavy shapes when the head
+    count divides the axis. Inputs are LOCAL shards (B, H, L_local, D);
+    requires H % axis_size == 0 (checked statically by the wrapper)."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+
+    def to_heads(x: jax.Array) -> jax.Array:
+        # (B, H, Lc, D) -> (B, H/cp, L, D)
+        return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
+
+    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32) * sm_scale
+    if causal:
+        l_full = qh.shape[2]
+        idx = jnp.arange(l_full)
+        s = jnp.where(idx[None, None, :, None] >= idx[None, None, None, :], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+    # (B, H/cp, L, D) -> (B, H, Lc, D)
+    return jax.lax.all_to_all(out, axis_name, split_axis=2, concat_axis=1, tiled=True)

@@ -114,6 +114,10 @@ class TrainerConfig(DataClassBase):
     # host↔device transfers inside the training loop.
     debug_nans: bool = False
     transfer_guard: Optional[str] = None
+    # checkpoint writing happens on a background thread so the training loop
+    # never blocks on host-side compression/disk IO (SURVEY §5.4 async plan);
+    # restore/rollback paths drain pending writes first
+    async_checkpointing: bool = True
 
     @property
     def is_debug(self) -> bool:

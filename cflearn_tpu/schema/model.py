@@ -180,11 +180,13 @@ class IDLModel(nnx.Module, WithRegister):
         new_state = npd_to_tree(npd, state, strict=strict)
         nnx.update(self, new_state)
 
-    def save(self, path: str) -> None:
-        """config + states in one artifact (reference `schema.py:1377-1389`)."""
+    def save(self, path: str, *, npd: Optional[Dict[str, np.ndarray]] = None) -> None:
+        """config + states in one artifact (reference `schema.py:1377-1389`).
+        `npd` lets callers snapshot the states up front (async writers)."""
         folder = os.path.dirname(os.path.abspath(path))
         os.makedirs(folder, exist_ok=True)
-        npd = self.state_dict()
+        if npd is None:
+            npd = self.state_dict()
         from .config import config_registry
 
         config_type = "dl"
@@ -199,6 +201,49 @@ class IDLModel(nnx.Module, WithRegister):
             }
         )
         np.savez_compressed(path, __meta__=np.frombuffer(meta.encode(), dtype=np.uint8), **npd)
+
+    def save_sharded(self, directory: str) -> None:
+        """Orbax sharded checkpoint (SURVEY §5.4): every process writes its
+        own shards, so multi-host saves don't funnel through host 0 and
+        sharded arrays are stored without a gather. The config travels in a
+        sibling JSON (orbax stores arrays; metadata stays human-readable)."""
+        import orbax.checkpoint as ocp
+
+        from .config import config_registry
+
+        directory = os.path.abspath(directory)
+        config_type = "dl"
+        for name, cls_ in config_registry.items():
+            if type(self.config) is cls_:
+                config_type = name
+        meta = {
+            "config": self.config.to_info(),
+            "config_type": config_type,
+            "type": getattr(self, "__identifier__", "common"),
+        }
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.join(directory, "state"), self.state_dict(), force=True)
+        with open(os.path.join(directory, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load_sharded(cls, directory: str) -> "IDLModel":
+        import orbax.checkpoint as ocp
+
+        from .config import config_registry
+
+        directory = os.path.abspath(directory)
+        with open(os.path.join(directory, "meta.json")) as f:
+            meta = json.load(f)
+        with ocp.StandardCheckpointer() as ckptr:
+            npd = ckptr.restore(os.path.join(directory, "state"))
+        config_cls = config_registry.get(meta.get("config_type", "dl"), DLConfig)
+        config = config_cls()
+        config.from_info(meta["config"])
+        model = IDLModel.get(meta["type"])(config)
+        model.build(config)
+        model.load_state_dict({k: np.asarray(v) for k, v in npd.items()})
+        return model
 
     @classmethod
     def load(cls, path: str) -> "IDLModel":

@@ -108,6 +108,8 @@ class Trainer(ITrainer):
         self._preloaded_opt_npd: Optional[Dict[str, Any]] = None
         self._step_fn_cache: Dict[Any, Callable] = {}
         self._loss_window: Dict[str, List[float]] = {}
+        self._ckpt_futures: List[Any] = []
+        self._ckpt_executor: Optional[Any] = None
 
     # ------------------------------------------------------------------ setup
 
@@ -450,6 +452,7 @@ class Trainer(ITrainer):
         if not has_ckpt and is_local_rank_0():
             score = self.final_results.final_score if self.final_results is not None else 0.0
             self.save_checkpoint(score)
+        self._drain_checkpoints()
 
         for callback in self.callbacks:
             callback.finalize(self)
@@ -625,7 +628,12 @@ class Trainer(ITrainer):
         *,
         no_history: bool = False,
     ) -> None:
-        """Top-k by score with `scores.json` (reference `trainer.py:380-419`)."""
+        """Top-k by score with `scores.json` (reference `trainer.py:380-419`).
+
+        With `config.async_checkpointing`, the device->host pull and the
+        compressed write run on a background thread (jax arrays are
+        immutable, so snapshotting the state tree up front is race-free);
+        `_drain_checkpoints` orders restores behind pending writes."""
         if folder is None:
             folder = self.checkpoint_folder
         os.makedirs(folder, exist_ok=True)
@@ -633,7 +641,22 @@ class Trainer(ITrainer):
         step = state.step if state is not None else 0
         self._sync_state_to_model()
         file = f"{CKPT_PREFIX}{step}.npz"
-        self.model.save(os.path.join(folder, file))
+        path = os.path.join(folder, file)
+        if self.config.async_checkpointing:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from .toolkit.tree import tree_to_npd
+
+            if self._ckpt_executor is None:
+                self._ckpt_executor = ThreadPoolExecutor(max_workers=1)
+            tree = nnx.state(self.model)  # immutable leaf snapshot
+
+            def _write() -> None:
+                self.model.save(path, npd=tree_to_npd(tree))
+
+            self._ckpt_futures.append(self._ckpt_executor.submit(_write))
+        else:
+            self.model.save(path)
         scores = {} if no_history else get_scores(folder)
         scores[file] = score
         # retention: keep best `max_snapshot_file`
@@ -647,8 +670,15 @@ class Trainer(ITrainer):
             json.dump(scores, f, indent=2)
         self.checkpoint_scores = scores
 
+    def _drain_checkpoints(self) -> None:
+        """Wait for pending async checkpoint writes (re-raises their errors)."""
+        futures, self._ckpt_futures = self._ckpt_futures, []
+        for fut in futures:
+            fut.result()
+
     def restore_checkpoint(self, folder: Optional[str] = None) -> bool:
         """Roll back to the best checkpoint (reference `trainer.py:421-453`)."""
+        self._drain_checkpoints()
         if folder is None:
             folder = self.checkpoint_folder
         best = get_sorted_checkpoints(folder)

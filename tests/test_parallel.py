@@ -131,3 +131,34 @@ def test_training_step_on_context_mesh(tmp_path) -> None:
     )
     trainer.fit(ArrayData.init().fit(x, y), model, skip_final_evaluation=True)
     assert trainer.state is not None and trainer.state.step == 2
+
+
+def test_ulysses_attention_matches_dense() -> None:
+    """SURVEY §5.7c: the all-to-all head-scatter variant is exact."""
+    mesh = _mesh(data=1, context=8)
+    rs = np.random.RandomState(2)
+    q = jnp.asarray(rs.randn(2, 8, 64, 32).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, 8, 64, 32).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, 8, 64, 32).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(context_parallel_attention(q, k, v, mesh, method="ulysses")),
+        np.asarray(xla_attention(q, k, v)),
+        atol=1e-5,
+    )
+
+
+def test_ulysses_attention_causal_and_auto() -> None:
+    mesh = _mesh(data=1, context=4)
+    q = jnp.asarray(np.random.RandomState(3).randn(1, 4, 32, 16).astype(np.float32))
+    got = context_parallel_attention(q, q, q, mesh, causal=True, method="auto")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(xla_attention(q, q, q, causal=True)), atol=1e-5
+    )
+    # heads not divisible by the axis -> explicit ulysses raises, auto falls to ring
+    q3 = jnp.asarray(np.random.RandomState(4).randn(1, 3, 32, 16).astype(np.float32))
+    with pytest.raises(ValueError):
+        context_parallel_attention(q3, q3, q3, mesh, method="ulysses")
+    got3 = context_parallel_attention(q3, q3, q3, mesh, method="auto")
+    np.testing.assert_allclose(
+        np.asarray(got3), np.asarray(xla_attention(q3, q3, q3)), atol=1e-5
+    )

@@ -145,3 +145,24 @@ def test_scheduler_warmup(tmp_path) -> None:
     )
     trainer.fit(data, model)
     assert trainer.state is not None and trainer.state.step > 0
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path) -> None:
+    """Orbax sharded save/load (SURVEY §5.4): config+states round-trip."""
+    import numpy as np
+    from flax import nnx
+
+    from cflearn_tpu.schema.config import DLConfig
+    from cflearn_tpu.schema.model import IDLModel
+
+    config = DLConfig(module_name="fcnn", module_config={"input_dim": 4, "output_dim": 2})
+    model = IDLModel.get("common")(config)
+    model.build(config)
+    d = str(tmp_path / "sharded_ckpt")
+    model.save_sharded(d)
+    loaded = IDLModel.load_sharded(d)
+    a = model.state_dict()
+    b = loaded.state_dict()
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
