@@ -89,10 +89,13 @@ def bipartite_soft_matching_random2d(
 
 
 def compute_merge(
-    x: jax.Array, h: int, w: int, *, ratio: float = 0.5, min_tokens: int = 1024
+    x: jax.Array, h: int, w: int, *, ratio: float = 0.5, min_tokens: int = 2048
 ) -> Tuple[Callable, Callable, bool]:
     """Reference `compute_merge` (`mixed_stacks/api.py:592`): only merge when
-    the token count is large enough to pay off."""
+    the token count is large enough to pay off. min_tokens=2048 matches
+    tomesd's max_downsample=1 default (only the highest-resolution level
+    merges — at 1024 tokens the merge/unmerge overhead exceeds the
+    attention saving on v5e)."""
     n = x.shape[1]
     if n < min_tokens or ratio <= 0.0:
         identity = lambda t: t

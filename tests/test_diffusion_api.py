@@ -86,7 +86,9 @@ def test_tome(tiny_api) -> None:
     from cflearn_tpu.modules.core.mixed_stacks import SpatialTransformer
 
     sp = SpatialTransformer(32, 4, 8, context_dim=32, rngs=nnx.Rngs(0))
-    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 32))
+    # 64x64 = 4096 tokens >= compute_merge's min_tokens (2048, the tomesd
+    # max_downsample=1 gate) so the merge is active and lossy
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 32))
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 32))
     a = sp(x, ctx)
     sp.set_tome_ratio(0.5)
