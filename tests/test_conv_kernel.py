@@ -72,3 +72,15 @@ def test_use_pallas_conv_gating() -> None:
     # small spatial with narrow channels loses to XLA
     assert not C._shape_wins(x_small, w)
     assert C._shape_wins(x_big, w)
+
+
+def test_conv3x3_w8a8_quant_noise_bounded() -> None:
+    """Dynamic W8A8 path: output matches fp within int8 quantization noise."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 8, 8, 128), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 128, 128), jnp.float32) * 0.05
+    b = jax.random.normal(jax.random.PRNGKey(2), (128,)) * 0.1
+    ref = _xla(x, w, b)
+    got = C.conv3x3_w8a8(x, w, b)
+    rel = float(jnp.max(jnp.abs(got - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, f"w8a8 relative error too large: {rel}"
