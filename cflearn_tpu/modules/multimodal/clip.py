@@ -262,3 +262,111 @@ class CLIP(IPerceptor):
             "logits_per_text": logits.T,
             PREDICTIONS_KEY: logits,
         }
+
+
+class BertTextEncoder(nnx.Module):
+    """BERT-style text tower for ChineseCLIP (reference config
+    `zoo/configs/multimodal/clip/chinese.json` — post-norm blocks,
+    token-type embeddings, embedding LayerNorm, bidirectional attention,
+    [CLS] 'bert' pooler with tanh head)."""
+
+    def __init__(
+        self,
+        *,
+        vocab_size: int = 21128,
+        context_length: int = 512,
+        latent_dim: int = 1024,
+        num_layers: int = 24,
+        num_heads: int = 16,
+        token_type_size: int = 2,
+        norm_eps: float = 1e-12,
+        rngs: nnx.Rngs,
+    ) -> None:
+        self.context_length = context_length
+        self.token_embedding = nnx.Embed(vocab_size, latent_dim, rngs=rngs)
+        self.token_type_embedding = nnx.Embed(token_type_size, latent_dim, rngs=rngs)
+        key = rngs.params()
+        self.positional_embedding = nnx.Param(
+            jax.random.normal(key, (context_length, latent_dim)) * 0.01
+        )
+        self.embedding_norm = nnx.LayerNorm(latent_dim, epsilon=norm_eps, rngs=rngs)
+        self.blocks = nnx.List(
+            [
+                _BertBlock(latent_dim, num_heads, norm_eps=norm_eps, rngs=rngs)
+                for _ in range(num_layers)
+            ]
+        )
+        self.pooler = nnx.Linear(latent_dim, latent_dim, rngs=rngs)
+
+    def __call__(self, token_ids: jax.Array, *, return_pooled: bool = False) -> Any:
+        l = token_ids.shape[1]
+        x = (
+            self.token_embedding(token_ids)
+            + self.token_type_embedding(jnp.zeros_like(token_ids))
+            + self.positional_embedding[...][None, :l]
+        )
+        x = self.embedding_norm(x)
+        for block in self.blocks:
+            x = block(x)
+        if return_pooled:
+            pooled = jnp.tanh(self.pooler(x[:, 0]))  # [CLS]
+            return x, pooled
+        return x
+
+
+class _BertBlock(nnx.Module):
+    """Post-norm transformer block (residual -> LayerNorm), GELU FF."""
+
+    def __init__(self, dim: int, num_heads: int, *, norm_eps: float, rngs: nnx.Rngs) -> None:
+        self.attn = CLIPAttention(dim, num_heads, rngs=rngs)
+        self.ln_1 = nnx.LayerNorm(dim, epsilon=norm_eps, rngs=rngs)
+        self.mlp = CLIPMLP(dim, activation="gelu", rngs=rngs)
+        self.ln_2 = nnx.LayerNorm(dim, epsilon=norm_eps, rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = self.ln_1(x + self.attn(x, causal=False))
+        x = self.ln_2(x + self.mlp(x))
+        return x
+
+
+@register_module("clip.chinese")
+class ChineseCLIP(CLIP):
+    """ChineseCLIP (reference zoo `multimodal/clip.chinese`): ViT-L/14
+    vision tower + Chinese-BERT text tower. The tokenizer is the HF-backed
+    `chinese_clip` tokenizer (`nlp/tokenizers`)."""
+
+    def __init__(
+        self,
+        *,
+        img_size: int = 224,
+        latent_dim: int = 768,
+        vocab_size: int = 21128,
+        context_length: int = 512,
+        text_latent_dim: int = 1024,
+        text_num_layers: int = 24,
+        text_num_heads: int = 16,
+        token_type_size: int = 2,
+        rngs: nnx.Rngs,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(
+            img_size=img_size,
+            latent_dim=latent_dim,
+            vision_latent_dim=kwargs.pop("vision_latent_dim", 1024),
+            vision_patch_size=kwargs.pop("vision_patch_size", 14),
+            vision_num_layers=kwargs.pop("vision_num_layers", 24),
+            vision_num_heads=kwargs.pop("vision_num_heads", 16),
+            vocab_size=49408,  # placeholder tower, replaced below
+            rngs=rngs,
+        )
+        self.token_encoder = BertTextEncoder(
+            vocab_size=vocab_size,
+            context_length=context_length,
+            latent_dim=text_latent_dim,
+            num_layers=text_num_layers,
+            num_heads=text_num_heads,
+            token_type_size=token_type_size,
+            rngs=rngs,
+        )
+        self.text_projection = nnx.Linear(text_latent_dim, latent_dim, use_bias=False, rngs=rngs)
+        self.context_length = context_length

@@ -226,6 +226,33 @@ def clip_large(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
     return load_module("multimodal/clip.large", pretrained=pretrained, **kwargs)
 
 
+def chinese_clip(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    """ChineseCLIP (reference `zoo/__init__.py:32`): ViT-L/14 vision +
+    Chinese-BERT text tower; tokenizer = `chinese_clip` (HF-backed). The
+    reference's pretrained re-host is cflearn-layout (provenance entries in
+    available.json) — build with `pretrained=False` and load converted
+    weights via `zoo.convert` mappings."""
+    if pretrained:
+        raise ValueError(
+            "chinese_clip pretrained weights are only re-hosted in the "
+            "reference's cflearn layout; convert an upstream checkpoint and "
+            "load it explicitly"
+        )
+    from ..modules.common import build_module
+
+    rngs = kwargs.pop("rngs", None) or nnx.Rngs(0)
+    return build_module("clip.chinese", config=kwargs, rngs=rngs)
+
+
+def open_clip_ViT_H_14(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    """open_clip ViT-H/14 geometry (reference `zoo/__init__.py:36`). The
+    reference's pretrained re-host is cflearn-layout (see available.json
+    provenance entries); `pretrained=True` needs an original open_clip
+    checkpoint conversion which covers the text tower today — build with
+    `pretrained=False` and convert via `zoo.convert` mappings."""
+    return load_module("multimodal/clip.open_clip_ViT_H_14", pretrained=pretrained, **kwargs)
+
+
 def ae_kl_f8(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
     return load_module("ae/kl.f8", pretrained=pretrained, **kwargs)
 

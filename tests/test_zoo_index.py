@@ -108,3 +108,21 @@ def test_lpips_conversion_and_strict_load(tmp_path) -> None:
     d = np.asarray(loaded(a, b))
     assert d.shape == (1,) and np.isfinite(d).all()
     assert float(np.asarray(loaded(a, a))[0]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_clip_variant_ctors() -> None:
+    """open_clip H/14 + chinese_clip named ctors build (tiny overrides)."""
+    import jax
+
+    from cflearn_tpu import zoo
+
+    m = zoo.chinese_clip(
+        text_num_layers=1, text_num_heads=2, text_latent_dim=16, latent_dim=8,
+        vision_num_layers=1, vision_num_heads=2, vision_latent_dim=16,
+        img_size=14, vision_patch_size=14,
+    )
+    import jax.numpy as jnp
+
+    assert m.encode_text(jnp.zeros((1, 8), jnp.int32)).shape == (1, 8)
+    with pytest.raises(ValueError):
+        zoo.chinese_clip(pretrained=True)
