@@ -1,0 +1,103 @@
+"""Secondary BASELINE.md metrics: CLIP image-embeds/sec and p50 txt2img
+latency. Run on the real chip: `python scripts/bench_secondary.py`.
+
+(The driver's contract metric stays bench.py's single JSON line; these are
+the additional metrics BASELINE.json names.)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/cflearn_tpu/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+
+def _sync(out):
+    return float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+
+
+def main() -> None:
+    results = {}
+
+    # ---- CLIP ViT-B/32 image embeds/sec (bf16, batch 64)
+    from cflearn_tpu.modules.common import build_module
+
+    clip = build_module("clip", config={}, rngs=nnx.Rngs(0))
+    params = nnx.state(clip, nnx.Param)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
+    nnx.update(clip, params)
+    gd, st = nnx.split(clip)
+    B = 64
+    images = jax.random.normal(jax.random.PRNGKey(0), (B, 224, 224, 3), jnp.bfloat16)
+
+    @jax.jit
+    def embed(st, images):
+        m = nnx.merge(gd, st)
+        return m.encode_image(images)
+
+    _sync(embed(st, images))
+    t0 = time.time()
+    iters = 20
+    out = None
+    for _ in range(iters):
+        out = embed(st, images)
+    _sync(out)
+    dt = time.time() - t0
+    results["clip_vit_b32_image_embeds_per_sec"] = round(B * iters / dt, 1)
+
+    # ---- p50 txt2img end-to-end latency (single prompt, B=1)
+    from cflearn_tpu.modules.core.mixed_stacks import SpatialTransformer
+    from cflearn_tpu.modules.multimodal.diffusion.ldm import StableDiffusion
+    from cflearn_tpu.modules.multimodal.diffusion.samplers import ISampler
+
+    sd = StableDiffusion(version="v1", rngs=nnx.Rngs(0))
+    params = nnx.state(sd, nnx.Param)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
+    nnx.update(sd, params)
+    for _, module in nnx.iter_graph(sd):
+        if isinstance(module, SpatialTransformer):
+            module.set_tome_ratio(0.5)
+    gd2, st2 = nnx.split(sd)
+    tokens = jnp.asarray(np.random.randint(0, 49000, (1, 77)), jnp.int32)
+    uncond = jnp.zeros((1, 77), jnp.int32)
+
+    @jax.jit
+    def txt2img(st, tokens, uncond, key):
+        m = nnx.merge(gd2, st)
+        both = m.get_cond(jnp.concatenate([tokens, uncond], axis=0))
+        cond, unc = jnp.split(both, 2, axis=0)
+        sampler = ISampler.make("ddim", {"model": m})
+        z = jax.random.normal(key, (1, 64, 64, 4), jnp.float32)
+        latents = sampler.sample(z, cond=cond, uncond=unc, guidance_scale=7.5, num_steps=20, key=key)
+        images = m.decode(latents)
+        return ((jnp.clip(images, -1, 1) + 1) * 127.5).astype(jnp.uint8)
+
+    np.asarray(txt2img(st2, tokens, uncond, jax.random.PRNGKey(0)))  # compile
+    lats = []
+    for i in range(9):
+        t0 = time.time()
+        np.asarray(txt2img(st2, tokens, uncond, jax.random.PRNGKey(i + 1)))
+        lats.append(time.time() - t0)
+    results["txt2img_p50_latency_ms"] = round(sorted(lats)[len(lats) // 2] * 1e3, 1)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
