@@ -60,6 +60,46 @@ def test_img2img_and_inpainting(tiny_api) -> None:
     assert inp.shape == base.shape
 
 
+def test_masked_mode_inpainting(tiny_api) -> None:
+    """MASKED mode (reference InpaintingSettings :392): crop to the padded
+    mask bbox, diffuse at target resolution, feather-paste back — pixels
+    outside the crop box must be untouched."""
+    from cflearn_tpu.api.multimodal.diffusion import (
+        InpaintingMode,
+        InpaintingSettings,
+        crop_masked_area,
+    )
+
+    rng = np.random.default_rng(0)
+    canvas = rng.integers(0, 255, (1, 128, 128, 3), dtype=np.uint8)
+    mask = np.zeros((128, 128), np.float32)
+    mask[48:80, 48:80] = 1.0
+    settings = InpaintingSettings(
+        mode=InpaintingMode.MASKED,
+        mask_padding=8,
+        mask_blur=3,
+        target_wh=64,
+    )
+    out = tiny_api.inpainting(
+        canvas, mask, cond="m", num_steps=2, seed=3, inpainting_settings=settings
+    )
+    assert out.shape == canvas.shape and out.dtype == np.uint8
+    # the crop box is [40, 88): everything outside must be bit-identical
+    outside = np.ones((128, 128), bool)
+    outside[40:88, 40:88] = False
+    np.testing.assert_array_equal(out[0][outside], canvas[0][outside])
+    # inside the mask core, content must have changed
+    assert not np.array_equal(out[0, 56:72, 56:72], canvas[0, 56:72, 56:72])
+
+    # crop geometry: box padded + aspect-corrected, target rounded to 64
+    image_f = canvas.astype(np.float32) / 127.5 - 1.0
+    crop = crop_masked_area(image_f, mask[None, :, :, None], settings)
+    assert tuple(crop.box) == (40, 40, 88, 88)
+    assert crop.wh == (64, 64)
+    assert crop.image.shape == (1, 64, 64, 3)
+    assert crop.mask.shape == (1, 64, 64, 1)
+
+
 def test_sampler_switch_and_variations(tiny_api) -> None:
     tiny_api.switch_sampler("k_euler_a")
     out = tiny_api.txt2img("s", size=(64, 64), num_steps=2, seed=3)
