@@ -241,6 +241,7 @@ class DiffusionAPI(IAPI):
         self._jit_cache: Dict[Any, Callable] = {}
         self._circular = False
         self.lora_manager = LoRAManager()
+        self._style_ref: Optional[Dict[str, Any]] = None
 
     # ------------------------------------------------------------- switches
 
@@ -271,6 +272,67 @@ class DiffusionAPI(IAPI):
             if isinstance(module, SpatialTransformer):
                 module.set_tome_ratio(ratio)
         self._jit_cache.clear()
+
+    def setup_hooks(
+        self,
+        *,
+        tome_info: Optional[Dict[str, Any]] = None,
+        style_reference_image: Optional[np.ndarray] = None,
+        style_reference_states: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        """reference :1341 — configure ToMe and/or style-reference
+        ("reference-only") generation. The style reference image steers
+        txt2img: each denoise step runs a WRITE UNet pass over the q-sampled
+        reference latent and lets self-attention READ the banked activations
+        (all inside one jitted program)."""
+        if tome_info is not None:
+            self.set_tome_ratio(float(tome_info.get("ratio", 0.5)))
+        if style_reference_image is None:
+            self._style_ref = None
+            self._jit_cache.clear()
+            return
+        from ...modules.core.mixed_stacks import StyleReferenceStates
+        from ...modules.multimodal.diffusion.unet import style_reference_write_gates
+
+        states = StyleReferenceStates(**(style_reference_states or {}))
+        image = self._norm_image(np.asarray(style_reference_image))
+        h, w = image.shape[1:3]
+        th, tw = _round64(h), _round64(w)
+        if (th, tw) != (h, w):
+            image = np.stack([_resize_np(im, (tw, th)) for im in image])
+        gates = style_reference_write_gates(self.m.unet, states.reference_weight)
+        self._style_ref = {"states": states, "gates": tuple(gates), "image": image}
+        self._jit_cache.clear()
+
+    def _style_sig(self) -> Optional[Tuple[Any, ...]]:
+        if self._style_ref is None:
+            return None
+        s = self._style_ref["states"]
+        return (s.style_fidelity, s.reference_weight, self._style_ref["gates"], self._style_ref["image"].shape)
+
+    def load_context(self, *, ignore_lora: bool = True) -> Any:
+        """reference :1281 — context manager yielding the bare model for
+        weight loading: active LoRA fusions are unwound (so checkpoint
+        tensors land on clean base weights) and re-applied on exit; jit
+        caches are invalidated afterwards."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _ctx() -> Any:
+            restored = None
+            if ignore_lora and self.lora_manager._active:
+                restored = dict(self.lora_manager._active)
+                self.lora_manager.deactivate(self.m)
+            try:
+                yield self.m
+            finally:
+                if restored:
+                    self.lora_manager.apply_lora(
+                        self.m, *restored.keys(), scales=restored
+                    )
+                self._jit_cache.clear()
+
+        return _ctx()
 
     # ----------------------------------------------------------------- lora
 
@@ -318,7 +380,13 @@ class DiffusionAPI(IAPI):
         return self.tokenizer.tokenize(texts)
 
     def _get_jitted(self, kind: str, **static: Any) -> Callable:
-        key = (kind, tuple(sorted(static.items())), self.sampler_name, tuple(sorted(self.sampler_config.items())))
+        key = (
+            kind,
+            tuple(sorted(static.items())),
+            self.sampler_name,
+            tuple(sorted(self.sampler_config.items())),
+            self._style_sig(),
+        )
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
@@ -330,17 +398,52 @@ class DiffusionAPI(IAPI):
         size = static["size"]
 
         if kind == "txt2img":
+            style_ref = self._style_ref
 
-            def _run(st: Any, tokens: jax.Array, uncond_tokens: jax.Array, z: jax.Array, key: jax.Array) -> jax.Array:
-                m = nnx.merge(graphdef, st)
-                cond = m.get_cond(tokens)
-                uncond = m.get_cond(uncond_tokens) if guidance != 1.0 else None
-                sampler = ISampler.make(sampler_name, dict(sampler_config, model=m))
-                latents = sampler.sample(
-                    z, cond=cond, uncond=uncond, guidance_scale=guidance,
-                    num_steps=num_steps, key=key,
-                )
-                return m.decode(latents)
+            if style_ref is None:
+
+                def _run(st: Any, tokens: jax.Array, uncond_tokens: jax.Array, z: jax.Array, key: jax.Array) -> jax.Array:
+                    m = nnx.merge(graphdef, st)
+                    cond = m.get_cond(tokens)
+                    uncond = m.get_cond(uncond_tokens) if guidance != 1.0 else None
+                    sampler = ISampler.make(sampler_name, dict(sampler_config, model=m))
+                    latents = sampler.sample(
+                        z, cond=cond, uncond=uncond, guidance_scale=guidance,
+                        num_steps=num_steps, key=key,
+                    )
+                    return m.decode(latents)
+
+            else:
+                from ...modules.core.mixed_stacks import SpatialTransformerHooks
+
+                style_states = style_ref["states"]
+                style_gates = list(style_ref["gates"])
+
+                def _run(st: Any, tokens: jax.Array, uncond_tokens: jax.Array, z: jax.Array, ref_image: jax.Array, key: jax.Array) -> jax.Array:
+                    m = nnx.merge(graphdef, st)
+                    cond = m.get_cond(tokens)
+                    uncond = m.get_cond(uncond_tokens) if guidance != 1.0 else None
+                    ref_z = m.encode_first_stage(ref_image)
+                    b = z.shape[0]
+                    uncond_mask = None
+                    if uncond is not None:
+                        # CFG batches [cond, uncond] — uncond rows are b..2b
+                        # (reference `inject_uncond_indices` :370)
+                        uncond_mask = (jnp.arange(2 * b) >= b)[:, None, None]
+                    k1, k2 = jax.random.split(key)
+                    hooks = SpatialTransformerHooks(
+                        style=style_states,
+                        write_gates=style_gates,
+                        uncond_mask=uncond_mask,
+                        ref_latent=ref_z,
+                        key=k1,
+                    )
+                    sampler = ISampler.make(sampler_name, dict(sampler_config, model=m))
+                    latents = sampler.sample(
+                        z, cond=cond, uncond=uncond, guidance_scale=guidance,
+                        num_steps=num_steps, key=k2, hooks=hooks,
+                    )
+                    return m.decode(latents)
 
             fn = jax.jit(_run)
 
@@ -367,7 +470,19 @@ class DiffusionAPI(IAPI):
             # * 9-channel inpainting UNet → hybrid cond (concat mask+masked
             #   latents, cross-attn text);
             # * plain UNet → repaint-style latent blending.
-            uses_inpaint_unet = self.m.unet.in_channels > self.m.out_channels
+            # `force_repaint` = reference `use_raw_inpainting` (:783);
+            # `ref_fidelity` = background guidance (:804-811): start sampling
+            # from the q-sampled original latents instead of pure noise.
+            force_repaint = static.get("force_repaint", False)
+            ref_fidelity = static.get("ref_fidelity")
+            uses_inpaint_unet = (
+                self.m.unet.in_channels > self.m.out_channels and not force_repaint
+            )
+            start_step = (
+                None
+                if ref_fidelity is None
+                else max(0, min(num_steps - 1, int(round((1.0 - ref_fidelity) * num_steps))))
+            )
 
             def _run(st: Any, tokens: jax.Array, uncond_tokens: jax.Array, image: jax.Array, mask: jax.Array, key: jax.Array) -> jax.Array:
                 from ...modules.multimodal.diffusion.utils import (
@@ -386,6 +501,18 @@ class DiffusionAPI(IAPI):
                 sampler = ISampler.make(sampler_name, dict(sampler_config, model=m))
                 k1, k2 = jax.random.split(key)
                 z = jax.random.normal(k1, z0.shape, z0.dtype)
+
+                def run_sampler(cond: Any, uncond: Any) -> jax.Array:
+                    if start_step is None:
+                        return sampler.sample(
+                            z, cond=cond, uncond=uncond, guidance_scale=guidance,
+                            num_steps=num_steps, key=k2,
+                        )
+                    return sampler.sample_from(
+                        z0, cond=cond, uncond=uncond, guidance_scale=guidance,
+                        num_steps=num_steps, start_step=start_step, key=k2,
+                    )
+
                 if uses_inpaint_unet:
                     # hybrid conditioning: mask + masked latents concat to the
                     # UNet input, text through cross-attention. The sampler's
@@ -401,16 +528,10 @@ class DiffusionAPI(IAPI):
                     )
                     backup = m.condition_type
                     m.condition_type = "hybrid"
-                    latents = sampler.sample(
-                        z, cond=cond, uncond=uncond, guidance_scale=guidance,
-                        num_steps=num_steps, key=k2,
-                    )
+                    latents = run_sampler(cond, uncond)
                     m.condition_type = backup
                 else:
-                    latents = sampler.sample(
-                        z, cond=text, uncond=text_u, guidance_scale=guidance,
-                        num_steps=num_steps, key=k2,
-                    )
+                    latents = run_sampler(text, text_u)
                     # repaint blend: keep unmasked regions from the original
                     latents = latents * latent_mask + z0 * (1.0 - latent_mask)
                 return m.decode(latents)
@@ -466,7 +587,11 @@ class DiffusionAPI(IAPI):
         z = self._make_noise(num_samples, size, seed, variations)
         fn = self._get_jitted("txt2img", num_steps=num_steps, guidance_scale=guidance_scale, size=size)
         key = jax.random.PRNGKey(seed or 0)
-        images = fn(nnx.state(self.m), tokens, uncond, z, key)
+        if self._style_ref is not None:
+            ref_image = jnp.asarray(self._style_ref["image"])
+            images = fn(nnx.state(self.m), tokens, uncond, z, ref_image, key)
+        else:
+            images = fn(nnx.state(self.m), tokens, uncond, z, key)
         if highres_info:
             upscale = highres_info.get("upscale_factor", 2.0)
             fidelity = highres_info.get("fidelity", 0.3)
@@ -535,13 +660,23 @@ class DiffusionAPI(IAPI):
         seed: Optional[int] = None,
         export_path: Optional[str] = None,
         inpainting_settings: Optional[InpaintingSettings] = None,
+        use_raw_inpainting: bool = False,
+        use_background_guidance: bool = False,
+        reference_fidelity: float = 0.2,
+        keep_original: bool = False,
+        keep_original_fade: int = 50,
         **kwargs: Any,
     ) -> np.ndarray:
         """reference :1050 — masked generation (mask: 1 = regenerate).
 
         `inpainting_settings` (reference :392) selects NORMAL (diffuse the
         whole canvas) vs MASKED (crop to the padded mask bbox, diffuse the
-        crop at working resolution, feather-paste back)."""
+        crop at working resolution, feather-paste back).
+        `use_raw_inpainting` (reference :783) forces the repaint path even on
+        a 9-channel inpainting UNet; `use_background_guidance` (:804) starts
+        sampling from the q-sampled original latents at `reference_fidelity`;
+        `keep_original` (:813-838) pastes the original unmasked pixels over
+        the result with a `keep_original_fade`-pixel feather band."""
         raw = np.asarray(image)
         if raw.ndim == 3:
             raw = raw[None]
@@ -554,6 +689,7 @@ class DiffusionAPI(IAPI):
         elif mask.ndim == 3:
             mask = mask[..., None] if mask.shape[-1] not in (1,) else mask[None]
         mask = (mask > 0.5).astype(np.float32)
+        full_mask = mask
         settings = inpainting_settings
         crop_ctx: Optional[CropResponse] = None
         if settings is not None and settings.mode == InpaintingMode.MASKED:
@@ -569,7 +705,14 @@ class DiffusionAPI(IAPI):
         tokens = jnp.asarray(self._encode_text(prompts))
         uncond = jnp.asarray(self._encode_text([negative_prompt] * b))
         size = (image.shape[1], image.shape[2])
-        fn = self._get_jitted("inpainting", num_steps=num_steps, guidance_scale=guidance_scale, size=size)
+        fn = self._get_jitted(
+            "inpainting",
+            num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            size=size,
+            force_repaint=use_raw_inpainting,
+            ref_fidelity=reference_fidelity if use_background_guidance else None,
+        )
         key = jax.random.PRNGKey(seed or 0)
         sampled = fn(nnx.state(self.m), tokens, uncond, jnp.asarray(image), jnp.asarray(mask), key)
         if crop_ctx is not None:
@@ -581,9 +724,41 @@ class DiffusionAPI(IAPI):
             )
         else:
             out = _to_uint8(sampled)
+        if keep_original:
+            # paste_original (reference :813-838): original pixels win where
+            # mask < 0.5, faded over `keep_original_fade` pixels
+            if original_u8 is not None:
+                orig_u8 = original_u8
+            else:
+                orig_f = crop_ctx.original_image if crop_ctx is not None else image
+                orig_u8 = _to_uint8(jnp.asarray(orig_f))
+            alpha2d = full_mask[0, :, :, 0]
+            if keep_original_fade:
+                f = int(keep_original_fade)
+                alpha2d = _box_blur(alpha2d, (f, f))
+            alpha = alpha2d[None, :, :, None]
+            blended = out.astype(np.float32) * alpha + orig_u8.astype(np.float32) * (1.0 - alpha)
+            blended_u8 = np.clip(np.round(blended), 0, 255).astype(np.uint8)
+            untouched = alpha2d == 0.0
+            blended_u8[:, untouched] = orig_u8[:, untouched]
+            out = blended_u8
         if export_path is not None:
             self._export(out, export_path)
         return out
+
+    def txt2img_inpainting(
+        self,
+        txt: Union[str, List[str]],
+        image: np.ndarray,
+        mask: np.ndarray,
+        **kwargs: Any,
+    ) -> np.ndarray:
+        """Text-guided inpainting (reference :768). Thin front over
+        `inpainting` — same flavor dispatch (9-channel inpainting UNet vs
+        repaint), plus the reference's `use_raw_inpainting` /
+        `use_background_guidance` / `keep_original(_fade)` /
+        `inpainting_settings` keywords, all accepted via **kwargs."""
+        return self.inpainting(image, mask, cond=txt, **kwargs)
 
     def semantic2img(
         self,
@@ -721,6 +896,8 @@ class ControlledDiffusionAPI(DiffusionAPI):
         super().__init__(m, **kwargs)
         self.controls: Dict[str, Any] = {}
         self.control_scales: Dict[str, float] = {}
+        self.annotators: Dict[str, Any] = {}
+        self._control_enabled = True
 
     def prepare_control(self, hint: str, control_net: Any) -> None:
         """reference :1760 — register a ControlNet branch for a hint type."""
@@ -732,11 +909,36 @@ class ControlledDiffusionAPI(DiffusionAPI):
         self.controls = {h: c for h, c in self.controls.items() if h in hints}
         self._jit_cache.clear()
 
-    def get_hint_of(self, hint: str, image: np.ndarray, **kwargs: Any) -> np.ndarray:
-        """reference :1866 — run the registered annotator for a hint type."""
+    def enable_control(self) -> None:
+        """reference :1892."""
+        self._control_enabled = True
+
+    def disable_control(self) -> None:
+        """reference :1895 — `sample_with_control` falls back to plain
+        sampling while disabled."""
+        self._control_enabled = False
+
+    def prepare_annotator(self, hint: str, **kwargs: Any) -> None:
+        """reference :1849 — build (and cache) the annotator for a hint type
+        so repeated `get_hint_of` calls reuse loaded weights."""
         from ..cv.annotator import Annotator
 
-        return Annotator.make(hint, kwargs).annotate(image)
+        if hint not in self.annotators:
+            self.annotators[hint] = Annotator.make(hint, kwargs)
+
+    def prepare_annotators(self) -> None:
+        """reference :1862 — prepare every annotator with a registered
+        control branch."""
+        for hint in self.controls:
+            try:
+                self.prepare_annotator(hint)
+            except KeyError:
+                pass  # control without a matching annotator (e.g. custom tag)
+
+    def get_hint_of(self, hint: str, image: np.ndarray, **kwargs: Any) -> np.ndarray:
+        """reference :1866 — run the registered annotator for a hint type."""
+        self.prepare_annotator(hint, **kwargs)
+        return self.annotators[hint].annotate(image)
 
     def sample_with_control(
         self,
@@ -757,6 +959,12 @@ class ControlledDiffusionAPI(DiffusionAPI):
         every prepared hint in `hint_images` runs simultaneously; residuals
         are summed with per-hint scales; optional per-hint start/end step
         gating (fractions in [0, 1])."""
+        if not self._control_enabled:
+            return self.sample(
+                num_samples, cond=cond, negative_prompt=negative_prompt,
+                size=size, num_steps=num_steps, guidance_scale=guidance_scale,
+                seed=seed, **kwargs,
+            )
         names = list(hint_images)
         nets = []
         for name in names:

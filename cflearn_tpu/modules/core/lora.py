@@ -78,6 +78,7 @@ class LoRAManager:
     def __init__(self) -> None:
         self._packs: Dict[str, LoRAPack] = {}
         self._backup: Optional[Dict[str, np.ndarray]] = None
+        self._active: Dict[str, float] = {}
 
     def load_pack_with(self, key: str, pack: LoRAPack) -> None:
         self._packs[key] = pack
@@ -122,6 +123,7 @@ class LoRAManager:
             fused[path] = w
         state = nnx.state(module, nnx.Param)
         nnx.update(module, npd_to_tree({**npd, **fused}, state, strict=False))
+        self._active = {k: scales.get(k, 1.0) for k in keys}
 
     def set_scales(self, module: nnx.Module, scales: Dict[str, float]) -> None:
         self.apply_lora(module, *scales.keys(), scales=scales)
@@ -133,6 +135,7 @@ class LoRAManager:
         npd.update(self._backup)
         state = nnx.state(module, nnx.Param)
         nnx.update(module, npd_to_tree(npd, state, strict=False))
+        self._active = {}
 
     # checkpoint IO -----------------------------------------------------------
 

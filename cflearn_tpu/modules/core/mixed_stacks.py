@@ -11,7 +11,7 @@ phase-2 item (SURVEY.md §5.7).
 """
 
 import math
-from typing import Any, Callable, List, Optional
+from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -350,17 +350,77 @@ class MixedStackedEncoder(nnx.Module):
 # SD SpatialTransformer
 # ----------------------------------------------------------------------------
 
+class StyleReferenceStates:
+    """Style-reference ("reference-only") config (reference
+    `mixed_stacks/api.py:608-643` StyleReferenceStates). `reference_weight`
+    gates how many transformer blocks (widest-first) bank/read reference
+    activations; `style_fidelity` mixes plain self-attention back in on the
+    CFG uncond rows."""
+
+    def __init__(
+        self,
+        *,
+        style_fidelity: float = 0.5,
+        reference_weight: float = 0.5,
+    ) -> None:
+        self.style_fidelity = float(style_fidelity)
+        self.reference_weight = float(reference_weight)
+
+
 class SpatialTransformerHooks:
     """Hook surface for LoRA / style-reference injection (reference
-    `mixed_stacks/api.py:645`). Functional: hooks transform (q, k, v)."""
+    `mixed_stacks/api.py:645`). Functional: qkv hooks transform (q, k, v);
+    style reference runs as a two-pass trace — a WRITE pass over the noised
+    reference latent banks each gated block's pre-attn activations, then the
+    real READ pass lets self-attention attend over [self, reference] keys.
+    Both passes live inside the same jitted program (the reference's mutable
+    bank + double forward, re-expressed trace-functionally)."""
 
-    def __init__(self, qkv_fn: Optional[Callable] = None) -> None:
+    def __init__(
+        self,
+        qkv_fn: Optional[Callable] = None,
+        *,
+        style: Optional[StyleReferenceStates] = None,
+        write_gates: Optional[List[bool]] = None,
+        uncond_mask: Optional[jax.Array] = None,
+        ref_latent: Optional[jax.Array] = None,
+        key: Optional[jax.Array] = None,
+    ) -> None:
         self.qkv_fn = qkv_fn
+        self.style = style
+        self.write_gates = write_gates or []
+        self.uncond_mask = uncond_mask
+        self.ref_latent = ref_latent
+        self.key = key
+        self.mode: Optional[str] = None
+        self.bank: Dict[int, jax.Array] = {}
+        self._idx = 0
 
     def process_qkv(self, module: Any, q: jax.Array, k: jax.Array, v: jax.Array) -> Any:
         if self.qkv_fn is None:
             return q, k, v
         return self.qkv_fn(module, q, k, v)
+
+    # --------------------------------------------------- style-ref plumbing
+
+    def begin(self, mode: Optional[str]) -> None:
+        """Start a WRITE ('write') or READ ('read') traversal; block indices
+        are assigned by call order, which is identical across the two UNet
+        passes of one denoise step."""
+        self.mode = mode
+        self._idx = 0
+        if mode == "write":
+            self.bank = {}
+
+    def next_index(self) -> int:
+        i = self._idx
+        self._idx += 1
+        return i
+
+    def gate_of(self, idx: int) -> bool:
+        if not self.write_gates:
+            return True
+        return bool(self.write_gates[idx]) if idx < len(self.write_gates) else False
 
 
 class BasicTransformerBlock(nnx.Module):
@@ -400,6 +460,7 @@ class BasicTransformerBlock(nnx.Module):
         hooks: Optional[SpatialTransformerHooks] = None,
         tome_info: Optional[Any] = None,
     ) -> jax.Array:
+        style_mode = getattr(hooks, "mode", None) if hooks is not None else None
         if tome_info is not None:
             # ToMe (tomesd-style): merge tokens for the self-attention only
             from .tome import compute_merge
@@ -407,6 +468,27 @@ class BasicTransformerBlock(nnx.Module):
             h, w, ratio = tome_info
             merge, unmerge, _ = compute_merge(x, h, w, ratio=ratio)
             x = x + unmerge(self.attn1(merge(self.norm1(x)), hooks=hooks))
+        elif style_mode in ("write", "read"):
+            # style reference (reference hooks.forward :680-716)
+            idx = hooks.next_index()
+            xn = self.norm1(x)
+            if style_mode == "write":
+                if hooks.gate_of(idx):
+                    hooks.bank[idx] = xn
+                x = x + self.attn1(xn, hooks=hooks)
+            else:
+                bank = hooks.bank.get(idx)
+                if bank is None:
+                    x = x + self.attn1(xn, hooks=hooks)
+                else:
+                    ref_ctx = jnp.concatenate([xn, bank.astype(xn.dtype)], axis=1)
+                    refd = self.attn1(xn, context=ref_ctx, hooks=hooks)
+                    fidelity = hooks.style.style_fidelity
+                    if fidelity > 1e-5 and hooks.uncond_mask is not None:
+                        plain = self.attn1(xn, hooks=hooks)
+                        mixed = fidelity * plain + (1.0 - fidelity) * refd
+                        refd = jnp.where(hooks.uncond_mask, mixed, refd)
+                    x = x + refd
         else:
             x = x + self.attn1(self.norm1(x), hooks=hooks)
         x = x + self.attn2(self.norm2(x), context=context, hooks=hooks)

@@ -230,6 +230,27 @@ class DDPM(nnx.Module):
                 if control_gates is not None:
                     ci = [c * control_gates[i] for c in ci]
                 control = ci if control is None else [a + b for a, b in zip(control, ci)]
+        if (
+            hooks is not None
+            and getattr(hooks, "style", None) is not None
+            and getattr(hooks, "ref_latent", None) is not None
+        ):
+            # style reference (reference `before_unet_forward` :724-760):
+            # WRITE pass over the q-sampled reference latent banks the gated
+            # blocks' activations; the real pass below READs them. Both
+            # passes trace into the same XLA program.
+            ref = hooks.ref_latent.astype(net.dtype)
+            ref = jnp.broadcast_to(ref, (net.shape[0],) + ref.shape[1:])
+            ts = timesteps.astype(jnp.int32)
+            k = jax.random.fold_in(hooks.key, ts[0])
+            noise = jax.random.normal(k, ref.shape, ref.dtype)
+            ref_noisy = self.q_sample(ref, ts, noise)
+            hooks.begin("write")
+            self.unet(ref_noisy, timesteps, context, labels, hooks=hooks)
+            hooks.begin("read")
+            out = self.unet(net, timesteps, context, labels, control=control, hooks=hooks)
+            hooks.begin(None)
+            return out
         return self.unet(net, timesteps, context, labels, control=control, hooks=hooks)
 
     # ------------------------------------------------------------- sampling

@@ -16,12 +16,39 @@ from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import nnx
 
 from ...common import register_module, zero_module
 from ...core.attentions import MultiHeadSpatialAttention
 from ...core.convs import Downsample, ResidualBlockWithTimeEmbedding, UpsampleConv2d
 from ...core.mixed_stacks import SpatialTransformer, SpatialTransformerHooks
+
+
+def walk_transformer_blocks(unet: "UNetDiffuser") -> List[Any]:
+    """BasicTransformerBlocks in forward call order (reference
+    `walk_spatial_transformer_hooks`, `mixed_stacks/api.py:905`)."""
+    blocks: List[Any] = []
+    stages = list(unet.input_blocks) + [unet.mid] + list(unet.output_blocks)
+    for stage in stages:
+        for mod in getattr(stage, "mods", []):
+            if isinstance(mod, SpatialTransformer):
+                blocks.extend(list(mod.blocks))
+    return blocks
+
+
+def style_reference_write_gates(unet: "UNetDiffuser", reference_weight: float) -> List[bool]:
+    """Per-block bank gates in call order. The reference sorts blocks by
+    channel width descending and enables the first `reference_weight`
+    fraction (`before_unet_forward`, `mixed_stacks/api.py:744-752`)."""
+    blocks = walk_transformer_blocks(unet)
+    widths = [-int(b.norm1.num_features) for b in blocks]
+    order = list(np.argsort(np.asarray(widths), kind="stable"))
+    n = max(1, len(blocks))
+    gates = [False] * len(blocks)
+    for rank, call_idx in enumerate(order):
+        gates[call_idx] = reference_weight > rank / n
+    return gates
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int, *, max_period: int = 10000) -> jax.Array:

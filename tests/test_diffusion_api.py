@@ -60,6 +60,39 @@ def test_img2img_and_inpainting(tiny_api) -> None:
     assert inp.shape == base.shape
 
 
+def test_txt2img_inpainting_options(tiny_api) -> None:
+    """reference :768 — txt2img_inpainting front + keep_original paste,
+    use_raw_inpainting (forced repaint), background guidance start."""
+    rng = np.random.default_rng(2)
+    canvas = rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    mask = np.zeros((64, 64), np.float32)
+    mask[24:40, 24:40] = 1.0
+    out = tiny_api.txt2img_inpainting("p", canvas, mask, num_steps=2, seed=1)
+    assert out.shape == canvas.shape
+    # keep_original without fade: unmasked pixels bit-identical
+    kept = tiny_api.txt2img_inpainting(
+        "p", canvas, mask, num_steps=2, seed=1, keep_original=True, keep_original_fade=0
+    )
+    np.testing.assert_array_equal(kept[0, :24], canvas[0, :24])
+    np.testing.assert_array_equal(kept[0, 40:], canvas[0, 40:])
+    assert not np.array_equal(kept[0, 24:40, 24:40], canvas[0, 24:40, 24:40])
+    # keep_original with fade: far field still identical, band blends
+    faded = tiny_api.txt2img_inpainting(
+        "p", canvas, mask, num_steps=2, seed=1, keep_original=True, keep_original_fade=8
+    )
+    np.testing.assert_array_equal(faded[0, :16], canvas[0, :16])
+    # raw inpainting and background guidance run (distinct jit variants)
+    raw = tiny_api.txt2img_inpainting(
+        "p", canvas, mask, num_steps=2, seed=1, use_raw_inpainting=True
+    )
+    bg = tiny_api.txt2img_inpainting(
+        "p", canvas, mask, num_steps=3, seed=1,
+        use_background_guidance=True, reference_fidelity=0.5,
+    )
+    assert raw.shape == canvas.shape and bg.shape == canvas.shape
+    assert not np.array_equal(bg, out)
+
+
 def test_masked_mode_inpainting(tiny_api) -> None:
     """MASKED mode (reference InpaintingSettings :392): crop to the padded
     mask bbox, diffuse at target resolution, feather-paste back — pixels
@@ -98,6 +131,75 @@ def test_masked_mode_inpainting(tiny_api) -> None:
     assert crop.wh == (64, 64)
     assert crop.image.shape == (1, 64, 64, 3)
     assert crop.mask.shape == (1, 64, 64, 1)
+
+
+def test_style_reference_hooks(tiny_api) -> None:
+    """setup_hooks style reference (reference :1341 + mixed_stacks :645):
+    the WRITE/READ two-pass must steer txt2img, stay deterministic, and
+    clear cleanly. The fixture's SD-parity zero-init conv_out makes eps
+    conditioning-blind, so we de-zero it for this test."""
+    import jax
+    import jax.numpy as jnp
+
+    conv_out = tiny_api.m.unet.conv_out
+    backup = conv_out.kernel.value
+    conv_out.kernel.value = 0.1 * jax.random.normal(jax.random.PRNGKey(42), backup.shape)
+    try:
+        base = tiny_api.txt2img("a cat", size=(64, 64), num_steps=2, seed=7)
+        ref = np.random.default_rng(3).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        tiny_api.setup_hooks(
+            style_reference_image=ref,
+            style_reference_states=dict(style_fidelity=0.3, reference_weight=1.0),
+        )
+        styled = tiny_api.txt2img("a cat", size=(64, 64), num_steps=2, seed=7)
+        assert styled.shape == base.shape
+        assert not np.array_equal(styled, base)
+        styled2 = tiny_api.txt2img("a cat", size=(64, 64), num_steps=2, seed=7)
+        np.testing.assert_array_equal(styled, styled2)
+        # different reference image → different steer
+        ref2 = np.random.default_rng(5).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        tiny_api.setup_hooks(style_reference_image=ref2)
+        assert not np.array_equal(
+            tiny_api.txt2img("a cat", size=(64, 64), num_steps=2, seed=7), styled
+        )
+        # clearing restores the plain path
+        tiny_api.setup_hooks()
+        cleared = tiny_api.txt2img("a cat", size=(64, 64), num_steps=2, seed=7)
+        np.testing.assert_array_equal(cleared, base)
+    finally:
+        tiny_api.setup_hooks()
+        conv_out.kernel.value = backup
+
+
+def test_style_reference_write_gates() -> None:
+    """Gate layout: widest blocks enable first (reference
+    `before_unet_forward` sorts by channel width descending)."""
+    from cflearn_tpu.modules.multimodal.diffusion.unet import (
+        UNetDiffuser,
+        style_reference_write_gates,
+        walk_transformer_blocks,
+    )
+    from flax import nnx as _nnx
+
+    unet = UNetDiffuser(
+        start_channels=32,
+        num_res_blocks=1,
+        channel_multipliers=(1, 2),
+        attention_downsample_rates=(1, 2),
+        num_heads=4,
+        context_dim=32,
+        rngs=_nnx.Rngs(0),
+    )
+    blocks = walk_transformer_blocks(unet)
+    widths = [int(b.norm1.num_features) for b in blocks]
+    gates_half = style_reference_write_gates(unet, 0.5)
+    assert len(gates_half) == len(blocks)
+    # every enabled block is at least as wide as every disabled block
+    on = [w for w, g in zip(widths, gates_half) if g]
+    off = [w for w, g in zip(widths, gates_half) if not g]
+    assert on and off and min(on) >= max(off)
+    assert all(style_reference_write_gates(unet, 1.0))
+    assert not any(style_reference_write_gates(unet, 0.0))
 
 
 def test_sampler_switch_and_variations(tiny_api) -> None:
@@ -157,6 +259,41 @@ def test_controlled_api(tiny_api) -> None:
     api.switch_control()  # drop all
     with pytest.raises(ValueError):
         api.sample_with_control(1, {"canny": edges}, size=(64, 64), num_steps=2)
+
+
+def test_control_toggles_and_annotator_cache(tiny_api) -> None:
+    """reference :1849-1895 — prepare_annotator caching, enable/disable
+    control, and load_context LoRA unwinding."""
+    control = ControlNet(
+        hint_channels=3,
+        in_channels=4,
+        start_channels=32,
+        num_res_blocks=1,
+        channel_multipliers=(1, 2),
+        attention_downsample_rates=(1,),
+        num_heads=4,
+        context_dim=32,
+        rngs=nnx.Rngs(1),
+    )
+    api = ControlledDiffusionAPI(tiny_api.m)
+    api.prepare_control("canny", control)
+    api.prepare_annotators()
+    assert "canny" in api.annotators
+    first = api.annotators["canny"]
+    hint = (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
+    api.get_hint_of("canny", hint)
+    assert api.annotators["canny"] is first  # cached, not rebuilt
+    # disabled control falls back to plain sampling
+    api.disable_control()
+    plain = api.sample(1, cond="c", size=(64, 64), num_steps=2, seed=0)
+    controlled = api.sample_with_control(
+        1, {"canny": hint}, cond="c", size=(64, 64), num_steps=2, seed=0
+    )
+    np.testing.assert_array_equal(plain, controlled)
+    api.enable_control()
+    # load_context yields the model and survives no-lora state
+    with api.load_context() as m:
+        assert m is api.m
 
 
 def test_multi_controlnet(tiny_api) -> None:
