@@ -386,6 +386,8 @@ class DiffusionAPI(IAPI):
             self.sampler_name,
             tuple(sorted(self.sampler_config.items())),
             self._style_sig(),
+            # clip_skip is read at trace time inside the text encoder
+            getattr(getattr(self.m, "condition_model", None), "clip_skip", None),
         )
         fn = self._jit_cache.get(key)
         if fn is not None:
@@ -574,24 +576,73 @@ class DiffusionAPI(IAPI):
         guidance_scale: float = 7.5,
         seed: Optional[int] = None,
         variations: Optional[List[Tuple[int, float]]] = None,
+        variation_seed: Optional[int] = None,
+        variation_strength: Optional[float] = None,
+        z: Optional[np.ndarray] = None,
+        batch_size: Optional[int] = None,
+        callback: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+        clip_skip: Optional[int] = None,
         highres_info: Optional[Dict[str, Any]] = None,
         export_path: Optional[str] = None,
         **kwargs: Any,
     ) -> np.ndarray:
-        """txt2img (reference :455). Returns uint8 NHWC images."""
+        """txt2img (reference :455). Returns uint8 NHWC images.
+
+        `z` injects starting latents directly; `variation_seed`+
+        `variation_strength` slerp-mix one extra seed on top of `variations`
+        (reference :1488-1518); `batch_size` chunks `num_samples` into
+        per-program batches; `callback` transforms the decoded float images
+        before uint8 conversion; `clip_skip` overrides the text encoder's
+        penultimate-layer tap for this call."""
         prompts = cond if cond is not None else [""] * num_samples
         if isinstance(prompts, str):
             prompts = [prompts] * num_samples
-        tokens = jnp.asarray(self._encode_text(prompts))
-        uncond = jnp.asarray(self._encode_text([negative_prompt] * num_samples))
-        z = self._make_noise(num_samples, size, seed, variations)
-        fn = self._get_jitted("txt2img", num_steps=num_steps, guidance_scale=guidance_scale, size=size)
-        key = jax.random.PRNGKey(seed or 0)
-        if self._style_ref is not None:
-            ref_image = jnp.asarray(self._style_ref["image"])
-            images = fn(nnx.state(self.m), tokens, uncond, z, ref_image, key)
-        else:
-            images = fn(nnx.state(self.m), tokens, uncond, z, key)
+        if len(prompts) != num_samples:
+            raise ValueError(
+                f"`num_samples` ({num_samples}) should be identical with "
+                f"the number of `cond` ({len(prompts)})"
+            )
+        cm = getattr(self.m, "condition_model", None)
+        clip_skip_backup: Optional[int] = None
+        if clip_skip is not None and hasattr(cm, "clip_skip"):
+            clip_skip_backup = cm.clip_skip
+            cm.clip_skip = int(clip_skip)
+        try:
+            tokens = jnp.asarray(self._encode_text(prompts))
+            uncond = jnp.asarray(self._encode_text([negative_prompt] * num_samples))
+            if z is not None:
+                z = jnp.asarray(z)
+            else:
+                z = self._make_noise(num_samples, size, seed, variations)
+                if variation_seed is not None and variation_strength:
+                    vz = jax.random.normal(
+                        jax.random.PRNGKey(variation_seed), z.shape, z.dtype
+                    )
+                    z = slerp(vz, z, variation_strength)
+            key = jax.random.PRNGKey(seed or 0)
+            chunk = batch_size or num_samples
+            ref_image = (
+                jnp.asarray(self._style_ref["image"])
+                if self._style_ref is not None
+                else None
+            )
+            outs = []
+            for lo in range(0, num_samples, chunk):
+                hi = min(num_samples, lo + chunk)
+                fn = self._get_jitted(
+                    "txt2img", num_steps=num_steps, guidance_scale=guidance_scale, size=size
+                )
+                args = (nnx.state(self.m), tokens[lo:hi], uncond[lo:hi], z[lo:hi])
+                if ref_image is not None:
+                    args = args + (ref_image,)
+                k = key if lo == 0 else jax.random.fold_in(key, lo)
+                outs.append(fn(*args, k))
+            images = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        finally:
+            if clip_skip_backup is not None:
+                cm.clip_skip = clip_skip_backup
+        if callback is not None:
+            images = jnp.asarray(callback(np.asarray(images)))
         if highres_info:
             upscale = highres_info.get("upscale_factor", 2.0)
             fidelity = highres_info.get("fidelity", 0.3)

@@ -213,6 +213,37 @@ def test_sampler_switch_and_variations(tiny_api) -> None:
         tiny_api.switch_sampler("not_a_sampler")
 
 
+def test_sample_kwargs_parity(tiny_api) -> None:
+    """reference :455 — z injection, variation_seed/strength, batch_size
+    chunking, callback, clip_skip, num_samples validation."""
+    base = tiny_api.sample(2, cond="k", size=(64, 64), num_steps=2, seed=11)
+    # batch_size chunking returns the full batch
+    chunked = tiny_api.sample(2, cond="k", size=(64, 64), num_steps=2, seed=11, batch_size=1)
+    assert chunked.shape == base.shape
+    # direct z injection is deterministic regardless of seed-derived noise
+    z = np.asarray(
+        __import__("jax").random.normal(__import__("jax").random.PRNGKey(5), (1, 8, 8, 4))
+    )
+    a = tiny_api.sample(1, cond="k", size=(64, 64), num_steps=2, seed=1, z=z)
+    b = tiny_api.sample(1, cond="k", size=(64, 64), num_steps=2, seed=1, z=z)
+    np.testing.assert_array_equal(a, b)
+    # variation pair mixes the noise → different image
+    v = tiny_api.sample(1, cond="k", size=(64, 64), num_steps=2, seed=11,
+                        variation_seed=4, variation_strength=0.5)
+    assert not np.array_equal(v, base[:1])
+    # callback sees float images pre-uint8
+    seen = {}
+
+    def cb(imgs: np.ndarray) -> np.ndarray:
+        seen["dtype"] = imgs.dtype
+        return imgs * 0.0
+
+    black = tiny_api.sample(1, cond="k", size=(64, 64), num_steps=2, seed=11, callback=cb)
+    assert seen["dtype"] == np.float32 and int(black.max()) == 127  # 0.0 → mid-gray
+    with pytest.raises(ValueError):
+        tiny_api.sample(3, cond=["a", "b"], size=(64, 64), num_steps=2)
+
+
 def test_tome(tiny_api) -> None:
     base = tiny_api.txt2img("t", size=(64, 64), num_steps=2, seed=5)
     tiny_api.set_tome_ratio(0.5)
