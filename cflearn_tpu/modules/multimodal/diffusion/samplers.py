@@ -143,9 +143,22 @@ def _uniform_timesteps(num_train: int, num_steps: int) -> np.ndarray:
 class DDIMSampler(ISampler):
     """Deterministic DDIM (eta-configurable; reference `ddim.py`)."""
 
-    def __init__(self, model: Any, *, eta: float = 0.0, **kwargs: Any) -> None:
+    def __init__(
+        self,
+        model: Any,
+        *,
+        eta: float = 0.0,
+        guidance_interval: Optional[Tuple[float, float]] = None,
+        **kwargs: Any,
+    ) -> None:
         super().__init__(model, **kwargs)
         self.eta = eta
+        # CFG only inside a fraction band of the (T→0) step loop
+        # ("Applying guidance in a limited interval", Kynkäänniemi et al.
+        # 2024): outside the band the uncond UNet pass is skipped entirely —
+        # batch b instead of 2b. Static per segment, so the loop compiles as
+        # up to three lax.scans with no per-step branching.
+        self.guidance_interval = guidance_interval
 
     def _schedule(self, num_steps: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         acp = self._np_acp()
@@ -173,34 +186,56 @@ class DDIMSampler(ISampler):
         ts, alphas, alphas_prev, sigmas = self._schedule(num_steps)
         # reversed order (T → 0)
         order = np.arange(num_steps)[::-1][start_step:]
-        ts_r = jnp.asarray(ts[order])
-        a_r = jnp.asarray(alphas[order], dtype=z.dtype)
-        ap_r = jnp.asarray(alphas_prev[order], dtype=z.dtype)
-        s_r = jnp.asarray(sigmas[order], dtype=z.dtype)
         if key is None:
             key = jax.random.PRNGKey(0)
         keys = jax.random.split(key, len(order))
         b = z.shape[0]
         kwargs, gates = self._pop_control_gate_schedule(dict(kwargs), len(order))
-        gates_r = None if gates is None else jnp.asarray(gates)
+        n = len(order)
 
-        def step(x: jax.Array, inputs: Any) -> Tuple[jax.Array, None]:
-            if gates_r is None:
-                t, a_t, a_prev, sigma_t, k = inputs
-                kw = kwargs
-            else:
-                t, a_t, a_prev, sigma_t, k, g = inputs
-                kw = dict(kwargs, control_gates=g)
-            tb = jnp.full((b,), t)
-            eps = self._denoise(x, tb, cond, uncond, guidance_scale, **kw)
-            x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
-            dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * eps
-            noise = sigma_t * jax.random.normal(k, x.shape, x.dtype)
-            return jnp.sqrt(a_prev) * x0 + dir_xt + noise, None
+        def run_segment(x: jax.Array, seg: np.ndarray, use_cfg: bool) -> jax.Array:
+            if seg.size == 0:
+                return x
+            idx = order[seg]
+            ts_r = jnp.asarray(ts[idx])
+            a_r = jnp.asarray(alphas[idx], dtype=z.dtype)
+            ap_r = jnp.asarray(alphas_prev[idx], dtype=z.dtype)
+            s_r = jnp.asarray(sigmas[idx], dtype=z.dtype)
+            seg_keys = keys[seg]
+            gates_r = None if gates is None else jnp.asarray(gates[seg])
+            seg_uncond = uncond if use_cfg else None
+            seg_scale = guidance_scale if use_cfg else 1.0
 
-        xs = (ts_r, a_r, ap_r, s_r, keys) if gates_r is None else (ts_r, a_r, ap_r, s_r, keys, gates_r)
-        out, _ = jax.lax.scan(step, z, xs)
-        return out
+            def step(x: jax.Array, inputs: Any) -> Tuple[jax.Array, None]:
+                if gates_r is None:
+                    t, a_t, a_prev, sigma_t, k = inputs
+                    kw = kwargs
+                else:
+                    t, a_t, a_prev, sigma_t, k, g = inputs
+                    kw = dict(kwargs, control_gates=g)
+                tb = jnp.full((b,), t)
+                eps = self._denoise(x, tb, cond, seg_uncond, seg_scale, **kw)
+                x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+                dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * eps
+                noise = sigma_t * jax.random.normal(k, x.shape, x.dtype)
+                return jnp.sqrt(a_prev) * x0 + dir_xt + noise, None
+
+            xs = (
+                (ts_r, a_r, ap_r, s_r, seg_keys)
+                if gates_r is None
+                else (ts_r, a_r, ap_r, s_r, seg_keys, gates_r)
+            )
+            out, _ = jax.lax.scan(step, x, xs)
+            return out
+
+        if self.guidance_interval is None or uncond is None:
+            return run_segment(z, np.arange(n), True)
+        lo, hi = self.guidance_interval
+        s0 = max(0, min(n, int(round(lo * n))))
+        s1 = max(s0, min(n, int(round(hi * n))))
+        x = run_segment(z, np.arange(0, s0), False)
+        x = run_segment(x, np.arange(s0, s1), True)
+        return run_segment(x, np.arange(s1, n), False)
 
     def sample_from(
         self,

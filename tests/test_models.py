@@ -141,6 +141,51 @@ def test_all_samplers_finite() -> None:
         assert bool(jnp.isfinite(out).all()), name
 
 
+def test_ddim_guidance_interval() -> None:
+    """Guidance-interval CFG (Kynkäänniemi et al. 2024): uncond passes are
+    skipped outside the configured band. (0,1) must equal plain CFG exactly;
+    (0,0) must equal the no-CFG path; a middle band must differ from both."""
+    from cflearn_tpu.modules.multimodal.diffusion import DDPM, ISampler
+
+    ddpm = DDPM(
+        img_size=8,
+        in_channels=3,
+        out_channels=3,
+        num_timesteps=20,
+        condition_type="adm",
+        unet_config=dict(
+            start_channels=32,
+            num_res_blocks=1,
+            channel_multipliers=(1, 2),
+            attention_downsample_rates=(),
+            num_heads=4,
+            context_dim=None,
+            use_spatial_transformer=False,
+            num_classes=4,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    # de-zero conv_out so conditioning actually moves eps
+    k = ddpm.unet.conv_out.kernel
+    k[...] = 0.1 * jax.random.normal(jax.random.PRNGKey(1), k[...].shape)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    cond = jnp.asarray([1, 2])
+    uncond = jnp.asarray([0, 0])
+
+    def run(interval, scale=3.0):
+        s = ISampler.make("ddim", {"model": ddpm, "guidance_interval": interval})
+        return s.sample(z, cond=cond, uncond=uncond, guidance_scale=scale, num_steps=4)
+
+    full = run(None)
+    np.testing.assert_allclose(np.asarray(run((0.0, 1.0))), np.asarray(full), rtol=1e-6)
+    no_cfg = run(None, scale=1.0)
+    np.testing.assert_allclose(np.asarray(run((0.0, 0.0))), np.asarray(no_cfg), rtol=1e-6)
+    mid = run((0.25, 0.75))
+    assert not np.allclose(np.asarray(mid), np.asarray(full))
+    assert not np.allclose(np.asarray(mid), np.asarray(no_cfg))
+    assert bool(jnp.isfinite(mid).all())
+
+
 def test_sampling_inside_jit() -> None:
     """Samplers must work when the model state is a traced jit argument
     (the DiffusionAPI / bench path)."""
