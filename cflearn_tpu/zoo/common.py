@@ -188,17 +188,27 @@ def load_sd(version: str = "v1", *, pretrained: bool = False, rngs: Optional[nnx
     from ..modules.multimodal.diffusion.ldm import StableDiffusion, StableDiffusionInpainting
 
     rngs = rngs or nnx.Rngs(0)
+    # community finetune tags (anime*/dreamlike, reference SDVersions) are
+    # SD-1.5 architecture with swapped weights
+    arch = "v1" if (version.startswith("anime") or version.startswith("dreamlike") or version == "v1.5") else version
     if version.endswith("_inpainting"):
-        m = StableDiffusionInpainting(rngs=rngs, version=version.replace("_inpainting", ""))
+        m = StableDiffusionInpainting(rngs=rngs, version=arch.replace("_inpainting", ""))
     else:
-        m = StableDiffusion(version=version, rngs=rngs)
+        m = StableDiffusion(version=arch, rngs=rngs)
     if pretrained:
         entry = {
             "v1": "sd_v1.5",
+            "v1.5": "sd_v1.5",
             "v1_inpainting": "sd_v1.5_inpainting",
             "v2": "sd_v2.1",
             "v2_v": "sd_v2.1",
             "v2_base": "sd_v2_base",
+            "anime": "cflearn_ldm_sd_anime_nai",
+            "anime_anything": "cflearn_ldm_sd_anime_anything",
+            "anime_hybrid": "cflearn_ldm_sd_anime_hybrid",
+            "anime_guofeng": "cflearn_ldm_sd_anime_guofeng",
+            "anime_orange": "cflearn_ldm_sd_anime_orange",
+            "dreamlike_v1": "cflearn_ldm_sd_dreamlike",
         }.get(version)
         if entry is None or entry not in get_available().get("checkpoints", {}):
             raise ValueError(f"no pretrained checkpoint registered for sd {version}")
@@ -286,6 +296,25 @@ def ldm_sd_inpainting(pretrained: bool = False, **kwargs: Any) -> Any:
 
 
 class SDVersions:
+    """reference `zoo/__init__.py:82-91`. The anime/dreamlike tags select
+    community SD-1.5 finetunes: same architecture (`load_sd("v1")`), weights
+    swapped in via `DiffusionAPI.prepare_sd`/`switch_sd` after converting
+    the community checkpoint with `scripts.sd.convert`."""
+
     v1 = "v1"
+    v1_5 = "v1.5"
     v2 = "v2"
     v2_v = "v2_v"
+    ANIME = "anime"
+    ANIME_ANYTHING = "anime_anything"
+    ANIME_HYBRID = "anime_hybrid"
+    ANIME_GUOFENG = "anime_guofeng"
+    ANIME_ORANGE = "anime_orange"
+    DREAMLIKE = "dreamlike_v1"
+
+
+def get_sd_tag(version: Optional[str]) -> str:
+    """reference `zoo/__init__.py:93` — normalize a version to its tag."""
+    if version is None or version in ("", "v1", "v1.5"):
+        return "v1.5"
+    return version

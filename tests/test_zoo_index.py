@@ -26,6 +26,21 @@ def test_index_completeness() -> None:
         assert idx[name]["sha"], f"{name} must carry a sha"
 
 
+def test_sd_versions_tags() -> None:
+    """reference `zoo/__init__.py:82-103` — SDVersions tags; community
+    finetunes build the v1 architecture, pretrained load either resolves an
+    index entry or raises the documented cflearn-layout provenance error."""
+    from cflearn_tpu.zoo.common import SDVersions, get_sd_tag, load_sd
+
+    assert get_sd_tag(None) == "v1.5"
+    assert get_sd_tag("") == "v1.5"
+    assert get_sd_tag("anime") == "anime"
+    m = load_sd(SDVersions.ANIME)  # builds v1 architecture
+    assert m.unet.in_channels == 4
+    with pytest.raises(ValueError, match="provenance|original"):
+        load_sd(SDVersions.ANIME_ANYTHING, pretrained=True)
+
+
 def test_presets_have_registered_downloads() -> None:
     """Every tag of every preset resolves to a checkpoint index entry (the
     round-1 gap: `pretrained=True` raised for 14/16 ctors)."""
