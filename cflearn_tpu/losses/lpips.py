@@ -70,6 +70,13 @@ class LPIPS(nnx.Module):
         )
 
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        # VGG16's five pooling stages need >=32px input — a smaller map
+        # pools down to zero size and the tap means turn NaN. LPIPS is
+        # scale-robust, so upsample tiny inputs instead of crashing.
+        b, h, w, c = x.shape
+        if h < 32 or w < 32:
+            x = jax.image.resize(x, (b, max(h, 32), max(w, 32), c), "bilinear")
+            y = jax.image.resize(y, (b, max(h, 32), max(w, 32), c), "bilinear")
         x = (x - self.shift.value) / self.scale.value
         y = (y - self.shift.value) / self.scale.value
         fx = self.vgg(x)

@@ -12,6 +12,7 @@ discriminator weight with the adaptive path available via
 `use_adaptive_weight` (computed with `jax.grad` over the last-layer params).
 """
 
+import math
 from typing import Any, List, Optional
 
 import jax
@@ -97,11 +98,19 @@ class AEModel(IDLModel):
         use_perceptual = module_config.pop("use_perceptual", True)
         self.kl_weight = module_config.pop("kl_weight", 1.0e-6)
         self.m = build_module(config.module_name or "ae_kl", config=module_config, rngs=rngs)
-        self.discriminator = (
-            discriminators.build("basic", in_channels=module_config.get("out_channels", 3), rngs=rngs)
-            if use_discriminator
-            else nnx.data(None)
-        )
+        if use_discriminator:
+            # cap PatchGAN depth by image size: each layer halves the map,
+            # and a zero-sized output turns the hinge-loss means into NaN
+            img_size = int(module_config.get("img_size", 64))
+            max_layers = max(1, int(math.log2(max(2, img_size))) - 2)
+            self.discriminator = discriminators.build(
+                "basic",
+                in_channels=module_config.get("out_channels", 3),
+                num_layers=min(3, max_layers),
+                rngs=rngs,
+            )
+        else:
+            self.discriminator = nnx.data(None)
         if use_perceptual:
             # pretrained perceptual distance by default (reference loads the
             # lpips checkpoint unconditionally, `losses/lpips.py:62`); in

@@ -82,7 +82,10 @@ def main() -> None:
         m = nnx.merge(gd2, st)
         both = m.get_cond(jnp.concatenate([tokens, uncond], axis=0))
         cond, unc = jnp.split(both, 2, axis=0)
-        sampler = ISampler.make("ddim", {"model": m})
+        # same serving config as bench.py (ToMe 0.5 + guidance-interval CFG)
+        sampler = ISampler.make(
+            "ddim", {"model": m, "guidance_interval": (0.25, 0.70)}
+        )
         z = jax.random.normal(key, (1, 64, 64, 4), jnp.float32)
         latents = sampler.sample(z, cond=cond, uncond=unc, guidance_scale=7.5, num_steps=20, key=key)
         images = m.decode(latents)

@@ -31,8 +31,12 @@ def _run(path: str) -> None:
     [
         "ml/iris.py",
         "ml/california.py",
+        "ml/titanic.py",
+        "ml/ddr.py",
         "cv/digits_clf.py",
         "cv/vae.py",
+        "cv/vq_vae.py",
+        "cv/ae_kl.py",
         "cv/gan.py",
         "cv/ddpm.py",
         "multimodal/sd_txt2img.py",

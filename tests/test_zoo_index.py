@@ -82,6 +82,47 @@ def test_cflearn_layout_entries_give_clear_error() -> None:
         load_states("cflearn_ldm_sd", None)
 
 
+def test_lpips_finite_on_tiny_images() -> None:
+    """Regression: inputs under 32px used to pool a VGG tap to zero size and
+    return NaN; LPIPS now upsamples tiny inputs first."""
+    import jax
+    from cflearn_tpu.losses.lpips import LPIPS
+
+    l = LPIPS(rngs=nnx.Rngs(0))
+    for s in (8, 16, 48):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, s, s, 3))
+        y = jax.random.normal(jax.random.PRNGKey(1), (2, s, s, 3))
+        assert np.isfinite(float(l(x, y).mean())), s
+
+
+def test_ae_discriminator_depth_capped_by_img_size() -> None:
+    """Regression: the 3-layer PatchGAN on an 8px AE produced a (b,0,0,1)
+    output and NaN hinge losses; depth is now derived from img_size."""
+    import jax
+    from cflearn_tpu.models.cv.ae import AEModel
+    from cflearn_tpu.schema.config import DLConfig
+
+    config = DLConfig(
+        model="ae_kl",
+        module_name="ae_kl",
+        module_config={
+            "img_size": 8,
+            "in_channels": 3,
+            "inner_channels": 32,
+            "z_channels": 4,
+            "embedding_channels": 4,
+            "channel_multipliers": [1, 2],
+            "num_res_blocks": 1,
+            "use_perceptual": False,
+        },
+    )
+    m = AEModel.from_config(config)
+    out = m.discriminator(jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3)))
+    o = out.output if hasattr(out, "output") else out
+    assert 0 not in o.shape
+    assert bool(np.isfinite(np.asarray(o)).all())
+
+
 def test_lpips_conversion_and_strict_load(tmp_path) -> None:
     import torch
 
