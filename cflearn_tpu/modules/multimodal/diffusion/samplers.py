@@ -27,9 +27,17 @@ from ....toolkit.registry import WithRegister
 class ISampler(WithRegister):
     d: Dict[str, type] = {}
 
+    # CFG only inside a fraction band of the step loop (Kynkäänniemi et al.
+    # 2024); honored by samplers whose update carries no cross-step history
+    # (ddim/basic + euler-family k-samplers)
+    supports_guidance_interval = False
+
     def __init__(self, model: Any, **kwargs: Any) -> None:
         self.model = model
         self.default_steps = kwargs.get("default_steps", 20)
+        self.guidance_interval: Optional[Tuple[float, float]] = kwargs.get(
+            "guidance_interval"
+        )
 
     # ------------------------------------------------------------------ api
 
@@ -143,22 +151,11 @@ def _uniform_timesteps(num_train: int, num_steps: int) -> np.ndarray:
 class DDIMSampler(ISampler):
     """Deterministic DDIM (eta-configurable; reference `ddim.py`)."""
 
-    def __init__(
-        self,
-        model: Any,
-        *,
-        eta: float = 0.0,
-        guidance_interval: Optional[Tuple[float, float]] = None,
-        **kwargs: Any,
-    ) -> None:
+    supports_guidance_interval = True
+
+    def __init__(self, model: Any, *, eta: float = 0.0, **kwargs: Any) -> None:
         super().__init__(model, **kwargs)
         self.eta = eta
-        # CFG only inside a fraction band of the (T→0) step loop
-        # ("Applying guidance in a limited interval", Kynkäänniemi et al.
-        # 2024): outside the band the uncond UNet pass is skipped entirely —
-        # batch b instead of 2b. Static per segment, so the loop compiles as
-        # up to three lax.scans with no per-step branching.
-        self.guidance_interval = guidance_interval
 
     def _schedule(self, num_steps: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         acp = self._np_acp()
@@ -414,7 +411,29 @@ class IKSampler(ISampler):
             z = z * sigmas[0]
         if key is None:
             key = jax.random.PRNGKey(0)
-        return self._integrate(z, sigmas, t_of, cond, uncond, guidance_scale, key, **kwargs)
+        gi = self.guidance_interval
+        if gi is None or uncond is None or not self.supports_guidance_interval:
+            return self._integrate(z, sigmas, t_of, cond, uncond, guidance_scale, key, **kwargs)
+        # guidance-interval CFG: split the (stateless) integrator into up to
+        # three segments; uncond passes are skipped outside the band
+        n = len(t_of)
+        s0 = max(0, min(n, int(round(gi[0] * n))))
+        s1 = max(s0, min(n, int(round(gi[1] * n))))
+        x = z
+        for (a, b), use_cfg in (((0, s0), False), ((s0, s1), True), ((s1, n), False)):
+            if a == b:
+                continue
+            x = self._integrate(
+                x,
+                sigmas[a : b + 1],
+                t_of[a:b],
+                cond,
+                uncond if use_cfg else None,
+                guidance_scale if use_cfg else 1.0,
+                key if a == 0 else jax.random.fold_in(key, a),
+                **kwargs,
+            )
+        return x
 
     def sample_from(
         self,
@@ -442,6 +461,7 @@ class IKSampler(ISampler):
 
 @ISampler.register("k_euler")
 class KEulerSampler(IKSampler):
+    supports_guidance_interval = True  # stateless update
     def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:
         sig = jnp.asarray(sigmas, dtype=x.dtype)
         ts = jnp.asarray(t_of, dtype=jnp.float32)
@@ -458,6 +478,7 @@ class KEulerSampler(IKSampler):
 
 @ISampler.register("k_euler_a")
 class KEulerAncestralSampler(IKSampler):
+    supports_guidance_interval = True  # stateless update
     use_karras = False
 
     def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:

@@ -185,6 +185,29 @@ def test_ddim_guidance_interval() -> None:
     assert not np.allclose(np.asarray(mid), np.asarray(no_cfg))
     assert bool(jnp.isfinite(mid).all())
 
+    # euler-family k-samplers honor the interval too (stateless updates)
+    def run_k(name, interval, scale=3.0):
+        s = ISampler.make(name, {"model": ddpm, "guidance_interval": interval})
+        return s.sample(z, cond=cond, uncond=uncond, guidance_scale=scale, num_steps=4)
+
+    for name in ("k_euler", "k_euler_a"):
+        k_full = run_k(name, None)
+        np.testing.assert_allclose(
+            np.asarray(run_k(name, (0.0, 1.0))), np.asarray(k_full), rtol=1e-5
+        )
+        k_mid = run_k(name, (0.25, 0.75))
+        assert not np.allclose(np.asarray(k_mid), np.asarray(k_full)), name
+        assert bool(jnp.isfinite(k_mid).all()), name
+    # history-carrying samplers fall back to full CFG (documented)
+    s = ISampler.make("k_dpmpp_2m", {"model": ddpm, "guidance_interval": (0.2, 0.8)})
+    full_dpmpp = s.sample(z, cond=cond, uncond=uncond, guidance_scale=3.0, num_steps=4)
+    s2 = ISampler.make("k_dpmpp_2m", {"model": ddpm})
+    np.testing.assert_allclose(
+        np.asarray(full_dpmpp),
+        np.asarray(s2.sample(z, cond=cond, uncond=uncond, guidance_scale=3.0, num_steps=4)),
+        rtol=1e-5,
+    )
+
 
 def test_sampling_inside_jit() -> None:
     """Samplers must work when the model state is a traced jit argument
