@@ -15,7 +15,10 @@ LOGDIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sd_trace"
 
 
 def main() -> None:
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xplanes = sorted(
         glob.glob(os.path.join(LOGDIR, "**", "*.xplane.pb"), recursive=True),
