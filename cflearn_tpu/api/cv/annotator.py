@@ -8,7 +8,7 @@ MLSD/HED/PiDi) are conversion targets for their vendored nets (SURVEY.md
 §7.4 — ported lazily).
 """
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -36,15 +36,26 @@ class CannyAnnotator(Annotator):
         self.low = low_threshold
         self.high = high_threshold
 
-    def annotate(self, image: np.ndarray, **kwargs: Any) -> np.ndarray:
+    def annotate(
+        self,
+        image: np.ndarray,
+        *,
+        low_threshold: Optional[int] = None,
+        high_threshold: Optional[int] = None,
+        **kwargs: Any,
+    ) -> np.ndarray:
+        """Per-call thresholds override the constructor's (the reference's
+        canny annotate takes them per call, `annotator.py:67-74`)."""
         import cv2
 
+        low = self.low if low_threshold is None else low_threshold
+        high = self.high if high_threshold is None else high_threshold
         image = self._norm(image)
         squeeze = image.ndim == 3
         batch = image[None] if squeeze else image
         outs = []
         for img in batch:
-            edges = cv2.Canny(img, self.low, self.high)
+            edges = cv2.Canny(img, low, high)
             outs.append(np.repeat(edges[..., None], 3, axis=-1))
         out = np.stack(outs)
         return out[0] if squeeze else out

@@ -170,6 +170,12 @@ def _round64(v: int) -> int:
     return max(64, int(round(v / 64)) * 64)
 
 
+def fidelity_start_step(fidelity: float, num_steps: int) -> int:
+    """reference `_q_sample` (:1568): denoise for (1-fidelity)*n steps, i.e.
+    skip the first fidelity*n — fidelity 1 keeps the input, 0 regenerates."""
+    return max(0, min(num_steps - 1, int(round(fidelity * num_steps))))
+
+
 def crop_masked_area(
     image: np.ndarray,
     mask: np.ndarray,
@@ -179,7 +185,8 @@ def crop_masked_area(
     `mask` (b,H,W,1) float [0,1]; batch shares sample 0's mask box."""
     b, h, w = image.shape[:3]
     mask2d = mask[0, :, :, 0]
-    threshold = (settings.mask_binary_threshold or 32) / 255.0
+    raw_threshold = settings.mask_binary_threshold
+    threshold = (32 if raw_threshold is None else raw_threshold) / 255.0
     box = ImageBox.from_mask(mask2d, threshold)
     box = adjust_lt_rb(box, w, h, settings.mask_padding)
     t_wh = _pair(settings.target_wh)
@@ -327,6 +334,10 @@ class DiffusionAPI(IAPI):
                 yield self.m
             finally:
                 if restored:
+                    # the module's weights may have been replaced inside the
+                    # context — re-capture the base from the CURRENT weights
+                    # before fusing, or the old base would clobber them
+                    self.lora_manager.reset_base()
                     self.lora_manager.apply_lora(
                         self.m, *restored.keys(), scales=restored
                     )
@@ -451,7 +462,7 @@ class DiffusionAPI(IAPI):
 
         elif kind == "img2img":
             fidelity = static["fidelity"]
-            start_step = max(0, min(num_steps - 1, int(round((1.0 - fidelity) * num_steps))))
+            start_step = fidelity_start_step(fidelity, num_steps)
 
             def _run(st: Any, tokens: jax.Array, uncond_tokens: jax.Array, image: jax.Array, key: jax.Array) -> jax.Array:
                 m = nnx.merge(graphdef, st)
@@ -481,9 +492,7 @@ class DiffusionAPI(IAPI):
                 self.m.unet.in_channels > self.m.out_channels and not force_repaint
             )
             start_step = (
-                None
-                if ref_fidelity is None
-                else max(0, min(num_steps - 1, int(round((1.0 - ref_fidelity) * num_steps))))
+                None if ref_fidelity is None else fidelity_start_step(ref_fidelity, num_steps)
             )
 
             def _run(st: Any, tokens: jax.Array, uncond_tokens: jax.Array, image: jax.Array, mask: jax.Array, key: jax.Array) -> jax.Array:
@@ -987,9 +996,11 @@ class ControlledDiffusionAPI(DiffusionAPI):
                 pass  # control without a matching annotator (e.g. custom tag)
 
     def get_hint_of(self, hint: str, image: np.ndarray, **kwargs: Any) -> np.ndarray:
-        """reference :1866 — run the registered annotator for a hint type."""
-        self.prepare_annotator(hint, **kwargs)
-        return self.annotators[hint].annotate(image)
+        """reference :1866 — run the registered annotator for a hint type.
+        Per-call kwargs go to `annotate` (construction kwargs belong to
+        `prepare_annotator`)."""
+        self.prepare_annotator(hint)
+        return self.annotators[hint].annotate(image, **kwargs)
 
     def sample_with_control(
         self,

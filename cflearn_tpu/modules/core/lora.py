@@ -128,6 +128,13 @@ class LoRAManager:
     def set_scales(self, module: nnx.Module, scales: Dict[str, float]) -> None:
         self.apply_lora(module, *scales.keys(), scales=scales)
 
+    def reset_base(self) -> None:
+        """Forget the captured base weights: the next `prepare`/`apply_lora`
+        re-captures from the module's CURRENT weights. Call after replacing
+        the module's weights wholesale (e.g. a checkpoint load inside
+        `DiffusionAPI.load_context`)."""
+        self._backup = None
+
     def deactivate(self, module: nnx.Module) -> None:
         if self._backup is None:
             return

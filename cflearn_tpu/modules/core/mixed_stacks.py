@@ -361,7 +361,7 @@ class StyleReferenceStates:
         self,
         *,
         style_fidelity: float = 0.5,
-        reference_weight: float = 0.5,
+        reference_weight: float = 1.0,
     ) -> None:
         self.style_fidelity = float(style_fidelity)
         self.reference_weight = float(reference_weight)
@@ -484,7 +484,14 @@ class BasicTransformerBlock(nnx.Module):
                     ref_ctx = jnp.concatenate([xn, bank.astype(xn.dtype)], axis=1)
                     refd = self.attn1(xn, context=ref_ctx, hooks=hooks)
                     fidelity = hooks.style.style_fidelity
-                    if fidelity > 1e-5 and hooks.uncond_mask is not None:
+                    # the mask only applies to CFG-batched (2b) calls; a
+                    # guidance-interval segment outside the band runs at
+                    # batch b with no uncond rows to mix
+                    if (
+                        fidelity > 1e-5
+                        and hooks.uncond_mask is not None
+                        and hooks.uncond_mask.shape[0] == xn.shape[0]
+                    ):
                         plain = self.attn1(xn, hooks=hooks)
                         mixed = fidelity * plain + (1.0 - fidelity) * refd
                         refd = jnp.where(hooks.uncond_mask, mixed, refd)

@@ -48,6 +48,11 @@ def train_context(model: Any) -> Iterator[None]:
         model.eval()
 
 
+def mode_context(model: Any, *, to_train: bool) -> Any:
+    """reference `toolkit.py:2060` — train/eval context selected by flag."""
+    return train_context(model) if to_train else eval_context(model)
+
+
 @contextmanager
 def no_grad_context() -> Iterator[None]:
     """No-op under JAX's functional autodiff; use `jax.lax.stop_gradient` on

@@ -318,3 +318,222 @@ class ScalarEMA:
     @property
     def value(self) -> Optional[float]:
         return self._value
+
+
+# ----------------------------------------------------------------------------
+# small parity utilities (reference `toolkit.py` grab-bag)
+# ----------------------------------------------------------------------------
+
+class FileInfo(tuple):
+    """(sha, st_size) of a file (reference `toolkit.py:246` FileInfo)."""
+
+    def __new__(cls, sha: str, st_size: int) -> "FileInfo":
+        return super().__new__(cls, (sha, st_size))
+
+    @property
+    def sha(self) -> str:
+        return self[0]
+
+    @property
+    def st_size(self) -> int:
+        return self[1]
+
+
+def new_seed() -> int:
+    """reference `toolkit.py:83` — a fresh random seed."""
+    return int(np.random.randint(0, 2**31 - 1))
+
+
+def get_file_info(path: Union[str, Path]) -> FileInfo:
+    """reference `toolkit.py:279` — sha256 + size of a file."""
+    p = Path(path)
+    with p.open("rb") as f:
+        sha = hashlib.sha256(f.read()).hexdigest()
+    return FileInfo(sha, get_file_size(str(p)))
+
+
+def check_available(path: Union[str, Path], *, sha: Optional[str] = None, st_size: Optional[int] = None) -> bool:
+    """reference `toolkit.py:254` check_available — verify a downloaded file
+    against its recorded info."""
+    p = Path(path)
+    if not p.is_file():
+        return False
+    info = get_file_info(p)
+    if sha is not None and info.sha != sha:
+        return False
+    if st_size is not None and info.st_size != st_size:
+        return False
+    return True
+
+
+def download_checkpoint(tag: str, *, check_sha: bool = False) -> Path:
+    """reference `toolkit.py:524` — download a checkpoint by zoo index tag."""
+    from ..zoo.common import resolve_download
+
+    info = resolve_download(tag)
+    return download(
+        info["url"],
+        name=info.get("name"),
+        sha=info.get("sha") if check_sha else None,
+    )
+
+
+_warned_once: set = set()
+
+
+def warn_once(message: str, *, key: Optional[str] = None) -> None:
+    """reference `toolkit.py:816` — emit each warning message only once."""
+    import warnings
+
+    k = key or message
+    if k not in _warned_once:
+        _warned_once.add(k)
+        warnings.warn(message)
+
+
+def show_or_save(export_path: Optional[str], fig: Any = None, **kwargs: Any) -> None:
+    """reference `toolkit.py:614` — save the figure if a path is given, else
+    show it (matplotlib optional)."""
+    import matplotlib.pyplot as plt
+
+    if export_path is None:
+        (fig or plt).show(**kwargs)
+    else:
+        if fig is not None:
+            fig.savefig(export_path)
+        else:
+            plt.savefig(export_path, **kwargs)
+    plt.close()
+
+
+def show_or_return(return_canvas: bool) -> Optional[np.ndarray]:
+    """reference `toolkit.py:645` — show the current plt figure, or return it
+    as an RGBA canvas array."""
+    import matplotlib.pyplot as plt
+
+    if not return_canvas:
+        plt.show()
+        return None
+    import io
+
+    buf = io.BytesIO()
+    plt.savefig(buf, format="png")
+    plt.close()
+    buf.seek(0)
+    from PIL import Image
+
+    return np.array(Image.open(buf))
+
+
+def safe_clip(net: arr_type) -> arr_type:
+    """reference `toolkit.py:1236` `safe_clip_` — clip to the dtype's finite
+    range (functional: jax arrays are immutable, so this returns)."""
+    if isinstance(net, np.ndarray):
+        fin = np.finfo(net.dtype)
+        return np.clip(net, fin.min, fin.max)
+    fin = jnp.finfo(net.dtype)
+    return jnp.clip(net, fin.min, fin.max)
+
+
+def insert_intermediate_dims(net: arr_type, ref: arr_type) -> arr_type:
+    """reference `toolkit.py:1258` — expand a 2D array to ref's ndim by
+    inserting singleton dims after the batch dim."""
+    dim_diff = ref.ndim - net.ndim
+    if dim_diff == 0:
+        return net
+    shape = (net.shape[0],) + (1,) * dim_diff + net.shape[1:]
+    return net.reshape(shape)
+
+
+def to_2d(arr: Any) -> Any:
+    """reference `toolkit.py:2653` — coerce array-likes to 2D columns."""
+    if arr is None or isinstance(arr, str):
+        return None
+    if isinstance(arr, (list, tuple)) and arr and not isinstance(arr[0], (list, tuple)):
+        return [[x] for x in arr]
+    a = np.asarray(arr) if not isinstance(arr, (np.ndarray, jax.Array)) else arr
+    if getattr(a, "ndim", None) == 1:
+        return a.reshape(-1, 1)
+    return arr if isinstance(arr, (list, tuple)) else a
+
+
+def inject_parameters(
+    src: Any,
+    tgt: Any,
+    *,
+    strict: bool = True,
+    src_filter_fn: Optional[Callable[[str], bool]] = None,
+    tgt_filter_fn: Optional[Callable[[str], bool]] = None,
+    custom_mappings: Optional[Dict[str, str]] = None,
+    states_callback: Optional[Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]]] = None,
+) -> None:
+    """reference `toolkit.py:1372` — copy parameters from one module into
+    another by path, with optional filtering/renaming."""
+    from flax import nnx
+
+    from .tree import npd_to_tree, tree_to_npd
+
+    src_npd = tree_to_npd(nnx.state(src, nnx.Param))
+    if src_filter_fn is not None:
+        src_npd = {k: v for k, v in src_npd.items() if src_filter_fn(k)}
+    if custom_mappings:
+        src_npd = {custom_mappings.get(k, k): v for k, v in src_npd.items()}
+    if states_callback is not None:
+        src_npd = states_callback(src_npd)
+    tgt_state = nnx.state(tgt, nnx.Param)
+    if tgt_filter_fn is not None:
+        keep = {k for k in tree_to_npd(tgt_state) if tgt_filter_fn(k)}
+        src_npd = {k: v for k, v in src_npd.items() if k in keep}
+    nnx.update(tgt, npd_to_tree(src_npd, tgt_state, strict=strict and tgt_filter_fn is None))
+
+
+class Diffs(tuple):
+    """(names, diffs) result of `sorted_param_diffs`."""
+
+    def __new__(cls, names: List[str], diffs: List[float]) -> "Diffs":
+        return super().__new__(cls, (names, diffs))
+
+    @property
+    def names(self) -> List[str]:
+        return self[0]
+
+    @property
+    def diffs(self) -> List[float]:
+        return self[1]
+
+
+def sorted_param_diffs(m1: Any, m2: Any) -> Diffs:
+    """reference `toolkit.py:1468` — max-abs parameter differences between
+    two modules with identical structure, sorted descending."""
+    from flax import nnx
+
+    from .tree import tree_to_npd
+
+    d1 = tree_to_npd(nnx.state(m1, nnx.Param))
+    d2 = tree_to_npd(nnx.state(m2, nnx.Param))
+    if d1.keys() != d2.keys():
+        raise ValueError("parameter structures differ")
+    pairs = sorted(
+        ((k, float(np.abs(np.asarray(d1[k], np.float32) - np.asarray(d2[k], np.float32)).max())) for k in d1),
+        key=lambda kv: -kv[1],
+    )
+    return Diffs([k for k, _ in pairs], [v for _, v in pairs])
+
+
+def make_indices_visualization_map(indices: arr_type) -> np.ndarray:
+    """reference `toolkit.py:2997` — render each index as a 28x28 white tile
+    with the number drawn in the center (VQ-VAE codebook visualization).
+    Returns float NHWC in [-1, 1]."""
+    from PIL import Image, ImageDraw
+
+    flat = np.asarray(indices).reshape(-1)
+    tiles = []
+    for idx in flat:
+        img = Image.new("L", (28, 28), 255)
+        draw = ImageDraw.Draw(img)
+        text = str(int(idx))
+        bbox = draw.textbbox((0, 0), text)
+        tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        draw.text(((28 - tw) / 2 - bbox[0], (28 - th) / 2 - bbox[1]), text, fill=0)
+        tiles.append(np.asarray(img, np.float32) / 127.5 - 1.0)
+    return np.stack(tiles)[..., None]

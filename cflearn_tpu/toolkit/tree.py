@@ -9,6 +9,7 @@ reference's `torch.save({"config": ..., "states": state_dict})`
 from typing import Any, Dict, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -58,7 +59,9 @@ def npd_to_tree(npd: Dict[str, np.ndarray], template: Any, *, strict: bool = Tru
             value = npd[key]
             if hasattr(leaf, "dtype") and not is_prng and value.dtype != leaf.dtype:
                 value = value.astype(leaf.dtype)
-            leaves.append(value)
+            # hand out jax arrays, not numpy: raw (often read-only) numpy
+            # leaves would poison nnx Variables for later in-place updates
+            leaves.append(jnp.asarray(value))
         else:
             missing.append(key)
             leaves.append(leaf)

@@ -314,7 +314,14 @@ class SDVersions:
 
 
 def get_sd_tag(version: Optional[str]) -> str:
-    """reference `zoo/__init__.py:93` — normalize a version to its tag."""
+    """reference `zoo/__init__.py:93-108` — normalize a version to its
+    checkpoint tag (community tags map to their versioned names)."""
     if version is None or version in ("", "v1", "v1.5"):
         return "v1.5"
-    return version
+    return {
+        SDVersions.ANIME: "anime_nai",
+        SDVersions.ANIME_ANYTHING: "anime_anything_v3",
+        SDVersions.ANIME_HYBRID: "anime_hybrid_v1",
+        SDVersions.ANIME_GUOFENG: "anime_guofeng3",
+        SDVersions.ANIME_ORANGE: "anime_orange2",
+    }.get(version, version)

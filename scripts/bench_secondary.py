@@ -58,6 +58,32 @@ def main() -> None:
     dt = time.time() - t0
     results["clip_vit_b32_image_embeds_per_sec"] = round(B * iters / dt, 1)
 
+    # ---- ESRGAN (RRDBNet) 4x super-resolution, 128px -> 512px, bf16
+    from cflearn_tpu.modules.common import build_module as _bm
+
+    rrdb = _bm("rrdb", config={}, rngs=nnx.Rngs(0))
+    rparams = nnx.state(rrdb, nnx.Param)
+    rparams = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        rparams,
+    )
+    nnx.update(rrdb, rparams)
+    gd_r, st_r = nnx.split(rrdb)
+    lr = jax.random.normal(jax.random.PRNGKey(0), (4, 128, 128, 3), jnp.bfloat16)
+
+    @jax.jit
+    def upscale(st, lr):
+        m = nnx.merge(gd_r, st)
+        return m(lr)
+
+    _sync(upscale(st_r, lr))
+    t0 = time.time()
+    out = None
+    for _ in range(8):
+        out = upscale(st_r, lr)
+    _sync(out)
+    results["esrgan_4x_128to512_images_per_sec"] = round(4 * 8 / (time.time() - t0), 2)
+
     # ---- p50 txt2img end-to-end latency (single prompt, B=1)
     from cflearn_tpu.modules.core.mixed_stacks import SpatialTransformer
     from cflearn_tpu.modules.multimodal.diffusion.ldm import StableDiffusion

@@ -244,6 +244,73 @@ def test_sample_kwargs_parity(tiny_api) -> None:
         tiny_api.sample(3, cond=["a", "b"], size=(64, 64), num_steps=2)
 
 
+def test_fidelity_start_step_semantics() -> None:
+    """Regression (code review): the formula was inverted. Reference
+    `_q_sample` (:1568): fidelity 1 = keep the input (skip ~all steps),
+    fidelity 0 = full regeneration (skip none)."""
+    from cflearn_tpu.api.multimodal.diffusion import fidelity_start_step
+
+    assert fidelity_start_step(0.0, 20) == 0  # regenerate: all 20 steps
+    assert fidelity_start_step(1.0, 20) == 19  # keep: one step at most
+    assert fidelity_start_step(0.2, 20) == 4  # default: 16 denoise steps
+    assert fidelity_start_step(0.5, 20) == 10
+
+
+def test_style_reference_with_guidance_interval(tiny_api) -> None:
+    """Regression (code review): style-reference mixing used to crash at
+    trace time inside guidance-interval segments (uncond_mask batch 2b vs
+    segment batch b)."""
+    ref = np.random.default_rng(3).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    tiny_api.switch_sampler("ddim", guidance_interval=(0.25, 0.75))
+    try:
+        tiny_api.setup_hooks(
+            style_reference_image=ref,
+            style_reference_states=dict(style_fidelity=0.5),
+        )
+        out = tiny_api.txt2img("gi+style", size=(64, 64), num_steps=4, seed=0)
+        assert out.shape == (1, 64, 64, 3)
+    finally:
+        tiny_api.setup_hooks()
+        tiny_api.switch_sampler("ddim")
+
+
+def test_lora_load_context_rebases_on_new_weights(tiny_api) -> None:
+    """Regression (code review): re-applying LoRA after a weight load inside
+    load_context used to fuse deltas onto the STALE base."""
+    import jax
+    import jax.numpy as jnp
+    from cflearn_tpu.modules.core.lora import LoRAPack
+
+    # find a kernel path LoRA can target: use to_q of the first block
+    from cflearn_tpu.modules.multimodal.diffusion.unet import walk_transformer_blocks
+
+    blk = walk_transformer_blocks(tiny_api.m.unet)[0]
+    kernel = blk.attn1.to_q.kernel
+    base0 = np.asarray(kernel[...])
+    d_in, d_out = base0.shape
+    from cflearn_tpu.toolkit.tree import tree_to_npd
+    from flax import nnx as _nnx
+
+    npd = tree_to_npd(_nnx.state(tiny_api.m, _nnx.Param))
+    path = next(k for k, v in npd.items() if v.shape == base0.shape and np.allclose(v, base0))
+    down = np.ones((d_in, 2), np.float32) * 0.1
+    up = np.ones((2, d_out), np.float32) * 0.1
+    pack = LoRAPack(deltas={path: (down, up)}, alpha=2.0, rank=2)
+    tiny_api.load_sd_lora("t", pack=pack)
+    tiny_api.inject_sd_lora("t")
+    delta = pack.scale * (down @ up)
+    np.testing.assert_allclose(np.asarray(kernel[...]), base0 + delta, rtol=1e-5)
+    with tiny_api.load_context() as m:
+        # replace the base weights wholesale inside the context
+        kernel[...] = jnp.ones_like(kernel[...])
+    # on exit the delta must sit on the NEW base, not the old one
+    np.testing.assert_allclose(
+        np.asarray(kernel[...]), np.ones_like(base0) + delta, rtol=1e-5
+    )
+    tiny_api.cleanup_sd_lora()
+    np.testing.assert_allclose(np.asarray(kernel[...]), np.ones_like(base0), rtol=1e-5)
+
+
 def test_tome(tiny_api) -> None:
     base = tiny_api.txt2img("t", size=(64, 64), num_steps=2, seed=5)
     tiny_api.set_tome_ratio(0.5)

@@ -111,3 +111,100 @@ def test_bench_contract() -> None:
     assert "json.dumps(result)" in src
     for key in ('"metric"', '"value"', '"unit"', '"vs_baseline"'):
         assert key in src
+
+
+def test_misc_parity_utilities(tmp_path) -> None:
+    """reference toolkit grab-bag parity: new_seed / file info / warn_once /
+    safe_clip / insert_intermediate_dims / to_2d / indices viz map."""
+    import warnings
+
+    from cflearn_tpu.toolkit.misc import (
+        check_available,
+        get_file_info,
+        insert_intermediate_dims,
+        make_indices_visualization_map,
+        new_seed,
+        safe_clip,
+        to_2d,
+        warn_once,
+    )
+
+    assert 0 <= new_seed() < 2**31
+    p = tmp_path / "f.bin"
+    p.write_bytes(b"hello")
+    info = get_file_info(p)
+    assert info.st_size == 5 and len(info.sha) == 64
+    assert check_available(p, sha=info.sha, st_size=5)
+    assert not check_available(p, sha="0" * 64)
+    assert not check_available(tmp_path / "missing.bin")
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        warn_once("dup-message", key="k1")
+        warn_once("dup-message", key="k1")
+    assert len(w) == 1
+
+    big = np.array([np.inf, -np.inf, 1.0], np.float32)
+    clipped = safe_clip(big)
+    assert np.isfinite(clipped).all()
+
+    out = insert_intermediate_dims(np.ones((2, 3)), np.ones((2, 5, 6, 3)))
+    assert out.shape == (2, 1, 1, 3)
+
+    assert np.asarray(to_2d([1, 2])).shape == (2, 1)
+    assert np.asarray(to_2d(np.arange(4))).shape == (4, 1)
+    assert to_2d(None) is None
+
+    viz = make_indices_visualization_map(np.array([0, 7, 123]))
+    assert viz.shape == (3, 28, 28, 1)
+    assert viz.min() >= -1.0 and viz.max() <= 1.0
+    # the drawn digits must actually darken some pixels
+    assert (viz < 0.5).any(axis=(1, 2, 3)).all()
+
+
+def test_inject_parameters_and_param_diffs() -> None:
+    """reference `toolkit.py:1372/1468` — cross-module parameter injection
+    and sorted parameter diffs."""
+    from flax import nnx
+
+    from cflearn_tpu.toolkit.misc import inject_parameters, sorted_param_diffs
+
+    class M(nnx.Module):
+        def __init__(self, rngs: nnx.Rngs) -> None:
+            self.a = nnx.Linear(3, 4, rngs=rngs)
+            self.b = nnx.Linear(4, 2, rngs=rngs)
+
+    m1 = M(nnx.Rngs(0))
+    m2 = M(nnx.Rngs(1))
+    diffs = sorted_param_diffs(m1, m2)
+    assert len(diffs.names) == len(diffs.diffs) == 4
+    assert diffs.diffs == sorted(diffs.diffs, reverse=True)
+    assert diffs.diffs[0] > 0
+
+    inject_parameters(m1, m2)
+    diffs2 = sorted_param_diffs(m1, m2)
+    assert max(diffs2.diffs) == 0.0
+
+    # filtered injection: only `a` is copied
+    m3 = M(nnx.Rngs(2))
+    inject_parameters(m1, m3, src_filter_fn=lambda k: k.startswith("a"), strict=False)
+    d3 = sorted_param_diffs(m1, m3)
+    by_name = dict(zip(d3.names, d3.diffs))
+    assert all(v == 0.0 for k, v in by_name.items() if k.startswith("a"))
+    assert any(v > 0.0 for k, v in by_name.items() if k.startswith("b"))
+
+
+def test_mode_context() -> None:
+    from cflearn_tpu.toolkit.contexts import mode_context
+
+    class Toy:
+        def __init__(self) -> None:
+            self.training = False
+
+        def set_mode(self, training: bool) -> None:
+            self.training = training
+
+    t = Toy()
+    with mode_context(t, to_train=True):
+        assert t.training
+    assert not t.training

@@ -34,7 +34,9 @@ def test_sd_versions_tags() -> None:
 
     assert get_sd_tag(None) == "v1.5"
     assert get_sd_tag("") == "v1.5"
-    assert get_sd_tag("anime") == "anime"
+    assert get_sd_tag("anime") == "anime_nai"
+    assert get_sd_tag("anime_anything") == "anime_anything_v3"
+    assert get_sd_tag("dreamlike_v1") == "dreamlike_v1"
     m = load_sd(SDVersions.ANIME)  # builds v1 architecture
     assert m.unet.in_channels == 4
     with pytest.raises(ValueError, match="provenance|original"):
