@@ -249,6 +249,7 @@ class DiffusionAPI(IAPI):
         self._circular = False
         self.lora_manager = LoRAManager()
         self._style_ref: Optional[Dict[str, Any]] = None
+        self._mesh: Optional[Any] = None
 
     # ------------------------------------------------------------- switches
 
@@ -316,6 +317,44 @@ class DiffusionAPI(IAPI):
             return None
         s = self._style_ref["states"]
         return (s.style_fidelity, s.reference_weight, self._style_ref["gates"], self._style_ref["image"].shape)
+
+    def use_mesh(
+        self,
+        mesh: Optional[Any],
+        *,
+        tp_rules: Optional[Any] = None,
+        use_fsdp: bool = False,
+    ) -> None:
+        """Shard serving over a `jax.sharding.Mesh` (multi-chip inference —
+        new capability, no reference analogue: the reference serves
+        single-GPU). Params are placed by the Megatron col/row TP rules on
+        the `model` axis (replicated otherwise, largest-axis sharded over
+        `fsdp` when `use_fsdp`); per-call batches shard over the data axis;
+        a non-trivial `context` axis routes self-attention through
+        ring/Ulysses attention (`ops.sdp_attn`). Pass None to revert to
+        single-device serving."""
+        from ...parallel.mesh import replicated_sharding, set_mesh
+        from ...parallel.tp import place_params
+
+        self._mesh = mesh
+        set_mesh(mesh)
+        if mesh is not None:
+            state = nnx.state(self.m)
+            nnx.update(self.m, place_params(state, mesh, use_fsdp=use_fsdp, tp_rules=tp_rules))
+        self._jit_cache.clear()
+
+    def _shard_batch_arg(self, x: jax.Array) -> jax.Array:
+        """Place a batch-leading array over the mesh's batch axes (those of
+        data/fsdp actually present in the mesh)."""
+        if self._mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = tuple(a for a in ("data", "fsdp") if self._mesh.shape.get(a, 1) > 1)
+        if not axes:
+            return x
+        spec = P(axes, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self._mesh, spec))
 
     def load_context(self, *, ignore_lora: bool = True) -> Any:
         """reference :1281 — context manager yielding the bare model for
@@ -399,6 +438,7 @@ class DiffusionAPI(IAPI):
             self._style_sig(),
             # clip_skip is read at trace time inside the text encoder
             getattr(getattr(self.m, "condition_model", None), "clip_skip", None),
+            None if self._mesh is None else tuple(sorted(self._mesh.shape.items())),
         )
         fn = self._jit_cache.get(key)
         if fn is not None:
@@ -641,7 +681,12 @@ class DiffusionAPI(IAPI):
                 fn = self._get_jitted(
                     "txt2img", num_steps=num_steps, guidance_scale=guidance_scale, size=size
                 )
-                args = (nnx.state(self.m), tokens[lo:hi], uncond[lo:hi], z[lo:hi])
+                args = (
+                    nnx.state(self.m),
+                    self._shard_batch_arg(tokens[lo:hi]),
+                    self._shard_batch_arg(uncond[lo:hi]),
+                    self._shard_batch_arg(z[lo:hi]),
+                )
                 if ref_image is not None:
                     args = args + (ref_image,)
                 k = key if lo == 0 else jax.random.fold_in(key, lo)
@@ -703,7 +748,15 @@ class DiffusionAPI(IAPI):
             "img2img", num_steps=num_steps, guidance_scale=guidance_scale, size=size, fidelity=fidelity
         )
         key = jax.random.PRNGKey(seed or 0)
-        out = _to_uint8(fn(nnx.state(self.m), tokens, uncond, jnp.asarray(image), key))
+        out = _to_uint8(
+            fn(
+                nnx.state(self.m),
+                self._shard_batch_arg(tokens),
+                self._shard_batch_arg(uncond),
+                self._shard_batch_arg(jnp.asarray(image)),
+                key,
+            )
+        )
         if export_path is not None:
             self._export(out, export_path)
         return out
@@ -774,7 +827,14 @@ class DiffusionAPI(IAPI):
             ref_fidelity=reference_fidelity if use_background_guidance else None,
         )
         key = jax.random.PRNGKey(seed or 0)
-        sampled = fn(nnx.state(self.m), tokens, uncond, jnp.asarray(image), jnp.asarray(mask), key)
+        sampled = fn(
+            nnx.state(self.m),
+            self._shard_batch_arg(tokens),
+            self._shard_batch_arg(uncond),
+            self._shard_batch_arg(jnp.asarray(image)),
+            self._shard_batch_arg(jnp.asarray(mask)),
+            key,
+        )
         if crop_ctx is not None:
             out = recover_masked_area(
                 np.clip(np.asarray(sampled), -1.0, 1.0),

@@ -414,17 +414,20 @@ class IKSampler(ISampler):
         gi = self.guidance_interval
         if gi is None or uncond is None or not self.supports_guidance_interval:
             return self._integrate(z, sigmas, t_of, cond, uncond, guidance_scale, key, **kwargs)
-        # guidance-interval CFG: split the (stateless) integrator into up to
-        # three segments; uncond passes are skipped outside the band
+        # guidance-interval CFG: split the integrator into up to three
+        # segments; uncond passes are skipped outside the band. Integrator
+        # state (multistep history) threads through `_integrate_carry`.
         n = len(t_of)
         s0 = max(0, min(n, int(round(gi[0] * n))))
         s1 = max(s0, min(n, int(round(gi[1] * n))))
         x = z
+        carry: Any = None
         for (a, b), use_cfg in (((0, s0), False), ((s0, s1), True), ((s1, n), False)):
             if a == b:
                 continue
-            x = self._integrate(
+            x, carry = self._integrate_carry(
                 x,
+                carry,
                 sigmas[a : b + 1],
                 t_of[a:b],
                 cond,
@@ -457,6 +460,14 @@ class IKSampler(ISampler):
 
     def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:
         raise NotImplementedError
+
+    def _integrate_carry(
+        self, x, carry, sigmas, t_of, cond, uncond, scale, key, **kwargs
+    ) -> Tuple[jax.Array, Any]:
+        """Segment-resumable integration. Default: stateless — delegate to
+        `_integrate` and carry nothing. Multistep samplers override this to
+        thread their history across guidance-interval segments."""
+        return self._integrate(x, sigmas, t_of, cond, uncond, scale, key, **kwargs), None
 
 
 @ISampler.register("k_euler")
@@ -573,17 +584,18 @@ class KLMSSampler(IKSampler):
 
 @ISampler.register("k_dpmpp_2m")
 class KDPMpp2MSampler(IKSampler):
-    """DPM-Solver++(2M) (reference `k_samplers.py:444`)."""
+    """DPM-Solver++(2M) (reference `k_samplers.py:444`). Supports guidance-
+    interval CFG exactly: the multistep history (old_denoised, sigma_last)
+    threads across the segmented scans."""
 
-    def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:
+    supports_guidance_interval = True
+
+    def _run_scan(self, x, carry_in, sigmas, t_of, cond, uncond, scale, **kwargs):
         sig = jnp.asarray(np.maximum(sigmas, 0.0), dtype=x.dtype)
         ts = jnp.asarray(t_of, dtype=jnp.float32)
 
         def t_fn(sigma: jax.Array) -> jax.Array:
             return -jnp.log(jnp.maximum(sigma, 1e-20))
-
-        def sigma_fn(t: jax.Array) -> jax.Array:
-            return jnp.exp(-t)
 
         def step(carry: Any, inputs: Any) -> Tuple[Any, None]:
             x, old_denoised, sigma_last, is_first = carry
@@ -603,11 +615,20 @@ class KDPMpp2MSampler(IKSampler):
             x_new = jnp.where(jnp.logical_or(is_first, sigma_next == 0), first, second)
             return (x_new, denoised, sigma, jnp.asarray(False)), None
 
-        zeros = jnp.zeros_like(x)
-        (out, _, _, _), _ = jax.lax.scan(
-            step, (x, zeros, sig[0], jnp.asarray(True)), (sig[:-1], sig[1:], ts)
-        )
+        if carry_in is None:
+            carry0 = (x, jnp.zeros_like(x), sig[0], jnp.asarray(True))
+        else:
+            old_denoised, sigma_last = carry_in
+            carry0 = (x, old_denoised, sigma_last.astype(x.dtype), jnp.asarray(False))
+        (out, od, sl, _), _ = jax.lax.scan(step, carry0, (sig[:-1], sig[1:], ts))
+        return out, (od, sl)
+
+    def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:
+        out, _ = self._run_scan(x, None, sigmas, t_of, cond, uncond, scale, **kwargs)
         return out
+
+    def _integrate_carry(self, x, carry, sigmas, t_of, cond, uncond, scale, key, **kwargs):
+        return self._run_scan(x, carry, sigmas, t_of, cond, uncond, scale, **kwargs)
 
 
 @ISampler.register("lcm")

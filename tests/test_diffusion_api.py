@@ -359,6 +359,34 @@ def test_controlled_api(tiny_api) -> None:
         api.sample_with_control(1, {"canny": edges}, size=(64, 64), num_steps=2)
 
 
+def test_mesh_sharded_serving(tiny_api) -> None:
+    """Multi-chip serving: `use_mesh` shards batches over the data axis and
+    places params (TP over `model` where divisible). Sharded txt2img must
+    run on the 8-virtual-device mesh and match the single-device output
+    (replicated params, deterministic sampler)."""
+    import jax
+    from jax.sharding import Mesh
+
+    base = tiny_api.txt2img(["a", "b", "c", "d"], size=(64, 64), num_steps=2, seed=5)
+    devices = np.asarray(jax.devices()[:4]).reshape(4, 1)
+    mesh = Mesh(devices, ("data", "model"))
+    try:
+        tiny_api.use_mesh(mesh)
+        sharded = tiny_api.txt2img(["a", "b", "c", "d"], size=(64, 64), num_steps=2, seed=5)
+        np.testing.assert_allclose(
+            sharded.astype(np.int16), base.astype(np.int16), atol=1
+        )
+        # data x model mesh with TP params also runs end to end
+        mesh2 = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("data", "model"))
+        tiny_api.use_mesh(mesh2)
+        tp_out = tiny_api.txt2img(["a", "b"], size=(64, 64), num_steps=2, seed=5)
+        assert tp_out.shape == (2, 64, 64, 3)
+    finally:
+        tiny_api.use_mesh(None)
+    single = tiny_api.txt2img(["a", "b", "c", "d"], size=(64, 64), num_steps=2, seed=5)
+    np.testing.assert_array_equal(single, base)
+
+
 def test_control_toggles_and_annotator_cache(tiny_api) -> None:
     """reference :1849-1895 — prepare_annotator caching, enable/disable
     control, and load_context LoRA unwinding."""

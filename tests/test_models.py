@@ -198,12 +198,20 @@ def test_ddim_guidance_interval() -> None:
         k_mid = run_k(name, (0.25, 0.75))
         assert not np.allclose(np.asarray(k_mid), np.asarray(k_full)), name
         assert bool(jnp.isfinite(k_mid).all()), name
-    # history-carrying samplers fall back to full CFG (documented)
-    s = ISampler.make("k_dpmpp_2m", {"model": ddpm, "guidance_interval": (0.2, 0.8)})
-    full_dpmpp = s.sample(z, cond=cond, uncond=uncond, guidance_scale=3.0, num_steps=4)
-    s2 = ISampler.make("k_dpmpp_2m", {"model": ddpm})
+    # DPM-Solver++(2M) threads its multistep history across segments, so
+    # (0,1) is exactly full CFG and a middle band is honored
+    dp_full = run_k("k_dpmpp_2m", None)
     np.testing.assert_allclose(
-        np.asarray(full_dpmpp),
+        np.asarray(run_k("k_dpmpp_2m", (0.0, 1.0))), np.asarray(dp_full), rtol=1e-5
+    )
+    dp_mid = run_k("k_dpmpp_2m", (0.25, 0.75))
+    assert not np.allclose(np.asarray(dp_mid), np.asarray(dp_full))
+    assert bool(jnp.isfinite(dp_mid).all())
+    # klms (Lagrange history over global sigma indices) stays full-CFG
+    s = ISampler.make("klms", {"model": ddpm, "guidance_interval": (0.2, 0.8)})
+    s2 = ISampler.make("klms", {"model": ddpm})
+    np.testing.assert_allclose(
+        np.asarray(s.sample(z, cond=cond, uncond=uncond, guidance_scale=3.0, num_steps=4)),
         np.asarray(s2.sample(z, cond=cond, uncond=uncond, guidance_scale=3.0, num_steps=4)),
         rtol=1e-5,
     )
