@@ -51,7 +51,14 @@ class MLBundledProcessorConfig(MLProcessorConfig):
 
 @dataclasses.dataclass(eq=False)
 class MLAdvancedProcessorConfig(MLBundledProcessorConfig):
-    pass
+    """reference `data/ml/api.py:75-86` — NO default blocks (the reference's
+    MLData then appends the mandatory GatherBlock): for non-tabular array
+    inputs (e.g. temporal (B, T, d)) where the tabular parser/recognizer
+    stack must not run."""
+
+    @property
+    def default_blocks(self) -> List[IDataBlock]:
+        return [GatherBlock()]
 
 
 MLProcessorConfig.d = DataProcessorConfig.d

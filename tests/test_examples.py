@@ -33,6 +33,7 @@ def _run(path: str) -> None:
         "ml/california.py",
         "ml/titanic.py",
         "ml/ddr.py",
+        "ml/operations.py",
         "cv/digits_clf.py",
         "cv/vae.py",
         "cv/vq_vae.py",
