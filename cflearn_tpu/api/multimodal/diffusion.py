@@ -318,6 +318,38 @@ class DiffusionAPI(IAPI):
         s = self._style_ref["states"]
         return (s.style_fidelity, s.reference_weight, self._style_ref["gates"], self._style_ref["image"].shape)
 
+    def compile(
+        self,
+        *,
+        num_samples: int = 1,
+        size: Tuple[int, int] = (512, 512),
+        num_steps: int = 20,
+        guidance_scale: float = 7.5,
+    ) -> None:
+        """Pre-warm the jitted txt2img program for a shape bucket (the
+        reference's `compile` :1204 wraps torch.compile; here every bucket is
+        always compiled — this just pays the cost up front via AOT lowering)."""
+        size = (_round64(size[0]), _round64(size[1]))
+        fn = self._get_jitted(
+            "txt2img", num_steps=num_steps, guidance_scale=guidance_scale, size=size
+        )
+        latent = (size[0] // 8, size[1] // 8)
+        sds = jax.ShapeDtypeStruct
+        state = jax.tree_util.tree_map(
+            lambda x: sds(x.shape, x.dtype) if hasattr(x, "dtype") else x,
+            nnx.state(self.m),
+        )
+        args = [
+            state,
+            sds((num_samples, 77), jnp.int32),
+            sds((num_samples, 77), jnp.int32),
+            sds((num_samples, latent[0], latent[1], self.m.out_channels), jnp.float32),
+        ]
+        if self._style_ref is not None:
+            args.append(sds(self._style_ref["image"].shape, jnp.float32))
+        args.append(sds((2,), jnp.uint32))
+        fn.lower(*args).compile()
+
     def use_mesh(
         self,
         mesh: Optional[Any],
@@ -651,6 +683,8 @@ class DiffusionAPI(IAPI):
                 f"`num_samples` ({num_samples}) should be identical with "
                 f"the number of `cond` ({len(prompts)})"
             )
+        # round to the UNet's 64px grid (reference `get_size`/anchor=64)
+        size = (_round64(size[0]), _round64(size[1]))
         cm = getattr(self.m, "condition_model", None)
         clip_skip_backup: Optional[int] = None
         if clip_skip is not None and hasattr(cm, "clip_skip"):

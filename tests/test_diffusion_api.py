@@ -244,6 +244,13 @@ def test_sample_kwargs_parity(tiny_api) -> None:
         tiny_api.sample(3, cond=["a", "b"], size=(64, 64), num_steps=2)
 
 
+def test_compile_prewarm_and_size_rounding(tiny_api) -> None:
+    """reference `compile` (:1204) analogue + anchor-64 size rounding."""
+    tiny_api.compile(num_samples=1, size=(64, 64), num_steps=2)
+    out = tiny_api.txt2img("x", size=(60, 70), num_steps=2, seed=1)
+    assert out.shape == (1, 64, 64, 3)
+
+
 def test_fidelity_start_step_semantics() -> None:
     """Regression (code review): the formula was inverted. Reference
     `_q_sample` (:1568): fidelity 1 = keep the input (skip ~all steps),
