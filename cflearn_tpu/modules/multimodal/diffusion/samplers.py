@@ -270,6 +270,8 @@ class DDPMSampler(DDIMSampler):
 class PLMSSampler(ISampler):
     """Pseudo linear multistep (PLMS/PNDM; reference `plms.py`)."""
 
+    supports_guidance_interval = True  # eps history threads via the carry
+
     def sample(
         self,
         z: jax.Array,
@@ -288,36 +290,57 @@ class PLMSSampler(ISampler):
         alphas = acp[ts]
         alphas_prev = np.concatenate([[acp[0]], acp[ts[:-1]]])
         order = np.arange(num_steps)[::-1][start_step:]
-        ts_r = jnp.asarray(ts[order])
-        a_r = jnp.asarray(alphas[order], dtype=z.dtype)
-        ap_r = jnp.asarray(alphas_prev[order], dtype=z.dtype)
         b = z.shape[0]
+        n = len(order)
 
         def x_prev_fn(x: jax.Array, eps: jax.Array, a_t: jax.Array, a_prev: jax.Array) -> jax.Array:
             x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev, 0.0)) * eps
             return jnp.sqrt(a_prev) * x0 + dir_xt
 
-        def step(carry: Any, inputs: Any) -> Tuple[Any, None]:
-            x, old_eps, count = carry
-            t, a_t, a_prev = inputs
-            tb = jnp.full((b,), t)
-            eps = self._denoise(x, tb, cond, uncond, guidance_scale, **kwargs)
-            e1, e2, e3 = old_eps[0], old_eps[1], old_eps[2]
-            eps1 = eps
-            eps2 = (3 * eps - e1) / 2
-            eps3 = (23 * eps - 16 * e1 + 5 * e2) / 12
-            eps4 = (55 * eps - 59 * e1 + 37 * e2 - 9 * e3) / 24
-            eps_prime = jnp.where(
-                count == 0, eps1, jnp.where(count == 1, eps2, jnp.where(count == 2, eps3, eps4))
-            )
-            x_new = x_prev_fn(x, eps_prime, a_t, a_prev)
-            new_old = (eps, old_eps[0], old_eps[1])
-            return (x_new, new_old, count + 1), None
+        def run_segment(carry_in: Any, seg: np.ndarray, use_cfg: bool) -> Any:
+            if seg.size == 0:
+                return carry_in
+            idx = order[seg]
+            ts_r = jnp.asarray(ts[idx])
+            a_r = jnp.asarray(alphas[idx], dtype=z.dtype)
+            ap_r = jnp.asarray(alphas_prev[idx], dtype=z.dtype)
+            seg_uncond = uncond if use_cfg else None
+            seg_scale = guidance_scale if use_cfg else 1.0
+
+            def step(carry: Any, inputs: Any) -> Tuple[Any, None]:
+                x, old_eps, count = carry
+                t, a_t, a_prev = inputs
+                tb = jnp.full((b,), t)
+                eps = self._denoise(x, tb, cond, seg_uncond, seg_scale, **kwargs)
+                e1, e2, e3 = old_eps[0], old_eps[1], old_eps[2]
+                eps1 = eps
+                eps2 = (3 * eps - e1) / 2
+                eps3 = (23 * eps - 16 * e1 + 5 * e2) / 12
+                eps4 = (55 * eps - 59 * e1 + 37 * e2 - 9 * e3) / 24
+                eps_prime = jnp.where(
+                    count == 0, eps1, jnp.where(count == 1, eps2, jnp.where(count == 2, eps3, eps4))
+                )
+                x_new = x_prev_fn(x, eps_prime, a_t, a_prev)
+                new_old = (eps, old_eps[0], old_eps[1])
+                return (x_new, new_old, count + 1), None
+
+            carry_out, _ = jax.lax.scan(step, carry_in, (ts_r, a_r, ap_r))
+            return carry_out
 
         zeros = jnp.zeros_like(z)
-        (out, _, _), _ = jax.lax.scan(step, (z, (zeros, zeros, zeros), 0), (ts_r, a_r, ap_r))
-        return out
+        carry = (z, (zeros, zeros, zeros), 0)
+        gi = self.guidance_interval
+        if gi is None or uncond is None:
+            carry = run_segment(carry, np.arange(n), True)
+        else:
+            # the multistep eps history threads across segments in the carry
+            s0 = max(0, min(n, int(round(gi[0] * n))))
+            s1 = max(s0, min(n, int(round(gi[1] * n))))
+            carry = run_segment(carry, np.arange(0, s0), False)
+            carry = run_segment(carry, np.arange(s0, s1), True)
+            carry = run_segment(carry, np.arange(s1, n), False)
+        return carry[0]
 
     def sample_from(self, x0: jax.Array, **kwargs: Any) -> jax.Array:
         return _generic_sample_from(self, x0, **kwargs)

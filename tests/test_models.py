@@ -207,6 +207,14 @@ def test_ddim_guidance_interval() -> None:
     dp_mid = run_k("k_dpmpp_2m", (0.25, 0.75))
     assert not np.allclose(np.asarray(dp_mid), np.asarray(dp_full))
     assert bool(jnp.isfinite(dp_mid).all())
+    # PLMS threads its eps history too
+    plms_full = run_k("plms", None)
+    np.testing.assert_allclose(
+        np.asarray(run_k("plms", (0.0, 1.0))), np.asarray(plms_full), rtol=1e-5
+    )
+    plms_mid = run_k("plms", (0.25, 0.75))
+    assert not np.allclose(np.asarray(plms_mid), np.asarray(plms_full))
+    assert bool(jnp.isfinite(plms_mid).all())
     # klms (Lagrange history over global sigma indices) stays full-CFG
     s = ISampler.make("klms", {"model": ddpm, "guidance_interval": (0.2, 0.8)})
     s2 = ISampler.make("klms", {"model": ddpm})
