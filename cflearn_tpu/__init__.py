@@ -27,4 +27,11 @@ from .trainer import Trainer
 from . import dist, ops, zoo
 from .api.common import APIPool, IAPI, Weights
 from .api.cv import TranslatorAPI
-from .api.multimodal import CLIPExtractor, DiffusionAPI
+from .api.multimodal import (
+    CLIPExtractor,
+    ControlledDiffusionAPI,
+    DiffusionAPI,
+    InpaintingMode,
+    InpaintingSettings,
+)
+from .zoo.common import SDVersions, get_sd_tag
