@@ -271,14 +271,16 @@ class DiffusionAPI(IAPI):
                 module.set_circular(enable)
         self._jit_cache.clear()
 
-    def set_tome_ratio(self, ratio: float) -> None:
+    def set_tome_ratio(self, ratio: float, *, merge_mlp: bool = False) -> None:
         """Enable ToMe token merging on all SpatialTransformers (the
-        reference lists ToMe as its SD seq-scaling tool, SURVEY §5.7)."""
+        reference lists ToMe as its SD seq-scaling tool, SURVEY §5.7).
+        `merge_mlp` additionally merges for the FF (tomesd `merge_mlp`,
+        larger speedup / larger quality cost)."""
         from ...modules.core.mixed_stacks import SpatialTransformer
 
         for _, module in nnx.iter_graph(self.m):
             if isinstance(module, SpatialTransformer):
-                module.set_tome_ratio(ratio)
+                module.set_tome_ratio(ratio, merge_mlp=merge_mlp)
         self._jit_cache.clear()
 
     def setup_hooks(
@@ -294,7 +296,10 @@ class DiffusionAPI(IAPI):
         reference latent and lets self-attention READ the banked activations
         (all inside one jitted program)."""
         if tome_info is not None:
-            self.set_tome_ratio(float(tome_info.get("ratio", 0.5)))
+            self.set_tome_ratio(
+                float(tome_info.get("ratio", 0.5)),
+                merge_mlp=bool(tome_info.get("merge_mlp", False)),
+            )
         if style_reference_image is None:
             self._style_ref = None
             self._jit_cache.clear()

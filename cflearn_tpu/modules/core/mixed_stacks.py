@@ -462,12 +462,20 @@ class BasicTransformerBlock(nnx.Module):
     ) -> jax.Array:
         style_mode = getattr(hooks, "mode", None) if hooks is not None else None
         if tome_info is not None:
-            # ToMe (tomesd-style): merge tokens for the self-attention only
+            # ToMe (tomesd-style): merge tokens for the self-attention, and
+            # optionally for the FF (tomesd `merge_mlp`) reusing the SAME
+            # bipartite matching
             from .tome import compute_merge
 
-            h, w, ratio = tome_info
+            h, w, ratio, merge_mlp = tome_info
             merge, unmerge, _ = compute_merge(x, h, w, ratio=ratio)
             x = x + unmerge(self.attn1(merge(self.norm1(x)), hooks=hooks))
+            x = x + self.attn2(self.norm2(x), context=context, hooks=hooks)
+            if merge_mlp:
+                x = x + unmerge(self.ff(merge(self.norm3(x))))
+            else:
+                x = x + self.ff(self.norm3(x))
+            return x
         elif style_mode in ("write", "read"):
             # style reference (reference hooks.forward :680-716)
             idx = hooks.next_index()
@@ -543,9 +551,11 @@ class SpatialTransformer(nnx.Module):
         )
         # ToMe ratio (0 = off); set via `set_tome_ratio` / DiffusionAPI
         self.tome_ratio = 0.0
+        self.tome_merge_mlp = False
 
-    def set_tome_ratio(self, ratio: float) -> None:
+    def set_tome_ratio(self, ratio: float, *, merge_mlp: bool = False) -> None:
         self.tome_ratio = float(ratio)
+        self.tome_merge_mlp = bool(merge_mlp)
 
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, *, hooks: Optional[SpatialTransformerHooks] = None) -> jax.Array:
         b, h, w, c = x.shape
@@ -558,7 +568,9 @@ class SpatialTransformer(nnx.Module):
             net = self.proj_in(net)
         else:
             net = self.proj_in(net).reshape(b, h * w, -1)
-        tome_info = (h, w, self.tome_ratio) if self.tome_ratio > 0 else None
+        tome_info = (
+            (h, w, self.tome_ratio, self.tome_merge_mlp) if self.tome_ratio > 0 else None
+        )
         for block in self.blocks:
             net = block(net, context=context, hooks=hooks, tome_info=tome_info)
         if self.use_linear:

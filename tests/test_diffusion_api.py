@@ -341,6 +341,12 @@ def test_tome(tiny_api) -> None:
     sp.set_tome_ratio(0.5)
     b = sp(x, ctx)
     assert not bool(jnp.allclose(a, b, atol=1e-5))
+    # merge_mlp (tomesd option): FF also runs on merged tokens — differs
+    # from attn-only merging and stays finite
+    sp.set_tome_ratio(0.5, merge_mlp=True)
+    c = sp(x, ctx)
+    assert not bool(jnp.allclose(b, c, atol=1e-5))
+    assert bool(jnp.isfinite(c).all())
 
 
 def test_controlled_api(tiny_api) -> None:
