@@ -124,6 +124,16 @@ class ISampler(WithRegister):
                     gates[s_idx, i] = 0.0
         return kwargs, gates
 
+    def _start_timestep(self, num_steps: int, start_step: int) -> int:
+        """The model timestep of the `start_step`-th executed step — MUST
+        match this sampler's own schedule grid so `sample_from` q-samples to
+        the exact noise level the sampler will assume (the default is the
+        uniform grid used by ddim/plms)."""
+        acp = self._np_acp()
+        ts = _uniform_timesteps(len(acp), num_steps)
+        order = np.arange(num_steps)[::-1]
+        return int(ts[order[start_step]]) if start_step < num_steps else 0
+
     def _np_acp(self) -> np.ndarray:
         """Host-side alphas_cumprod — recomputed from the model's static
         schedule spec (the buffer itself may be a tracer under jit)."""
@@ -234,26 +244,8 @@ class DDIMSampler(ISampler):
         x = run_segment(x, np.arange(s0, s1), True)
         return run_segment(x, np.arange(s1, n), False)
 
-    def sample_from(
-        self,
-        x0: jax.Array,
-        *,
-        cond: Optional[Any] = None,
-        num_steps: int = 20,
-        start_step: int = 0,
-        key: Optional[jax.Array] = None,
-        **kwargs: Any,
-    ) -> jax.Array:
-        ts, _, _, _ = self._schedule(num_steps)
-        order = np.arange(num_steps)[::-1]
-        t_start = int(ts[order[start_step]]) if start_step < num_steps else 0
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        k1, k2 = jax.random.split(key)
-        noise = jax.random.normal(k1, x0.shape, x0.dtype)
-        tb = jnp.full((x0.shape[0],), t_start, dtype=jnp.int32)
-        z = self.model.q_sample(x0, tb, noise)
-        return self.sample(z, cond=cond, num_steps=num_steps, start_step=start_step, key=k2, **kwargs)
+    def sample_from(self, x0: jax.Array, **kwargs: Any) -> jax.Array:
+        return _generic_sample_from(self, x0, **kwargs)
 
 
 @ISampler.register("basic")
@@ -298,6 +290,8 @@ class PLMSSampler(ISampler):
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev, 0.0)) * eps
             return jnp.sqrt(a_prev) * x0 + dir_xt
 
+        kwargs, gates = self._pop_control_gate_schedule(dict(kwargs), n)
+
         def run_segment(carry_in: Any, seg: np.ndarray, use_cfg: bool) -> Any:
             if seg.size == 0:
                 return carry_in
@@ -307,12 +301,16 @@ class PLMSSampler(ISampler):
             ap_r = jnp.asarray(alphas_prev[idx], dtype=z.dtype)
             seg_uncond = uncond if use_cfg else None
             seg_scale = guidance_scale if use_cfg else 1.0
+            seg_kwargs = dict(kwargs)
+            if gates is not None:
+                # gates are constant within a segment (boundaries split below)
+                seg_kwargs["control_gates"] = [float(g) for g in gates[int(seg[0])]]
 
             def step(carry: Any, inputs: Any) -> Tuple[Any, None]:
                 x, old_eps, count = carry
                 t, a_t, a_prev = inputs
                 tb = jnp.full((b,), t)
-                eps = self._denoise(x, tb, cond, seg_uncond, seg_scale, **kwargs)
+                eps = self._denoise(x, tb, cond, seg_uncond, seg_scale, **seg_kwargs)
                 e1, e2, e3 = old_eps[0], old_eps[1], old_eps[2]
                 eps1 = eps
                 eps2 = (3 * eps - e1) / 2
@@ -328,18 +326,46 @@ class PLMSSampler(ISampler):
             carry_out, _ = jax.lax.scan(step, carry_in, (ts_r, a_r, ap_r))
             return carry_out
 
-        zeros = jnp.zeros_like(z)
-        carry = (z, (zeros, zeros, zeros), 0)
         gi = self.guidance_interval
-        if gi is None or uncond is None:
-            carry = run_segment(carry, np.arange(n), True)
-        else:
-            # the multistep eps history threads across segments in the carry
+        use_gi = gi is not None and uncond is not None
+        s0, s1 = (0, n)
+        if use_gi:
             s0 = max(0, min(n, int(round(gi[0] * n))))
             s1 = max(s0, min(n, int(round(gi[1] * n))))
-            carry = run_segment(carry, np.arange(0, s0), False)
-            carry = run_segment(carry, np.arange(s0, s1), True)
-            carry = run_segment(carry, np.arange(s1, n), False)
+
+        # first step: the reference's improved-Euler prime (`plms.py`
+        # p_sample_plms — a second eval at t_next, averaged) instead of a
+        # plain first-order step
+        first_cfg = (not use_gi) or (s0 <= 0 < s1)
+        f_uncond = uncond if first_cfg else None
+        f_scale = guidance_scale if first_cfg else 1.0
+        f_kwargs = dict(kwargs)
+        if gates is not None:
+            f_kwargs["control_gates"] = [float(g) for g in gates[0]]
+        i0 = order[0]
+        t0_, a0, ap0 = ts[i0], alphas[i0], alphas_prev[i0]
+        tb0 = jnp.full((b,), int(t0_))
+        eps0 = self._denoise(z, tb0, cond, f_uncond, f_scale, **f_kwargs)
+        a0j = jnp.asarray(a0, dtype=z.dtype)
+        ap0j = jnp.asarray(ap0, dtype=z.dtype)
+        x_trial = x_prev_fn(z, eps0, a0j, ap0j)
+        t_next = int(ts[order[1]]) if n > 1 else 0
+        tb_next = jnp.full((b,), t_next)
+        eps_next = self._denoise(x_trial, tb_next, cond, f_uncond, f_scale, **f_kwargs)
+        eps_prime0 = 0.5 * (eps0 + eps_next)
+        x1 = x_prev_fn(z, eps_prime0, a0j, ap0j)
+
+        zeros = jnp.zeros_like(z)
+        carry = (x1, (eps0, zeros, zeros), 1)
+        bounds = {1, n, max(s0, 1), max(s1, 1)}
+        if gates is not None:
+            for i in range(2, n):
+                if not np.array_equal(gates[i], gates[i - 1]):
+                    bounds.add(i)
+        edges = sorted(bounds)
+        for a, b_edge in zip(edges[:-1], edges[1:]):
+            use_cfg = (not use_gi) or (s0 <= a < s1)
+            carry = run_segment(carry, np.arange(a, b_edge), use_cfg)
         return carry[0]
 
     def sample_from(self, x0: jax.Array, **kwargs: Any) -> jax.Array:
@@ -356,10 +382,7 @@ def _generic_sample_from(
     key: Optional[jax.Array] = None,
     **kwargs: Any,
 ) -> jax.Array:
-    acp = sampler._np_acp()
-    ts = _uniform_timesteps(len(acp), num_steps)
-    order = np.arange(num_steps)[::-1]
-    t_start = int(ts[order[start_step]]) if start_step < num_steps else 0
+    t_start = sampler._start_timestep(num_steps, start_step)
     if key is None:
         key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
@@ -434,20 +457,39 @@ class IKSampler(ISampler):
             z = z * sigmas[0]
         if key is None:
             key = jax.random.PRNGKey(0)
-        gi = self.guidance_interval
-        if gi is None or uncond is None or not self.supports_guidance_interval:
-            return self._integrate(z, sigmas, t_of, cond, uncond, guidance_scale, key, **kwargs)
-        # guidance-interval CFG: split the integrator into up to three
-        # segments; uncond passes are skipped outside the band. Integrator
-        # state (multistep history) threads through `_integrate_carry`.
         n = len(t_of)
-        s0 = max(0, min(n, int(round(gi[0] * n))))
-        s1 = max(s0, min(n, int(round(gi[1] * n))))
+        # ControlNet start/end gating: gates are piecewise-constant over step
+        # ranges, so they segment the integrator exactly like the guidance
+        # interval does (static `control_gates` per segment)
+        kwargs, gates = self._pop_control_gate_schedule(dict(kwargs), n)
+        gi = self.guidance_interval
+        use_gi = gi is not None and uncond is not None and self.supports_guidance_interval
+        if not use_gi and gates is None:
+            return self._integrate(z, sigmas, t_of, cond, uncond, guidance_scale, key, **kwargs)
+        if gates is not None and not self.supports_guidance_interval:
+            raise NotImplementedError(
+                "control hint start/end gating needs segment-safe integration; "
+                "use ddim/basic, k_euler(_a), k_dpmpp_2m or plms with this option"
+            )
+        s0, s1 = (0, n)
+        if use_gi:
+            s0 = max(0, min(n, int(round(gi[0] * n))))
+            s1 = max(s0, min(n, int(round(gi[1] * n))))
+        bounds = {0, n, s0, s1}
+        if gates is not None:
+            for i in range(1, n):
+                if not np.array_equal(gates[i], gates[i - 1]):
+                    bounds.add(i)
+        edges = sorted(bounds)
         x = z
         carry: Any = None
-        for (a, b), use_cfg in (((0, s0), False), ((s0, s1), True), ((s1, n), False)):
+        for a, b in zip(edges[:-1], edges[1:]):
             if a == b:
                 continue
+            use_cfg = (not use_gi) or (s0 <= a < s1)
+            seg_kwargs = dict(kwargs)
+            if gates is not None:
+                seg_kwargs["control_gates"] = [float(g) for g in gates[a]]
             x, carry = self._integrate_carry(
                 x,
                 carry,
@@ -457,7 +499,7 @@ class IKSampler(ISampler):
                 uncond if use_cfg else None,
                 guidance_scale if use_cfg else 1.0,
                 key if a == 0 else jax.random.fold_in(key, a),
-                **kwargs,
+                **seg_kwargs,
             )
         return x
 
@@ -674,15 +716,20 @@ class LCMSampler(ISampler):
         acp = self._np_acp()
         n_train = len(acp)
         ts = np.linspace(n_train - 1, 0, num_steps).round().astype(np.int64)
+        # img2img entry (`sample_from`): skip the first (highest-noise) steps
+        ts = ts[start_step:]
+        n_exec = len(ts)
         ts_next = np.concatenate([ts[1:], ts[-1:]])  # next (smaller) timestep
         a_r = jnp.asarray(acp[ts], dtype=z.dtype)
         a_next_r = jnp.asarray(acp[ts_next], dtype=z.dtype)
-        is_last = jnp.arange(num_steps) == num_steps - 1
+        is_last = jnp.arange(n_exec) == n_exec - 1
         ts_r = jnp.asarray(ts)
         if key is None:
             key = jax.random.PRNGKey(0)
-        keys = jax.random.split(key, num_steps)
+        keys = jax.random.split(key, n_exec)
         b = z.shape[0]
+        kwargs, gates = self._pop_control_gate_schedule(dict(kwargs), n_exec)
+        gates_r = None if gates is None else jnp.asarray(gates)
         # consistency-model boundary scaling (reference `lcm.py:66-71`):
         # c_skip/c_out with sigma_data=0.5, t scaled by 1/0.1
         sigma_data = 0.5
@@ -692,9 +739,14 @@ class LCMSampler(ISampler):
 
         def step(carry: Any, inputs: Any) -> Tuple[Any, None]:
             x, _ = carry
-            t, a_t, a_next, c_skip, c_out, last, k = inputs
+            if gates_r is None:
+                t, a_t, a_next, c_skip, c_out, last, k = inputs
+                kw = kwargs
+            else:
+                t, a_t, a_next, c_skip, c_out, last, k, g = inputs
+                kw = dict(kwargs, control_gates=g)
             tb = jnp.full((b,), t)
-            eps = self._denoise(x, tb, cond, uncond, guidance_scale, **kwargs)
+            eps = self._denoise(x, tb, cond, uncond, guidance_scale, **kw)
             x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
             denoised = c_out.astype(x.dtype) * x0 + c_skip.astype(x.dtype) * x
             # re-noise at the NEXT timestep's noise level (reference
@@ -704,10 +756,17 @@ class LCMSampler(ISampler):
             x_new = jnp.where(last, denoised, renoised)
             return (x_new, denoised), None
 
-        (final_x, _), _ = jax.lax.scan(
-            step, (z, z), (ts_r, a_r, a_next_r, c_skip_r, c_out_r, is_last, keys)
-        )
+        xs = (ts_r, a_r, a_next_r, c_skip_r, c_out_r, is_last, keys)
+        if gates_r is not None:
+            xs = xs + (gates_r,)
+        (final_x, _), _ = jax.lax.scan(step, (z, z), xs)
         return final_x
+
+    def _start_timestep(self, num_steps: int, start_step: int) -> int:
+        # LCM's own grid is a plain linspace, not the uniform-stride grid
+        acp = self._np_acp()
+        ts = np.linspace(len(acp) - 1, 0, num_steps or 4).round().astype(np.int64)
+        return int(ts[start_step]) if start_step < len(ts) else 0
 
     def sample_from(self, x0: jax.Array, **kwargs: Any) -> jax.Array:
         return _generic_sample_from(self, x0, **kwargs)
@@ -781,8 +840,10 @@ class DPMSolverSampler(ISampler):
         return np.interp(log_alpha, self._log_alpha_array[::-1], self._t_array[::-1])
 
     def _get_time_steps(self, num_steps: int) -> np.ndarray:
-        """`total_step` values from tT down to t0 (reference `solver.py:345`)."""
-        t0, tT, n = self.t0, self.tT, num_steps - 1
+        """num_steps+1 time points from tT down to t0 → num_steps updates
+        (reference `get_time_steps(t_T, t_0, N)` returns N+1 points,
+        `solver.py:345` — matching ddim/k-samplers' evals-per-num_steps)."""
+        t0, tT, n = self.t0, self.tT, num_steps
         if self.skip_type == "logSNR":
             lams = np.linspace(self._lambda(np.float64(tT)), self._lambda(np.float64(t0)), n + 1)
             return self._inverse_lambda(lams)
@@ -891,26 +952,31 @@ class DPMSolverSampler(ISampler):
         **kwargs: Any,
     ) -> jax.Array:
         num_steps = num_steps or self.default_steps
-        ts = self._get_time_steps(num_steps)  # tT → t0, len == num_steps
+        ts = self._get_time_steps(num_steps)  # tT → t0, len == num_steps + 1
         if start_step:
             ts = ts[start_step:]
         total = len(ts)
         order = min(self.order, max(total - 1, 1))
         x = z
+        # model evals happen at indices 0..total-2
+        kwargs, gates = self._pop_control_gate_schedule(dict(kwargs), max(total - 1, 1))
 
-        def mf(x_: jax.Array, t_: float) -> jax.Array:
-            return self._model_fn(x_, t_, cond, uncond, guidance_scale, **kwargs)
+        def mf(x_: jax.Array, t_: float, idx: int = 0) -> jax.Array:
+            kw = kwargs
+            if gates is not None:
+                kw = dict(kwargs, control_gates=[float(g) for g in gates[idx]])
+            return self._model_fn(x_, t_, cond, uncond, guidance_scale, **kw)
 
         # warmup: step 0 records; steps 1..order-1 run with growing order
         # (reference `solver.py:126-139`)
         t_prevs: List[float] = [float(ts[0])]
-        models: List[jax.Array] = [mf(x, float(ts[0]))]
+        models: List[jax.Array] = [mf(x, float(ts[0]), 0)]
         for i in range(1, order):
             t = float(ts[i])
             coefs = self._update_coefs(t_prevs[-len(models):], t)
             x = self._apply_update(x, models, coefs)
             t_prevs.append(t)
-            models.append(mf(x, t))
+            models.append(mf(x, t, i))
             if len(models) > order:
                 t_prevs.pop(0)
                 models.pop(0)
@@ -937,15 +1003,21 @@ class DPMSolverSampler(ISampler):
             )
             alpha_arr = np.asarray([float(self._alpha(np.float64(ts[i]))) for i in steady], dtype=np.float32)
             sigma_arr = np.asarray([float(self._sigma(np.float64(ts[i]))) for i in steady], dtype=np.float32)
+            gate_rows = None if gates is None else jnp.asarray(gates[np.asarray(steady)])
             b = x.shape[0]
 
             def scan_step(carry: Any, inputs: Any) -> Tuple[Any, None]:
                 x_, ms = carry
-                crow, tm, a_t, s_t = inputs
+                if gate_rows is None:
+                    crow, tm, a_t, s_t = inputs
+                    kw = kwargs
+                else:
+                    crow, tm, a_t, s_t, g = inputs
+                    kw = dict(kwargs, control_gates=g)
                 c = dict(zip(keys_order, list(crow)))
                 x_new = self._apply_update(x_, list(ms), c)
                 tb = jnp.full((b,), tm, dtype=jnp.float32)
-                eps = self._denoise(x_new, tb, cond, uncond, guidance_scale, **kwargs)
+                eps = self._denoise(x_new, tb, cond, uncond, guidance_scale, **kw)
                 if self.predict_x0:
                     m_new = (x_new - s_t * eps) / a_t
                     if self.thresholding:
@@ -959,11 +1031,10 @@ class DPMSolverSampler(ISampler):
                 ms = tuple(list(ms)[1:] + [m_new])
                 return (x_new, ms), None
 
-            (x, models_t), _ = jax.lax.scan(
-                scan_step,
-                (x, tuple(models)),
-                (coef_arr, jnp.asarray(ts_model), jnp.asarray(alpha_arr), jnp.asarray(sigma_arr)),
-            )
+            xs = (coef_arr, jnp.asarray(ts_model), jnp.asarray(alpha_arr), jnp.asarray(sigma_arr))
+            if gate_rows is not None:
+                xs = xs + (gate_rows,)
+            (x, models_t), _ = jax.lax.scan(scan_step, (x, tuple(models)), xs)
             models = list(models_t)
             win_t = win
         else:
@@ -974,6 +1045,13 @@ class DPMSolverSampler(ISampler):
             coefs = self._update_coefs(win_t[-order:], t_final)
             x = self._apply_update(x, models, coefs)
         return x
+
+    def _start_timestep(self, num_steps: int, start_step: int) -> int:
+        # the solver integrates its own continuous grid — q-sample to the
+        # model timestep of the start point, not the uniform-stride grid
+        ts = self._get_time_steps(num_steps or self.default_steps)
+        t = float(ts[min(start_step, len(ts) - 1)])
+        return int(round(self.total_N * max(t - 1.0 / self.total_N, 0.0)))
 
     def sample_from(self, x0: jax.Array, **kwargs: Any) -> jax.Array:
         return _generic_sample_from(self, x0, **kwargs)

@@ -357,6 +357,13 @@ class Trainer(ITrainer):
         self._graphdef_eval, _ = nnx.split(model)
         model.set_mode(True)
 
+        # finetune: pretrained ckpt + freeze/freeze_except regex (reference
+        # `trainer.py:457-493`) — runs BEFORE placement so loaded weights get
+        # the TP/fsdp sharding too --------------------------------------------
+        self._frozen_paths: set = set()
+        if self.config.finetune_config:
+            full_state = self._init_finetune(model, full_state)
+
         # parameter placement: TP rules + fsdp sharding, else replicate -------
         tp_size = self.mesh.shape.get("model", 1)
         use_fsdp = self.config.shard_optimizer_states or self.config.use_zero
@@ -366,12 +373,6 @@ class Trainer(ITrainer):
             full_state = place_params(full_state, self.mesh, use_fsdp=use_fsdp)
         else:
             full_state = jax.device_put(full_state, replicated_sharding(self.mesh))
-
-        # finetune: pretrained ckpt + freeze/freeze_except regex (reference
-        # `trainer.py:457-493`) -----------------------------------------------
-        self._frozen_paths: set = set()
-        if self.config.finetune_config:
-            full_state = self._init_finetune(model, full_state)
 
         # optimizers ----------------------------------------------------------
         self._build_optimizers(model)
@@ -427,6 +428,7 @@ class Trainer(ITrainer):
         self._opt_states = opt_states
         start_t = time.time()
         has_ckpt = False
+        self._has_ckpt = False  # mirrors has_ckpt; survives KeyboardInterrupt
 
         try:
             terminate, has_ckpt = self._loop(state, batcher, model, terminate, has_ckpt)
@@ -436,6 +438,7 @@ class Trainer(ITrainer):
             if jax.process_count() > 1:
                 raise
             print("> keyboard interrupt — terminating gracefully")
+            has_ckpt = self._has_ckpt  # keep the best-ckpt rollback contract
 
         # rollback to best checkpoint (reference `trainer.py:363-366`).
         # All processes restore (reads are safe on every rank) so model state
@@ -495,22 +498,28 @@ class Trainer(ITrainer):
                     if len(window) > 64:
                         del window[:-64]
 
-                if state.should_log_losses:
-                    host_losses = self._drain_loss_window()
-                    for callback in self.callbacks:
-                        callback.after_step(StepOutputs(None, host_losses), state)
-
+                # monitor BEFORE the logging drain: train-loss monitoring
+                # peeks the window, and log/monitor cadences coincide by
+                # default — draining first would score an empty window
                 if state.should_monitor:
                     monitor_results = self._monitor_step(state)
                     if monitor_results.save_checkpoint and is_local_rank_0():
                         assert monitor_results.metric_outputs is not None
                         self.save_checkpoint(monitor_results.metric_outputs.final_score)
                         has_ckpt = True
+                        self._has_ckpt = True
                     for callback in self.callbacks:
                         callback.after_monitor(monitor_results, state)
                     if monitor_results.terminate:
                         terminate = True
-                        break
+
+                if state.should_log_losses:
+                    host_losses = self._drain_loss_window()
+                    for callback in self.callbacks:
+                        callback.after_step(StepOutputs(None, host_losses), state)
+
+                if terminate:
+                    break
         return terminate, has_ckpt
 
     def _init_finetune(self, model: IDLModel, full_state: Any) -> Any:
@@ -590,8 +599,13 @@ class Trainer(ITrainer):
             # `use_incrementer_for_train_loss`, avoids a full eval pass per
             # monitor step)
             host_losses = self._peek_loss_window()
-            score = weighted_loss_score(host_losses, self.config.loss_metrics_weights)
-            metric_outputs = MetricsOutputs(score, host_losses, {})
+            if not host_losses:
+                # drained window (monitor after an out-of-band log) — a 0.0
+                # score would look like a huge improvement; do a real eval
+                metric_outputs = self._get_metrics(portion=self.config.valid_portion)
+            else:
+                score = weighted_loss_score(host_losses, self.config.loss_metrics_weights)
+                metric_outputs = MetricsOutputs(score, host_losses, {})
             self.intermediate = metric_outputs
         else:
             metric_outputs = self._get_metrics(portion=self.config.valid_portion)
@@ -651,7 +665,9 @@ class Trainer(ITrainer):
                 self._ckpt_executor = ThreadPoolExecutor(max_workers=1)
             tree = nnx.state(self.model)  # immutable leaf snapshot
 
-            def _write() -> None:
+            # bind `path`/`tree` NOW: the retention loop below rebinds locals
+            # before the executor thread runs
+            def _write(path: str = path, tree: Any = tree) -> None:
                 self.model.save(path, npd=tree_to_npd(tree))
 
             self._ckpt_futures.append(self._ckpt_executor.submit(_write))
@@ -662,9 +678,9 @@ class Trainer(ITrainer):
         # retention: keep best `max_snapshot_file`
         sorted_files = list(sort_dict_by_value(scores, reverse=True).keys())
         for stale in sorted_files[self.config.max_snapshot_file:]:
-            path = os.path.join(folder, stale)
-            if os.path.isfile(path):
-                os.remove(path)
+            stale_path = os.path.join(folder, stale)
+            if os.path.isfile(stale_path):
+                os.remove(stale_path)
             scores.pop(stale, None)
         with open(os.path.join(folder, SCORES_FILE), "w") as f:
             json.dump(scores, f, indent=2)

@@ -400,6 +400,75 @@ def test_mesh_sharded_serving(tiny_api) -> None:
     np.testing.assert_array_equal(single, base)
 
 
+def test_control_gating_non_ddim_samplers(tiny_api) -> None:
+    """Regression (code review): control hint start/end gating used to crash
+    every non-ddim sampler with a TypeError on `control_gates`. Now k_euler /
+    plms / lcm thread gates; klms raises a clear error."""
+    import jax
+
+    def make_cn(seed):
+        cn = ControlNet(
+            hint_channels=3,
+            in_channels=4,
+            start_channels=32,
+            num_res_blocks=1,
+            channel_multipliers=(1, 2),
+            attention_downsample_rates=(1,),
+            num_heads=4,
+            context_dim=32,
+            rngs=nnx.Rngs(seed),
+        )
+        for i, conv in enumerate(list(cn.zero_convs) + [cn.mid_zero]):
+            k = conv.kernel[...]
+            conv.kernel[...] = 0.02 * jax.random.normal(jax.random.PRNGKey(seed * 100 + i), k.shape, k.dtype)
+        return cn
+
+    api = ControlledDiffusionAPI(tiny_api.m)
+    api.prepare_control("canny", make_cn(1))
+    conv_out = tiny_api.m.unet.conv_out
+    backup = conv_out.kernel[...]
+    try:
+        conv_out.kernel[...] = 0.05 * jax.random.normal(jax.random.PRNGKey(9), backup.shape, backup.dtype)
+        hint = (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
+        for sampler in ("k_euler", "plms", "lcm"):
+            api.switch_sampler(sampler)
+            full = api.sample_with_control(
+                1, {"canny": hint}, cond="c", size=(64, 64), num_steps=4, seed=0
+            )
+            late = api.sample_with_control(
+                1, {"canny": hint}, cond="c", size=(64, 64), num_steps=4, seed=0,
+                hint_starts={"canny": 0.5},
+            )
+            assert full.shape == late.shape == (1, 64, 64, 3), sampler
+            assert not np.array_equal(full, late), sampler
+        api.switch_sampler("klms")
+        with pytest.raises(NotImplementedError, match="gating"):
+            api.sample_with_control(
+                1, {"canny": hint}, cond="c", size=(64, 64), num_steps=4, seed=0,
+                hint_starts={"canny": 0.5},
+            )
+    finally:
+        conv_out.kernel[...] = backup
+        api.switch_sampler("ddim")
+
+
+def test_lcm_img2img_respects_fidelity(tiny_api) -> None:
+    """Regression (code review): LCM ignored `start_step`, so img2img with
+    the lcm sampler regenerated from pure noise regardless of fidelity."""
+    base = tiny_api.txt2img("x", size=(64, 64), num_steps=2, seed=0)
+    tiny_api.switch_sampler("lcm")
+    try:
+        hi = tiny_api.img2img(base, cond="y", fidelity=0.9, num_steps=4, seed=1)
+        lo = tiny_api.img2img(base, cond="y", fidelity=0.1, num_steps=4, seed=1)
+        assert hi.shape == lo.shape == base.shape
+        # high fidelity must stay closer to the input than low fidelity
+        d_hi = float(np.mean(np.abs(hi.astype(np.int16) - base.astype(np.int16))))
+        d_lo = float(np.mean(np.abs(lo.astype(np.int16) - base.astype(np.int16))))
+        assert d_hi < d_lo
+    finally:
+        tiny_api.switch_sampler("ddim")
+
+
 def test_control_toggles_and_annotator_cache(tiny_api) -> None:
     """reference :1849-1895 — prepare_annotator caching, enable/disable
     control, and load_context LoRA unwinding."""

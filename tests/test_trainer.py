@@ -166,3 +166,35 @@ def test_sharded_checkpoint_roundtrip(tmp_path) -> None:
     assert set(a) == set(b)
     for k in a:
         np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_async_checkpoint_retention_paths(tmp_path) -> None:
+    """Regression (code review): the async checkpoint writer closed over
+    `path`, which the top-k retention loop rebinding clobbered — checkpoints
+    were written under stale filenames and scores.json pointed at missing
+    files. Every retained file must exist and restore must succeed."""
+    x, y = _toy_cls_data()
+    config = DLConfig(
+        module_name="fcnn",
+        module_config={"input_dim": 8, "output_dim": 2, "hidden_units": [16]},
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    data = ArrayData.init().fit(x, y, x_valid=x[:64], y_valid=y[:64])
+    trainer = Trainer(
+        TrainerConfig(
+            workspace=str(tmp_path),
+            num_epoch=12,
+            lr=3.0e-3,
+            max_snapshot_file=1,  # force retention on every later save
+            async_checkpointing=True,
+        ),
+        metrics=IMetric.fuse("acc"),
+        monitors=[BasicMonitor()],
+    )
+    trainer.fit(data, model)
+    scores = get_scores(trainer.checkpoint_folder)
+    assert scores and len(scores) <= 1
+    for file in scores:
+        assert os.path.isfile(os.path.join(trainer.checkpoint_folder, file)), file
+    assert trainer.restore_checkpoint()
