@@ -66,6 +66,10 @@ def fit_ml(
     """Tabular end-to-end training (reference `api/api.py:496`)."""
     if config is None:
         config = MLConfig(module_name="fcnn")
+    else:
+        # never mutate the caller's config (reference copies it, :514) —
+        # to_debug()/model rewrites below must not leak into later fits
+        config = config.copy()
     if config.model == "common":
         # reference auto-resolves ML models to the ml.* family
         # (`schema.py:2018-2023`): prefer a specialized `ml.<module>` model
@@ -275,12 +279,13 @@ def repeat_ml(
     **kwargs: Any,
 ) -> "Any":
     """Train N copies via the Experiment scheduler (reference `api/api.py:529`
-    `repeat_ml` — dumps the data once, each task reloads it)."""
+    `repeat_ml` — dumps the data once, each task reloads it). Extra kwargs
+    feed the data construction (x_valid/y_valid/processor_config/...)."""
     from ..dist.ml.experiment import Experiment
 
     if config is None:
         config = MLConfig(module_name="fcnn")
-    data = _make_ml_data(x_train, y_train)
+    data = _make_ml_data(x_train, y_train, **kwargs)
     experiment = Experiment(num_jobs=num_jobs)
     data_folder = Experiment.dump_data(data, workspace)
     for _ in range(num_repeat):
@@ -318,5 +323,6 @@ def run_multiple(
             model=config.module_name,
             config=config.to_info(),
             data_folder=data_folder,
+            index=i,
         )
     return experiment.run_tasks(workspace)

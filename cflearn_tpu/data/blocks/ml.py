@@ -55,11 +55,18 @@ class FileParserBlock(IDataBlock):
 
     @property
     def fields(self) -> List[str]:
-        return ["header", "label_header", "delimiter", "has_header"]
+        return ["header", "label_header", "delimiter", "has_header", "label_index", "num_columns"]
 
     @property
     def init_fields(self) -> Dict[str, Any]:
-        return {"header": None, "label_header": None, "delimiter": ",", "has_header": True}
+        return {
+            "header": None,
+            "label_header": None,
+            "delimiter": ",",
+            "has_header": True,
+            "label_index": None,
+            "num_columns": None,
+        }
 
     def _parse(self, x: Any) -> Any:
         import csv
@@ -71,27 +78,45 @@ class FileParserBlock(IDataBlock):
             rows = [list(r) for r in x]
         else:
             return x
-        if self.has_header and rows and any(_try_float_column(np.array(rows[0], dtype=object)) is None for _ in [0]):
-            first = rows[0]
-            if _try_float_column(np.array(first, dtype=object)) is None:
-                if self.header is None:
-                    self.header = first
-                rows = rows[1:]
+        if (
+            self.has_header
+            and rows
+            and _try_float_column(np.array(rows[0], dtype=object)) is None
+        ):
+            if self.header is None:
+                self.header = rows[0]
+            rows = rows[1:]
         return np.array(rows, dtype=object)
 
-    def _split_xy(self, parsed: np.ndarray, y: Any) -> Any:
+    def _split_xy(self, parsed: np.ndarray, y: Any, for_inference: bool) -> Any:
         if y is not None or parsed is None or not isinstance(parsed, np.ndarray):
             return parsed, y
-        if self.label_header is not None and self.header is not None and self.label_header in self.header:
+        if parsed.ndim != 2:
+            return parsed, y
+        # the label column position is recorded at fit time — later splits
+        # (valid CSV, inference CSV) must NOT re-derive it from the header,
+        # which had the label removed after the first split
+        if self.label_index is not None:
+            if self.num_columns is not None and parsed.shape[1] == self.num_columns - 1:
+                # feature-only file (reference `contain_labels=False` case)
+                return parsed, y
+            idx: Optional[int] = self.label_index
+        elif self.label_header is not None and self.header is not None and self.label_header in self.header:
             idx = self.header.index(self.label_header)
         elif self.header is not None or parsed.dtype == object:
-            idx = parsed.shape[1] - 1 if parsed.ndim == 2 else None
+            idx = parsed.shape[1] - 1
         else:
             return parsed, y
-        if idx is None or parsed.ndim != 2:
+        if idx is None:
+            return parsed, y
+        if for_inference and self.label_index is None:
+            # never fitted with labels — don't strip a feature column
             return parsed, y
         y_arr = parsed[:, idx : idx + 1]
         x_arr = np.delete(parsed, idx, axis=1)
+        if self.label_index is None:
+            self.label_index = int(idx)
+            self.num_columns = int(parsed.shape[1])
         if self.header is not None and len(self.header) == parsed.shape[1]:
             self.header = [h for i, h in enumerate(self.header) if i != idx]
         return x_arr, y_arr
@@ -102,7 +127,7 @@ class FileParserBlock(IDataBlock):
             if isinstance(x, str) or (isinstance(x, list) and x and isinstance(x[0], (list, tuple))):
                 parsed = self._parse(x)
                 y = getattr(bundle, attr_y)
-                new_x, new_y = self._split_xy(parsed, y)
+                new_x, new_y = self._split_xy(parsed, y, for_inference)
                 setattr(bundle, attr_x, new_x)
                 if new_y is not None:
                     setattr(bundle, attr_y, new_y)
@@ -297,11 +322,18 @@ class NanHandlerBlock(IDataBlock):
 
     def transform(self, bundle: DataBundle, for_inference: bool) -> DataBundle:
         if self.method == "drop" and not for_inference:
-            x = np.asarray(bundle.x_train, dtype=np.float64)
-            mask = np.isfinite(x).all(axis=1)
-            bundle.x_train = x[mask]
-            if bundle.y_train is not None:
-                bundle.y_train = np.asarray(bundle.y_train)[mask]
+            # drop NaN rows from BOTH splits — leaving x_valid untouched
+            # would leak NaNs into validation metrics
+            for attr_x, attr_y in (("x_train", "y_train"), ("x_valid", "y_valid")):
+                xv = getattr(bundle, attr_x)
+                if xv is None:
+                    continue
+                x = np.asarray(xv, dtype=np.float64)
+                mask = np.isfinite(x).all(axis=1)
+                setattr(bundle, attr_x, x[mask])
+                yv = getattr(bundle, attr_y)
+                if yv is not None:
+                    setattr(bundle, attr_y, np.asarray(yv)[mask])
             return bundle
         for attr in ("x_train", "x_valid"):
             x = getattr(bundle, attr)
@@ -471,8 +503,12 @@ class GatherBlock(IDataBlock):
             y = np.asarray(bundle.y_train)
             self.is_classification = bool(np.issubdtype(y.dtype, np.integer))
             if self.is_classification:
-                uniq = np.unique(y)
-                self.num_classes = int(uniq.max()) + 1
+                # count classes over BOTH splits: the stratified splitter can
+                # move a singleton top class entirely into valid
+                ys = [y]
+                if bundle.y_valid is not None:
+                    ys.append(np.asarray(bundle.y_valid))
+                self.num_classes = int(max(int(np.max(a)) for a in ys)) + 1
                 self.num_labels = self.num_classes
             else:
                 self.num_labels = int(y.shape[1]) if y.ndim == 2 else 1

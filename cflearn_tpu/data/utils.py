@@ -209,13 +209,13 @@ class DeviceBatcher:
             div *= mesh.shape[a]
         return div
 
-    def _convert(self, np_batch: np_dict_type) -> Dict[str, Any]:
+    def _convert(self, np_batch: np_dict_type, *, allow_pad: bool = True) -> Dict[str, Any]:
         batch: Dict[str, Any] = {}
         divisor = self._data_divisor()
         for k, v in np_batch.items():
             if isinstance(v, np.ndarray) and v.dtype != object:
                 v = to_jax_dtype(v)
-                if self.pad_to_batch and v.shape[0] < self.loader.batch_size:
+                if allow_pad and self.pad_to_batch and v.shape[0] < self.loader.batch_size:
                     pad = self.loader.batch_size - v.shape[0]
                     v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
                 if divisor > 1 and v.ndim >= 1 and v.shape[0] % divisor != 0:
@@ -250,7 +250,9 @@ class DeviceBatcher:
             yield out
 
     def get_one_batch(self) -> Dict[str, Any]:
-        return self._convert(self.loader.get_one_batch())
+        # whole-dataset/one-off batches are NOT step batches: padding them
+        # with duplicated rows would hand consumers phantom samples
+        return self._convert(self.loader.get_one_batch(), allow_pad=False)
 
     def get_full_batch(self) -> Dict[str, Any]:
-        return self._convert(self.loader.get_full_batch())
+        return self._convert(self.loader.get_full_batch(), allow_pad=False)

@@ -104,12 +104,17 @@ class Experiment:
         config: Optional[Dict[str, Any]] = None,
         data_folder: Optional[str] = None,
         run_command: Optional[str] = None,
+        index: Optional[int] = None,
     ) -> Tuple[str, int]:
-        indices = [idx for (m, idx) in self.tasks if m == model]
-        new_idx = max(indices) + 1 if indices else 0
+        """`index` pins the task's workspace slot — repair runs
+        (`run_multiple(is_fix=True)`) must retrain INTO the buggy folder, not
+        claim a fresh index that clobbers a healthy one."""
+        if index is None:
+            indices = [idx for (m, idx) in self.tasks if m == model]
+            index = max(indices) + 1 if indices else 0
         task = Task(config=config or {}, run_command=run_command, data_folder=data_folder)
-        self.tasks[(model, new_idx)] = task
-        return model, new_idx
+        self.tasks[(model, index)] = task
+        return model, index
 
     # data --------------------------------------------------------------------
 

@@ -276,8 +276,9 @@ class DDPM(nnx.Module):
             key = self.rngs.default()
         # sample in the *output* latent space — with concat/hybrid conditioning
         # the UNet's in_channels exceeds the latent dim (e.g. SD inpainting 9ch)
-        z = jax.random.normal(key, (num_samples, size[0], size[1], self.out_channels))
-        return sampler.sample(z, cond=cond, num_steps=num_steps, **kwargs)
+        k1, k2 = jax.random.split(key)
+        z = jax.random.normal(k1, (num_samples, size[0], size[1], self.out_channels))
+        return sampler.sample(z, cond=cond, num_steps=num_steps, key=k2, **kwargs)
 
     def reconstruct(
         self,
@@ -297,7 +298,9 @@ class DDPM(nnx.Module):
             sampler = ISampler.make("ddim", {"model": self})
         if key is None:
             key = self.rngs.default()
-        start_step = int(round((1.0 - fidelity) * num_steps))
+        # fidelity 1 keeps the input (skip ~all steps), 0 regenerates —
+        # reference `_q_sample` semantics (start_step = fidelity * n)
+        start_step = max(0, min(num_steps - 1, int(round(fidelity * num_steps))))
         return sampler.sample_from(
             x0, cond=cond, num_steps=num_steps, start_step=start_step, key=key, **kwargs
         )

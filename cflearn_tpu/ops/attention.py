@@ -502,7 +502,7 @@ def xla_attention(
         v.transpose(0, 2, 1, 3),
         bias=bias,
         scale=sm_scale,
-        is_causal=causal and mask is None,
+        is_causal=causal,
         mask=mask,
     )
     return out.transpose(0, 2, 1, 3)

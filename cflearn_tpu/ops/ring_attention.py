@@ -122,7 +122,16 @@ def context_parallel_attention(
     if method == "ulysses" and q.shape[1] % cp != 0:
         raise ValueError(f"ulysses needs heads ({q.shape[1]}) divisible by context axis ({cp})")
     inner = ulysses_attention if method == "ulysses" else ring_attention
-    spec = P(None, None, "context", None)
+    # shard batch over any data axes present in the mesh: declaring batch
+    # replicated on a combined (data × context) mesh would all-gather the
+    # full global batch to every device and recompute attention data-axis
+    # times over
+    batch_axes = tuple(a for a in ("data", "fsdp") if mesh.shape.get(a, 1) > 1)
+    div = 1
+    for a in batch_axes:
+        div *= mesh.shape[a]
+    batch_spec = batch_axes if batch_axes and q.shape[0] % div == 0 else None
+    spec = P(batch_spec, None, "context", None)
 
     fn = shard_map(
         partial(inner, causal=causal, sm_scale=sm_scale),

@@ -48,6 +48,45 @@ TPipeline = TypeVar("TPipeline", bound="Pipeline")
 PIPELINE_INFO_FILE = "pipeline.json"
 
 
+def _postprocess_predictions(
+    results: Dict[str, np.ndarray],
+    *,
+    return_classes: bool,
+    binary_threshold: float,
+    return_probabilities: bool,
+    recover_labels: bool,
+    data: Optional[IData],
+) -> Dict[str, np.ndarray]:
+    """Shared class/probability/label postprocess (reference
+    `pipeline/api.py:165-195`). Binary thresholds apply to PROBABILITIES
+    (sigmoid of the logit), matching the reference (:185)."""
+    predictions = results.get(PREDICTIONS_KEY)
+    if predictions is None:
+        return results
+    if return_classes and return_probabilities:
+        raise ValueError("`return_classes` and `return_probabilities` are exclusive")
+    if return_classes:
+        if predictions.ndim >= 2 and predictions.shape[-1] > 1:
+            results[PREDICTIONS_KEY] = np.argmax(predictions, axis=-1)[..., None]
+        else:
+            probs = 1.0 / (1.0 + np.exp(-predictions))
+            results[PREDICTIONS_KEY] = (probs > binary_threshold).astype(np.int64)
+    elif return_probabilities:
+        logits = predictions
+        if logits.ndim >= 2 and logits.shape[-1] > 1:
+            e = np.exp(logits - logits.max(-1, keepdims=True))
+            results[PREDICTIONS_KEY] = e / e.sum(-1, keepdims=True)
+        else:
+            sig = 1.0 / (1.0 + np.exp(-logits))
+            results[PREDICTIONS_KEY] = np.concatenate([1.0 - sig, sig], axis=-1)
+    elif recover_labels and data is not None:
+        if np.issubdtype(results[PREDICTIONS_KEY].dtype, np.floating) and (
+            results[PREDICTIONS_KEY].ndim < 2 or results[PREDICTIONS_KEY].shape[-1] == 1
+        ):
+            results[PREDICTIONS_KEY] = data.recover_labels(results[PREDICTIONS_KEY])
+    return results
+
+
 class _InferencePipelineMixin:
     """predict + postprocess + label recovery (reference
     `pipeline/api.py:144-199`)."""
@@ -67,29 +106,14 @@ class _InferencePipelineMixin:
         loader = self._as_loader(loader_or_x, y, batch_size)
         outputs = self.inference.get_outputs(loader, **kwargs)
         results = dict(outputs.forward_results)
-        predictions = results.get(PREDICTIONS_KEY)
-        if predictions is not None:
-            if return_classes and return_probabilities:
-                raise ValueError("`return_classes` and `return_probabilities` are exclusive")
-            if return_classes:
-                if predictions.ndim >= 2 and predictions.shape[-1] > 1:
-                    results[PREDICTIONS_KEY] = np.argmax(predictions, axis=-1)[..., None]
-                else:
-                    results[PREDICTIONS_KEY] = (predictions > binary_threshold).astype(np.int64)
-            elif return_probabilities:
-                logits = predictions
-                if logits.ndim >= 2 and logits.shape[-1] > 1:
-                    e = np.exp(logits - logits.max(-1, keepdims=True))
-                    results[PREDICTIONS_KEY] = e / e.sum(-1, keepdims=True)
-                else:
-                    sig = 1.0 / (1.0 + np.exp(-logits))
-                    results[PREDICTIONS_KEY] = np.concatenate([1.0 - sig, sig], axis=-1)
-            elif recover_labels and self.data is not None and not return_classes:
-                if np.issubdtype(results[PREDICTIONS_KEY].dtype, np.floating) and (
-                    results[PREDICTIONS_KEY].ndim < 2 or results[PREDICTIONS_KEY].shape[-1] == 1
-                ):
-                    results[PREDICTIONS_KEY] = self.data.recover_labels(results[PREDICTIONS_KEY])
-        return results
+        return _postprocess_predictions(
+            results,
+            return_classes=return_classes,
+            binary_threshold=binary_threshold,
+            return_probabilities=return_probabilities,
+            recover_labels=recover_labels,
+            data=self.data,
+        )
 
     def _as_loader(self, loader_or_x: Any, y: Any, batch_size: int) -> IDataLoader:
         if isinstance(loader_or_x, IDataLoader):
@@ -387,12 +411,35 @@ class FusedInferencePipeline(_InferencePipelineMixin):
         self.pipelines = pipelines
         self.data = pipelines[0].data
 
-    def predict(self, loader_or_x: Any, y: Any = None, **kwargs: Any) -> Dict[str, np.ndarray]:
-        all_results = [p.predict(loader_or_x, y, **kwargs) for p in self.pipelines]
+    def predict(
+        self,
+        loader_or_x: Any,
+        y: Any = None,
+        *,
+        return_classes: bool = False,
+        binary_threshold: float = 0.5,
+        return_probabilities: bool = False,
+        recover_labels: bool = True,
+        **kwargs: Any,
+    ) -> Dict[str, np.ndarray]:
+        # fuse RAW predictions, then derive classes/probabilities from the
+        # fused output — averaging per-member class indices would fabricate
+        # classes no member predicted
+        all_results = [
+            p.predict(loader_or_x, y, recover_labels=False, **kwargs)
+            for p in self.pipelines
+        ]
         fused: Dict[str, np.ndarray] = {}
         for k in all_results[0]:
             fused[k] = np.mean([r[k] for r in all_results], axis=0)
-        return fused
+        return _postprocess_predictions(
+            fused,
+            return_classes=return_classes,
+            binary_threshold=binary_threshold,
+            return_probabilities=return_probabilities,
+            recover_labels=recover_labels,
+            data=self.data,
+        )
 
     @property
     def inference(self) -> "FusedInference":
@@ -425,9 +472,23 @@ class FusedInference:
         self.model = pipelines[0].model
 
     def get_outputs(self, loader: IDataLoader, **kwargs: Any) -> InferenceOutputs:
-        all_outputs = [p.inference.get_outputs(loader.copy(), **kwargs) for p in self.pipelines]
+        # sub-inferences must RETURN their outputs (metrics are computed on
+        # the fused predictions, not per-member — scoring members
+        # individually and returning the first would defeat the ensemble)
+        metrics = kwargs.pop("metrics", None)
+        sub_kwargs = dict(kwargs, return_outputs=True)
+        if metrics is not None:
+            sub_kwargs["return_labels"] = True
+        all_outputs = [
+            p.inference.get_outputs(loader.copy(), **sub_kwargs) for p in self.pipelines
+        ]
         fused: Dict[str, np.ndarray] = {}
         for k in all_outputs[0].forward_results:
             fused[k] = np.mean([o.forward_results[k] for o in all_outputs], axis=0)
         first = all_outputs[0]
-        return InferenceOutputs(fused, first.labels, first.metric_outputs, first.loss_items)
+        metric_outputs = first.metric_outputs
+        if metrics is not None:
+            from ..constants import LABEL_KEY
+
+            metric_outputs = metrics.evaluate({LABEL_KEY: first.labels}, fused)
+        return InferenceOutputs(fused, first.labels, metric_outputs, first.loss_items)

@@ -288,6 +288,12 @@ class DataProcessor(IPipeline):
         self._config = config
         if config.block_names is None:
             blocks = list(getattr(config, "default_blocks", []))
+            # block_configs apply to default blocks too — silently ignoring
+            # them made e.g. `{"ml_file_parser": {"label_header": ...}}` a
+            # no-op with the bundled preset
+            for b in blocks:
+                for k, v in (config.block_configs or {}).get(b.name, {}).items():
+                    setattr(b, k, v)
         else:
             block_configs = config.block_configs or {}
             blocks = [

@@ -212,24 +212,13 @@ def build_unet_mapping(
     )
     out += _res_block(f"{t}.middle_block.2", f"{o}/mid/mods/2", has_shortcut=False)
 
-    # output blocks
-    chans: List[int] = [start_channels]
-    ch2 = start_channels
-    for level, mult in enumerate(channel_multipliers):
-        for _ in range(num_res_blocks):
-            ch2 = start_channels * mult
-            chans.append(ch2)
-        if level != len(channel_multipliers) - 1:
-            chans.append(ch2)
+    # output blocks (skip-concat input → every res block has a shortcut)
     our_idx = 0
     for level, mult in reversed(list(enumerate(channel_multipliers))):
         for i in range(num_res_blocks + 1):
-            skip_ch = chans.pop()
-            out_ch = start_channels * mult
             tb = f"{t}.output_blocks.{our_idx}"
             ob = f"{o}/output_blocks/{our_idx}/mods"
             out += _res_block(f"{tb}.0", f"{ob}/0", has_shortcut=True)
-            ch = out_ch
             sub = 1
             if ds in attention_downsample_rates:
                 out += _transformer(

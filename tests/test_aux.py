@@ -172,3 +172,47 @@ def test_experiment_scheduler(tmp_path) -> None:
     for p in pipes.values():
         preds = p.predict(x[:4], return_classes=True)["predictions"]
         assert preds.shape == (4, 1)
+
+
+def test_run_multiple_is_fix_repairs_in_place(tmp_path) -> None:
+    """Regression (code review): repair runs claimed fresh indices and
+    clobbered healthy task folders. `is_fix` must retrain INTO the buggy
+    slot and leave healthy slots untouched."""
+    from cflearn_tpu.api.api import run_multiple
+    from cflearn_tpu.data.ml.api import MLData
+    from cflearn_tpu.dist.ml.experiment import Experiment
+    from cflearn_tpu.schema.config import MLConfig
+
+    os.environ["CFLEARN_TPU_FORCE_CPU"] = "1"
+    x = np.random.randn(32, 4).astype(np.float32)
+    y = (x.sum(1, keepdims=True) > 0).astype(np.int64)
+    data = MLData.init().fit(x, y)
+    cfg = MLConfig(module_name="fcnn", fixed_steps=1, callback_names=[])
+    ws = str(tmp_path)
+    run_multiple(cfg, data, workspace=ws, num_multiple=2, num_jobs=1)
+    t0 = os.path.join(ws, "fcnn", "0")
+    t1 = os.path.join(ws, "fcnn", "1")
+    assert not Experiment.is_buggy(t0) and not Experiment.is_buggy(t1)
+    # corrupt slot 1, remember slot 0's artifacts
+    import shutil
+
+    shutil.rmtree(t1)
+    os.makedirs(t1)
+    mtime0 = os.path.getmtime(os.path.join(t0, "pipeline"))
+    run_multiple(cfg, data, workspace=ws, num_multiple=2, num_jobs=1, is_fix=True)
+    assert not Experiment.is_buggy(t1), "the buggy slot must be repaired"
+    assert os.path.getmtime(os.path.join(t0, "pipeline")) == mtime0, "healthy slot untouched"
+
+
+def test_fit_ml_does_not_mutate_config() -> None:
+    """Regression (code review): fit_ml rewrote the caller's config in
+    place (model resolution + to_debug)."""
+    import cflearn_tpu as cf
+
+    x = np.random.randn(32, 4).astype(np.float32)
+    y = (x.sum(1, keepdims=True) > 0).astype(np.int64)
+    cfg = cf.MLConfig(module_name="fcnn", callback_names=[])
+    assert cfg.model == "common"
+    cf.fit_ml(x, y, config=cfg, debug=True)
+    assert cfg.model == "common"
+    assert cfg.fixed_steps is None

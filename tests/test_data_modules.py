@@ -111,3 +111,90 @@ def test_data_config_pad_divisible() -> None:
     batch = next(iter(batcher))
     # 30 → padded to a multiple of 8
     assert batch[INPUT_KEY].shape[0] % 8 == 0
+
+
+def test_csv_valid_label_column_and_feature_only_inference(tmp_path) -> None:
+    """Regression (code review): (a) the valid CSV's label column was
+    re-derived from the mutated header (wrong column when the label is not
+    last); (b) a feature-only inference CSV lost its last feature."""
+    import csv
+
+    import cflearn_tpu as cf
+
+    def write(path, rows, header):
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(header)
+            w.writerows(rows)
+
+    rng = np.random.RandomState(0)
+    header = ["target", "f1", "f2"]
+    def make_rows(n):
+        rows = []
+        for _ in range(n):
+            f1, f2 = rng.rand(), rng.rand()
+            rows.append([int(f1 > 0.5), round(f1, 4), round(f2, 4)])
+        return rows
+
+    train_csv = str(tmp_path / "train.csv")
+    valid_csv = str(tmp_path / "valid.csv")
+    test_csv = str(tmp_path / "test.csv")
+    write(train_csv, make_rows(80), header)
+    valid_rows = make_rows(20)
+    write(valid_csv, valid_rows, header)
+    # feature-only file: no target column
+    write(test_csv, [r[1:] for r in valid_rows], header[1:])
+
+    from cflearn_tpu.data.ml.api import MLBundledProcessorConfig
+
+    config = cf.MLConfig(
+        module_name="fcnn", workspace=str(tmp_path / "ws"), callback_names=[]
+    )
+    config.to_debug()
+    proc = MLBundledProcessorConfig(
+        block_configs={"ml_file_parser": {"label_header": "target"}}
+    )
+    p = cf.fit_ml(train_csv, x_valid=valid_csv, config=config, processor_config=proc)
+    # (a) valid labels must be the target column, not f2
+    bundle = p.data.bundle
+    np.testing.assert_array_equal(
+        np.asarray(bundle.y_valid).ravel().astype(np.int64),
+        np.asarray([r[0] for r in valid_rows]),
+    )
+    # (b) feature-only CSV keeps both features (prediction shape matches)
+    preds = p.predict(test_csv, return_classes=True)["predictions"]
+    assert preds.shape == (20, 1)
+
+
+def test_nan_drop_cleans_valid_split() -> None:
+    """Regression (code review): 'drop' left NaNs in x_valid."""
+    from cflearn_tpu.data.blocks.ml import NanHandlerBlock
+    from cflearn_tpu.schema.data import DataBundle
+
+    x_train = np.array([[1.0, 2.0], [np.nan, 3.0], [4.0, 5.0]])
+    y_train = np.array([[0], [1], [0]])
+    x_valid = np.array([[np.nan, 1.0], [2.0, 2.0]])
+    y_valid = np.array([[1], [0]])
+    block = NanHandlerBlock(method="drop")
+    bundle = DataBundle(x_train=x_train, y_train=y_train, x_valid=x_valid, y_valid=y_valid)
+    out = block.fit_transform(bundle)
+    assert np.isfinite(np.asarray(out.x_train)).all()
+    assert np.isfinite(np.asarray(out.x_valid)).all()
+    assert len(out.x_valid) == 1 and int(np.asarray(out.y_valid).ravel()[0]) == 0
+
+
+def test_gather_counts_classes_across_splits() -> None:
+    """Regression (code review): a singleton top class moved wholly into the
+    valid split undercounted num_classes."""
+    from cflearn_tpu.data.blocks.ml import GatherBlock
+    from cflearn_tpu.schema.data import DataBundle
+
+    block = GatherBlock()
+    bundle = DataBundle(
+        x_train=np.random.rand(6, 3).astype(np.float32),
+        y_train=np.array([[0], [1], [0], [1], [0], [1]]),
+        x_valid=np.random.rand(1, 3).astype(np.float32),
+        y_valid=np.array([[2]]),  # singleton class only in valid
+    )
+    block.fit_transform(bundle)
+    assert block.num_classes == 3

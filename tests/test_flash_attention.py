@@ -70,3 +70,25 @@ def test_flash_trainable_grad_parity_ragged_kv() -> None:
     g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for gp, gx, name in zip(g_p, g_x, "qkv"):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=5e-4, err_msg=name)
+
+
+def test_causal_with_explicit_mask_keeps_causality() -> None:
+    """Regression (code review): sdp_attn(causal=True, mask=...) silently
+    dropped the causal constraint. With an all-keep mask, causal+mask must
+    equal causal alone."""
+    import jax
+    import jax.numpy as jnp
+
+    from cflearn_tpu.ops.attention import sdp_attn
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 16, 8))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 16, 8))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 16, 8))
+    causal_only = sdp_attn(q, k, v, causal=True)
+    keep_all = jnp.ones((1, 1, 16, 16), dtype=bool)
+    causal_masked = sdp_attn(q, k, v, causal=True, mask=keep_all)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(causal_masked), np.asarray(causal_only), atol=1e-5
+    )

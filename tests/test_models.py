@@ -398,3 +398,37 @@ def test_unet_control_injection_changes_output() -> None:
         ctrl[lv] = jnp.zeros(()) + 0.5
         out = unet(x, t, ctx, control=ctrl)
         assert float(jnp.abs(out - base).max()) > 0.0, f"control level {lv} is dead"
+
+
+def test_ddpm_reconstruct_fidelity_semantics() -> None:
+    """Regression (code review): reconstruct inverted fidelity. Higher
+    fidelity must stay closer to the input latents."""
+    from cflearn_tpu.modules.multimodal.diffusion import DDPM
+
+    ddpm = DDPM(
+        img_size=8,
+        in_channels=3,
+        out_channels=3,
+        num_timesteps=50,
+        unet_config=dict(
+            start_channels=32,
+            num_res_blocks=1,
+            channel_multipliers=(1, 2),
+            attention_downsample_rates=(),
+            num_heads=4,
+            context_dim=None,
+            use_spatial_transformer=False,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    key = jax.random.PRNGKey(1)
+    hi = ddpm.reconstruct(x0, fidelity=0.9, num_steps=10, key=key)
+    lo = ddpm.reconstruct(x0, fidelity=0.1, num_steps=10, key=key)
+    d_hi = float(jnp.mean(jnp.abs(hi - x0)))
+    d_lo = float(jnp.mean(jnp.abs(lo - x0)))
+    assert d_hi < d_lo
+    # sample() must forward the key: different keys → different samples
+    a = ddpm.sample(1, size=(8, 8), num_steps=3, key=jax.random.PRNGKey(2))
+    b = ddpm.sample(1, size=(8, 8), num_steps=3, key=jax.random.PRNGKey(3))
+    assert not bool(jnp.allclose(a, b))

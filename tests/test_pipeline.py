@@ -177,3 +177,65 @@ def test_sklearn_evaluation_bridge() -> None:
     assert 0.5 <= out.metric_values["auc"] <= 1.0
     with pytest.raises(ValueError):
         GeneralEvaluationPipeline(DLConfig(module_name="fcnn"), SKLearnClassifier(skm))
+
+
+def test_fused_evaluation_scores_the_ensemble(tmp_path) -> None:
+    """Regression (code review): FusedInference used to return member 0's
+    metrics — the fused predictions were never scored. The fused score must
+    equal the metric computed on the AVERAGED predictions."""
+    from cflearn_tpu.schema.metrics_schema import IMetric
+
+    x, y = _toy()
+    folders = []
+    for i in range(2):
+        config = _debug_config(workspace=str(tmp_path / str(i)), metric_names=["acc"])
+        p = cf.fit_ml(x, y, config=config)
+        folders.append(os.path.join(p._workspace, "pipeline"))
+    fused = cf.fuse_evaluation(folders)
+    out = fused.evaluate(x, y)
+    # expected: average the members' raw outputs over the SAME loader
+    # (loader-level fusion semantics), then score the averaged predictions
+    loader = fused.pipelines[0]._as_loader(x, y, 128)
+    member_preds = [
+        p.inference.get_outputs(loader.copy(), return_outputs=True).forward_results[
+            "predictions"
+        ]
+        for p in fused.pipelines
+    ]
+    fused_preds = np.mean(member_preds, axis=0)
+    expected_acc = float((np.argmax(fused_preds, -1)[..., None] == np.asarray(y)).mean())
+    assert abs(out.metric_values["acc"] - expected_acc) < 1e-6
+
+
+def test_fused_predict_classes_are_valid(tmp_path) -> None:
+    """Regression (code review): fused predict used to average class
+    indices; classes must now come from the averaged logits."""
+    x, y = _toy()
+    folders = []
+    for i in range(2):
+        config = _debug_config(workspace=str(tmp_path / str(i)))
+        p = cf.fit_ml(x, y, config=config)
+        folders.append(os.path.join(p._workspace, "pipeline"))
+    fused = DLPipelineSerializer.fuse_inference(folders)
+    classes = fused.predict(x[:16], return_classes=True)["predictions"]
+    assert classes.dtype == np.int64
+    individual = [cf.load_inference(f).predict(x[:16])["predictions"] for f in folders]
+    expected = np.argmax(np.mean(individual, axis=0), -1)[..., None]
+    np.testing.assert_array_equal(classes, expected)
+
+
+def test_binary_threshold_applies_to_probabilities(tmp_path) -> None:
+    """Regression (code review): binary `return_classes` thresholded raw
+    logits; a logit of 0.3 (probability 0.574) must classify as 1."""
+    from cflearn_tpu.pipeline.api import _postprocess_predictions
+
+    logits = np.array([[0.3], [-0.3], [3.0]], np.float32)
+    out = _postprocess_predictions(
+        {"predictions": logits.copy()},
+        return_classes=True,
+        binary_threshold=0.5,
+        return_probabilities=False,
+        recover_labels=False,
+        data=None,
+    )
+    np.testing.assert_array_equal(out["predictions"].ravel(), [1, 0, 1])
