@@ -60,12 +60,14 @@ class ResizedPreparation(IPreparation):
 
 
 def _load_image(path: str) -> Optional[np.ndarray]:
-    try:
-        from PIL import Image
+    # PIL missing is an environment error, not a bad image — swallowing it
+    # would "succeed" with an empty dataset
+    from PIL import Image
 
+    try:
         img = Image.open(path).convert("RGB")
         return np.asarray(img, dtype=np.uint8)
-    except Exception:  # noqa: BLE001
+    except Exception:  # noqa: BLE001 — undecodable/corrupt image
         return None
 
 
@@ -118,6 +120,13 @@ def prepare_image_folder(
                     if img is None:
                         continue
                     processed = preparation.process(img)
+                    if image_shape is not None and list(processed.shape) != image_shape:
+                        raise ValueError(
+                            "images process to differing shapes "
+                            f"({image_shape} vs {list(processed.shape)}); use a "
+                            "resizing preparation (e.g. ResizedPreparation) for "
+                            "folders with mixed image sizes"
+                        )
                     image_shape = list(processed.shape)
                     images_all.append(processed.reshape(-1))
                     labels_all.append(label_map[label])
@@ -139,6 +148,13 @@ def prepare_image_folder(
                 if not keep:
                     continue
                 processed = [preparation.process(img) for img, _ in keep]
+                shapes = {p_.shape for p_ in processed}
+                if len(shapes) > 1 or (image_shape is not None and list(processed[0].shape) != image_shape):
+                    raise ValueError(
+                        "images process to differing shapes; use a resizing "
+                        "preparation (e.g. ResizedPreparation) for folders "
+                        "with mixed image sizes"
+                    )
                 arr = np.stack(processed)
                 image_shape = list(arr.shape[1:])
                 y = np.array([label_map[l] for _, l in keep], dtype=np.int64)[:, None]
@@ -162,6 +178,7 @@ class PackedImageDataset(IDataset):
         with open(os.path.join(folder, META_FILE), "r") as f:
             meta = json.load(f)
         self.folder = folder
+        self.split = split
         self.classes = meta["classes"]
         self.shards = meta["shards"][split]
         self.image_shape = meta.get("image_shape")
@@ -178,6 +195,11 @@ class PackedImageDataset(IDataset):
 
     def __len__(self) -> int:
         return int(self.offsets[-1])
+
+    def __deepcopy__(self, memo: Any) -> "PackedImageDataset":
+        # the native store holds a ctypes handle (unpicklable, and a shared
+        # handle would be double-closed) — a copy re-opens the mmap instead
+        return PackedImageDataset(self.folder, self.split)
 
     def _shard(self, shard_idx: int) -> Tuple[np.ndarray, np.ndarray]:
         if shard_idx != self._cache_idx:
@@ -240,38 +262,50 @@ class ImageFolderData(IArrayDataMixin, IData):
         super().from_info(info)
         self.folder = info.get("folder")
 
+    def _dataset(self, split: str) -> "PackedImageDataset":
+        cache = getattr(self, "_dataset_cache", None)
+        if cache is None:
+            cache = {}
+            self._dataset_cache = cache
+        if split not in cache:
+            cache[split] = PackedImageDataset(self.folder, split)
+        return cache[split]
+
     def get_loaders(self) -> Any:
         assert self.folder is not None
         postprocess = None
         if self.processor is not None:
             postprocess = lambda item, for_inference: self.processor.postprocess_item(item, for_inference=for_inference)
         train = ArrayLoader(
-            PackedImageDataset(self.folder, "train"),
+            self._dataset("train"),
             batch_size=self.config.batch_size,
             shuffle=self.config.shuffle_train,
+            drop_last=self.config.drop_last,
+            sample_weights=getattr(self, "train_weights", None),
             postprocess_fn=postprocess,
+            for_inference=self.config.for_inference,
         )
         try:
-            valid_ds = PackedImageDataset(self.folder, "valid")
+            valid_ds = self._dataset("valid")
             valid = ArrayLoader(
                 valid_ds,
                 batch_size=self.config.valid_batch_size or self.config.batch_size,
                 postprocess_fn=postprocess,
                 for_inference=True,
             ) if len(valid_ds) else None
-        except (KeyError, IndexError):
+        except (KeyError, IndexError, FileNotFoundError):
             valid = None
         return train, valid
 
     @property
     def num_train(self) -> int:
         assert self.folder is not None
-        return len(PackedImageDataset(self.folder, "train"))
+        return len(self._dataset("train"))
 
     @property
     def num_valid(self) -> int:
         assert self.folder is not None
         try:
-            return len(PackedImageDataset(self.folder, "valid"))
+            return len(self._dataset("valid"))
         except (KeyError, IndexError):
             return 0

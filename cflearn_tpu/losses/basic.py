@@ -35,7 +35,14 @@ class MSELoss(ILoss):
 
 @ILoss.register("recon")
 class ReconstructionLoss(ILoss):
-    """MSE against the input (reference recon loss)."""
+    """Distance to the input, configurable base loss (reference
+    `losses/basic.py:64-76` — defaults to MAE)."""
+
+    def __init__(self, reduction: str = "mean", *, base_loss: str = "mae") -> None:
+        super().__init__(reduction)
+        if base_loss not in ("mae", "mse"):
+            raise ValueError(f"unsupported recon base_loss '{base_loss}'")
+        self.base_loss = base_loss
 
     def get_forward_args(self, forward_results: Any, batch: Any) -> Any:
         from ..constants import INPUT_KEY, PREDICTIONS_KEY
@@ -43,7 +50,8 @@ class ReconstructionLoss(ILoss):
         return forward_results[PREDICTIONS_KEY], batch[INPUT_KEY]
 
     def forward(self, predictions: jax.Array, net: jax.Array) -> jax.Array:
-        return jnp.square(predictions - net)
+        diff = predictions - net
+        return jnp.abs(diff) if self.base_loss == "mae" else jnp.square(diff)
 
 
 @ILoss.register("bce")
@@ -112,7 +120,12 @@ class FocalLoss(ILoss):
         pt = jnp.take_along_axis(probs, labels[..., None], axis=-1)[..., 0]
         loss = -jnp.power(1.0 - pt, self.gamma) * jnp.log(pt)
         if self.alpha is not None:
-            alpha = jnp.asarray(self.alpha, dtype=loss.dtype)
+            # a scalar alpha means binary class weights [alpha, 1 - alpha]
+            # (reference `losses/basic.py` FocalLoss)
+            a = self.alpha
+            if isinstance(a, (int, float)):
+                a = [float(a), 1.0 - float(a)]
+            alpha = jnp.asarray(a, dtype=loss.dtype)
             loss = alpha[labels] * loss
         return loss
 

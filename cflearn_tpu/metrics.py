@@ -82,6 +82,16 @@ class Quantile(IMetric):
         return False
 
     def forward(self, predictions: np.ndarray, labels: np.ndarray) -> float:
+        # multi-quantile: predictions (B, k) vs labels (B, 1) broadcast, per-
+        # quantile mean then summed over columns (reference `metrics.py:74-79`)
+        p = np.asarray(predictions, np.float64)
+        y = np.asarray(labels, np.float64)
+        if p.ndim >= 2 and p.shape[-1] > 1:
+            if y.ndim < p.ndim:
+                y = y[..., None]
+            q = np.asarray(self.q, np.float64).reshape((1,) * (p.ndim - 1) + (-1,))
+            diff = y - p
+            return float(np.maximum(q * diff, (q - 1.0) * diff).mean(0).sum())
         diff = _flat(labels) - _flat(predictions)
         return float(np.mean(np.maximum(self.q * diff, (self.q - 1.0) * diff)))
 
@@ -146,9 +156,17 @@ class F1Score(IRequiresAllMixin, IMetric):
     def forward(self, predictions: np.ndarray, labels: np.ndarray) -> float:
         classes = _classes(predictions)
         labels = _flat(labels)
+        all_classes = np.unique(np.concatenate([labels, classes]))
+        if self.average == "binary" or (self.average == "macro" and len(all_classes) <= 2):
+            # binary: positive-class F1 (sklearn/reference default)
+            tp = float(np.sum((classes == 1) & (labels == 1)))
+            fp = float(np.sum((classes == 1) & (labels != 1)))
+            fn = float(np.sum((classes != 1) & (labels == 1)))
+            denom = 2 * tp + fp + fn
+            return 2 * tp / denom if denom > 0 else 0.0
         f1s = []
         supports = []
-        for c in np.unique(labels):
+        for c in all_classes:
             tp = float(np.sum((classes == c) & (labels == c)))
             fp = float(np.sum((classes == c) & (labels != c)))
             fn = float(np.sum((classes != c) & (labels == c)))
@@ -174,13 +192,19 @@ class AUC(IRequiresAllMixin, IMetric):
         predictions = np.asarray(predictions)
         labels = _flat(labels)
         if predictions.ndim >= 2 and predictions.shape[-1] > 1:
+            # rank PROBABILITIES, not raw logits: p1 is monotone in l1-l0,
+            # not in l1 alone (reference ranks softmax outputs)
+            z = predictions.astype(np.float64)
+            z = z - z.max(-1, keepdims=True)
+            e = np.exp(z)
+            probs = e / e.sum(-1, keepdims=True)
             if predictions.shape[-1] == 2:
-                scores = predictions[..., 1].ravel()
+                scores = probs[..., 1].ravel()
             else:
                 # macro one-vs-rest AUC for multi-class
                 aucs = []
-                for c in range(predictions.shape[-1]):
-                    aucs.append(self._binary_auc(predictions[..., c].ravel(), (labels == c).astype(np.int64)))
+                for c in range(probs.shape[-1]):
+                    aucs.append(self._binary_auc(probs[..., c].ravel(), (labels == c).astype(np.int64)))
                 return float(np.mean(aucs))
         else:
             scores = _flat(predictions)

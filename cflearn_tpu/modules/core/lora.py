@@ -87,13 +87,21 @@ class LoRAManager:
         return key in self._packs
 
     def prepare(self, module: nnx.Module) -> None:
-        """Record base params for restoration."""
+        """Record base params for restoration. Paths touched by packs loaded
+        AFTER the first capture are added incrementally — their current
+        weights are still base (no pack fused them yet), so capturing late
+        is safe and keeps every loaded pack fusable."""
+        touched = set()
+        for pack in self._packs.values():
+            touched.update(pack.deltas)
         if self._backup is None:
+            self._backup = {}
+        missing = [k for k in touched if k not in self._backup]
+        if missing:
             npd = tree_to_npd(nnx.state(module, nnx.Param))
-            touched = set()
-            for pack in self._packs.values():
-                touched.update(pack.deltas)
-            self._backup = {k: npd[k].copy() for k in touched if k in npd}
+            for k in missing:
+                if k in npd:
+                    self._backup[k] = npd[k].copy()
 
     def apply_lora(
         self,
@@ -121,6 +129,21 @@ class LoRAManager:
                     np.asarray(down, dtype=np.float32) @ np.asarray(up, dtype=np.float32)
                 ).astype(w.dtype)
             fused[path] = w
+        fused_count = sum(
+            1
+            for path in self._backup
+            for key in keys
+            if self._packs[key].deltas.get(path) is not None
+        )
+        if keys and fused_count == 0:
+            from ...toolkit.misc import warn_once
+
+            warn_once(
+                "apply_lora fused ZERO layers — the pack's delta paths do not "
+                "match this module's param paths (wrong module, or an "
+                "unconverted checkpoint?)",
+                key="lora-zero-fuse",
+            )
         state = nnx.state(module, nnx.Param)
         nnx.update(module, npd_to_tree({**npd, **fused}, state, strict=False))
         self._active = {k: scales.get(k, 1.0) for k in keys}
@@ -147,24 +170,101 @@ class LoRAManager:
     # checkpoint IO -----------------------------------------------------------
 
     @staticmethod
+    def torch_lora_key_to_path(key: str, *, num_res_blocks: int = 2) -> Optional[str]:
+        """Map a kohya/diffusers LoRA module key (the part before
+        `.lora_down.weight`) to this repo's UNet param path. Handles both
+        CompVis-style (`lora_unet_input_blocks_4_1_...`) and diffusers-style
+        (`lora_unet_down_blocks_1_attentions_0_...`) names for attention
+        q/k/v/out and the transformer FF. Text-encoder (`lora_te_`) keys are
+        not mapped (returns None)."""
+        import re
+
+        if not key.startswith("lora_unet_"):
+            return None
+        name = key[len("lora_unet_") :]
+        per_level = num_res_blocks + 1
+
+        m = re.match(r"middle_block_1_(.*)$", name) or re.match(
+            r"mid_block_attentions_0_(.*)$", name
+        )
+        if m:
+            base = "unet/mid/mods/1"
+            rest = m.group(1)
+        else:
+            m = re.match(r"(input|output)_blocks_(\d+)_1_(.*)$", name)
+            if m:
+                idx = int(m.group(2))
+                if m.group(1) == "input":
+                    # CompVis input_blocks.0 is conv_in; ours start at the
+                    # first res block (zoo/convert.py:188)
+                    idx -= 1
+                base = f"unet/{m.group(1)}_blocks/{idx}/mods/1"
+                rest = m.group(3)
+            else:
+                m = re.match(r"down_blocks_(\d+)_attentions_(\d+)_(.*)$", name)
+                if m:
+                    idx = per_level * int(m.group(1)) + int(m.group(2))
+                    base = f"unet/input_blocks/{idx}/mods/1"
+                    rest = m.group(3)
+                else:
+                    m = re.match(r"up_blocks_(\d+)_attentions_(\d+)_(.*)$", name)
+                    if m:
+                        idx = per_level * int(m.group(1)) + int(m.group(2))
+                        base = f"unet/output_blocks/{idx}/mods/1"
+                        rest = m.group(3)
+                    else:
+                        return None
+
+        m = re.match(r"transformer_blocks_(\d+)_(attn[12])_(to_q|to_k|to_v|to_out)(?:_0)?$", rest)
+        if m:
+            return f"{base}/blocks/{m.group(1)}/{m.group(2)}/{m.group(3)}/kernel/value"
+        m = re.match(r"transformer_blocks_(\d+)_ff_net_0_proj$", rest)
+        if m:
+            return f"{base}/blocks/{m.group(1)}/ff/net1/net/kernel/value"
+        m = re.match(r"transformer_blocks_(\d+)_ff_net_2$", rest)
+        if m:
+            return f"{base}/blocks/{m.group(1)}/ff/linear2/kernel/value"
+        return None
+
+    @staticmethod
     def load_torch_lora(path: str, *, rank_key: str = "lora_down") -> LoRAPack:
-        """Load a kohya/diffusers-style torch LoRA checkpoint into a pack.
-        Key mapping mirrors `zoo/convert.py` conventions; layers that cannot
-        be matched are skipped."""
+        """Load a kohya/diffusers-style torch LoRA checkpoint into a pack:
+        keys map to this repo's UNet param paths and each layer's `alpha`
+        tensor folds its alpha/rank scale into the down matrix (reference
+        `hijacks.py:130` alpha_scale). Unmappable layers are skipped with a
+        one-time warning."""
+        from ...toolkit.misc import warn_once
         from ...zoo.convert import load_torch_state_dict
 
         sd = load_torch_state_dict(path)
         deltas: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         rank = 4
+        skipped = 0
         for k, v in sd.items():
-            if "lora_down" not in k:
+            if ".lora_down" not in k:
                 continue
-            up_k = k.replace("lora_down", "lora_up")
+            up_k = k.replace(".lora_down", ".lora_up")
             if up_k not in sd:
                 continue
-            down_t = np.asarray(v)
-            up_t = np.asarray(sd[up_k])
-            rank = down_t.shape[0]
+            module_key = k.split(".lora_down")[0]
+            target = LoRAManager.torch_lora_key_to_path(module_key)
+            if target is None:
+                skipped += 1
+                continue
+            down_t = np.asarray(v, dtype=np.float32)
+            up_t = np.asarray(sd[up_k], dtype=np.float32)
+            layer_rank = int(down_t.shape[0])
+            rank = layer_rank
+            alpha_k = module_key + ".alpha"
+            if alpha_k in sd:
+                down_t = down_t * (float(np.asarray(sd[alpha_k])) / layer_rank)
             # torch linear: (rank, in) / (out, rank) → ours: (in, rank) / (rank, out)
-            deltas[k] = (down_t.T, up_t.T)
-        return LoRAPack(deltas, rank=rank)
+            deltas[target] = (down_t.T, up_t.T)
+        if skipped:
+            warn_once(
+                f"skipped {skipped} unmappable LoRA layers (text-encoder/"
+                "conv LoRAs are not mapped yet)",
+                key="lora-skip",
+            )
+        # per-layer alpha is folded into `down` → pack-level scale stays 1
+        return LoRAPack(deltas, rank=rank, alpha=float(rank))

@@ -36,8 +36,11 @@ def bipartite_soft_matching_random2d(
     col = jnp.arange(w)
     is_dst = ((row[:, None] % sy) == 0) & ((col[None, :] % sx) == 0)
     is_dst = is_dst.reshape(-1)
-    dst_idx = jnp.nonzero(is_dst, size=(h // sy) * (w // sx))[0]
-    num_dst = (h // sy) * (w // sx)
+    # ceil, not floor: when h % sy or w % sx != 0 the partial cells still
+    # contain a dst anchor — undercounting truncated real dst tokens and
+    # zero-padded src_idx, silently dropping/duplicating tokens
+    num_dst = math.ceil(h / sy) * math.ceil(w / sx)
+    dst_idx = jnp.nonzero(is_dst, size=num_dst)[0]
     num_src = n - num_dst
     src_idx = jnp.nonzero(~is_dst, size=num_src)[0]
     r = min(num_src, int(n * ratio))

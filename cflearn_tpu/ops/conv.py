@@ -361,7 +361,14 @@ def conv_call(conv_mod, x: jax.Array, *, quantized: Optional[bool] = None) -> ja
     if isinstance(strides, int):
         strides = (strides, strides)
     padding = getattr(conv_mod, "padding", "SAME")
-    if use_pallas_conv(x, kernel, strides, padding):
+    # the Pallas kernel implements a dense dilation-1 conv only — dilated or
+    # grouped convs must stay on XLA (silently wrong / block-shape crash)
+    dilation = getattr(conv_mod, "kernel_dilation", None) or (1, 1)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    groups = getattr(conv_mod, "feature_group_count", 1) or 1
+    plain = tuple(dilation) == (1, 1) and groups == 1
+    if plain and use_pallas_conv(x, kernel, strides, padding):
         bias = conv_mod.bias[...] if getattr(conv_mod, "bias", None) is not None else None
         if quantized is None:
             quantized = _W8A8_DEFAULT

@@ -115,9 +115,10 @@ def _warmup(
     **_: Any,
 ) -> optax.Schedule:
     """`WarmupScheduler` (reference `schedulers.py:126`): ramp from lr to
-    lr*multiplier over `warmup_step`, then hand off to `afterwards`."""
+    lr*multiplier over `warmup_step`, then hand off to `afterwards`. The
+    ramp STARTS at lr (reference: base_lr*((multiplier-1)*step/warmup+1))."""
     peak = lr * multiplier
-    warm = optax.linear_schedule(lr / max(multiplier, 1e-12), peak, warmup_step)
+    warm = optax.linear_schedule(lr, peak, warmup_step)
     if afterwards is None:
         after = optax.constant_schedule(peak)
     else:

@@ -75,9 +75,11 @@ class IDataLoader:
     def get_full_batch(self) -> np_dict_type:
         batch_size = self.batch_size
         self.batch_size = len(self.dataset)
-        with self.temporarily_disable_shuffle():
-            full = next(iter(self))
-        self.batch_size = batch_size
+        try:
+            with self.temporarily_disable_shuffle():
+                full = next(iter(self))
+        finally:
+            self.batch_size = batch_size
         return full
 
 
@@ -117,7 +119,12 @@ class DataBundle(DataClassBase):
             v = getattr(self, f.name)
             if v is None or isinstance(v, np.ndarray):
                 continue
-            if isinstance(v, dict) and any(isinstance(vv, np.ndarray) for vv in v.values()):
+            if isinstance(v, dict):
+                # arrays go through to_npd; keep the NON-array entries here so
+                # mixed dicts survive the round trip intact
+                rest = {k: vv for k, vv in v.items() if not isinstance(vv, np.ndarray)}
+                if rest:
+                    info[f.name] = rest
                 continue
             info[f.name] = v
         return info
@@ -434,7 +441,10 @@ class IData(ISerializable):
     def transform(self, x: data_type, y: data_type = None, **kwargs: Any) -> DataBundle:
         assert self.processor is not None and self.processor.is_ready
         bundle = DataBundle(x, y)
-        return self.processor.transform(bundle, for_inference=y is None)
+        # ALWAYS the inference path (reference `schema.py:734`): labeled
+        # evaluation inputs must not run train-only transforms (row drops,
+        # augmentation) that break row alignment with the caller's arrays
+        return self.processor.transform(bundle, for_inference=True)
 
     def recover_labels(self, y: np.ndarray) -> np.ndarray:
         assert self.processor is not None

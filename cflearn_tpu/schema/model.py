@@ -221,8 +221,21 @@ class IDLModel(nnx.Module, WithRegister):
             "config_type": config_type,
             "type": getattr(self, "__identifier__", "common"),
         }
+        # hand orbax the DEVICE arrays keyed by path: np.asarray-ing first
+        # (state_dict) would gather every shard to host — crashing for
+        # non-addressable multi-host shards and defeating the sharded save
+        import jax as _jax
+
+        from ..toolkit.tree import _key_entry_to_str
+
+        flat, _ = _jax.tree_util.tree_flatten_with_path(nnx.state(self))
+        device_npd = {
+            "/".join(_key_entry_to_str(p) for p in path): leaf
+            for path, leaf in flat
+            if hasattr(leaf, "dtype")
+        }
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(os.path.join(directory, "state"), self.state_dict(), force=True)
+            ckptr.save(os.path.join(directory, "state"), device_npd, force=True)
         with open(os.path.join(directory, "meta.json"), "w") as f:
             json.dump(meta, f)
 

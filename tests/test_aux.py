@@ -216,3 +216,110 @@ def test_fit_ml_does_not_mutate_config() -> None:
     cf.fit_ml(x, y, config=cfg, debug=True)
     assert cfg.model == "common"
     assert cfg.fixed_steps is None
+
+
+def test_torch_lora_key_mapping_and_fusion(tmp_path) -> None:
+    """Regression (code review): kohya-style torch LoRA checkpoints were
+    stored under raw torch keys and never fused. Keys must map to real UNet
+    param paths, per-layer alpha must scale the delta, and the fused weight
+    must equal base + (alpha/rank) * down @ up."""
+    import torch
+    from flax import nnx
+
+    from cflearn_tpu.modules.core.lora import LoRAManager
+    from cflearn_tpu.modules.multimodal.diffusion.unet import UNetDiffuser
+    from cflearn_tpu.toolkit.tree import tree_to_npd
+
+    class Holder(nnx.Module):
+        def __init__(self) -> None:
+            self.unet = UNetDiffuser(
+                start_channels=32,
+                num_res_blocks=2,
+                channel_multipliers=(1, 2),
+                attention_downsample_rates=(1, 2),
+                num_heads=4,
+                context_dim=32,
+                rngs=nnx.Rngs(0),
+            )
+
+    holder = Holder()
+    npd = tree_to_npd(nnx.state(holder, nnx.Param))
+
+    # the full surface of mappable kohya names must resolve to real paths
+    cases = {
+        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q":
+            "unet/input_blocks/0/mods/1/blocks/0/attn1/to_q/kernel/value",
+        "lora_unet_down_blocks_1_attentions_1_transformer_blocks_0_attn2_to_out_0":
+            "unet/input_blocks/4/mods/1/blocks/0/attn2/to_out/kernel/value",
+        "lora_unet_mid_block_attentions_0_transformer_blocks_0_attn2_to_k":
+            "unet/mid/mods/1/blocks/0/attn2/to_k/kernel/value",
+        # CompVis naming: input_blocks.4 == ours input_blocks/3 (conv_in off)
+        "lora_unet_input_blocks_4_1_transformer_blocks_0_attn1_to_v":
+            "unet/input_blocks/3/mods/1/blocks/0/attn1/to_v/kernel/value",
+        "lora_unet_up_blocks_0_attentions_0_transformer_blocks_0_ff_net_0_proj":
+            "unet/output_blocks/0/mods/1/blocks/0/ff/net1/net/kernel/value",
+        "lora_unet_up_blocks_1_attentions_2_transformer_blocks_0_ff_net_2":
+            "unet/output_blocks/5/mods/1/blocks/0/ff/linear2/kernel/value",
+    }
+    for key, expected in cases.items():
+        assert LoRAManager.torch_lora_key_to_path(key) == expected, key
+        assert expected in npd, expected
+    assert LoRAManager.torch_lora_key_to_path("lora_te_text_model_encoder_layers_0_self_attn_q_proj") is None
+
+    # fabricate a kohya checkpoint targeting to_q of input block 1
+    target = "unet/input_blocks/0/mods/1/blocks/0/attn1/to_q/kernel/value"
+    d_in, d_out = npd[target].shape
+    rank, alpha = 4, 2.0
+    rng = np.random.RandomState(0)
+    down = rng.randn(rank, d_in).astype(np.float32) * 0.1  # torch (rank, in)
+    up = rng.randn(d_out, rank).astype(np.float32) * 0.1  # torch (out, rank)
+    mod = "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q"
+    sd = {
+        f"{mod}.lora_down.weight": torch.from_numpy(down),
+        f"{mod}.lora_up.weight": torch.from_numpy(up),
+        f"{mod}.alpha": torch.tensor(alpha),
+    }
+    ckpt = str(tmp_path / "lora.pt")
+    torch.save(sd, ckpt)
+
+    mgr = LoRAManager()
+    pack = LoRAManager.load_torch_lora(ckpt)
+    assert target in pack.deltas
+    base = npd[target].copy()
+    mgr.load_pack_with("style", pack)
+    mgr.apply_lora(holder, "style")
+    fused = tree_to_npd(nnx.state(holder, nnx.Param))[target]
+    expected_w = base + (alpha / rank) * (down.T @ up.T)
+    np.testing.assert_allclose(fused, expected_w, rtol=1e-5)
+    mgr.deactivate(holder)
+    np.testing.assert_allclose(tree_to_npd(nnx.state(holder, nnx.Param))[target], base, rtol=1e-6)
+
+
+def test_lora_incremental_pack_loading() -> None:
+    """Regression (code review): packs loaded after the first apply_lora
+    whose deltas touch NEW paths were silently never fused."""
+    from flax import nnx
+
+    from cflearn_tpu.modules.core.lora import LoRAManager, LoRAPack
+    from cflearn_tpu.toolkit.tree import tree_to_npd
+
+    class M(nnx.Module):
+        def __init__(self) -> None:
+            self.a = nnx.Linear(4, 4, rngs=nnx.Rngs(0))
+            self.b = nnx.Linear(4, 4, rngs=nnx.Rngs(1))
+
+    m = M()
+    npd0 = tree_to_npd(nnx.state(m, nnx.Param))
+    d = np.ones((4, 2), np.float32) * 0.1
+    u = np.ones((2, 4), np.float32) * 0.1
+    mgr = LoRAManager()
+    mgr.load_pack_with("pa", LoRAPack({"a/kernel/value": (d, u)}, rank=2))
+    mgr.apply_lora(m, "pa")
+    mgr.load_pack_with("pb", LoRAPack({"b/kernel/value": (d, u)}, rank=2))
+    mgr.apply_lora(m, "pa", "pb")
+    npd = tree_to_npd(nnx.state(m, nnx.Param))
+    np.testing.assert_allclose(npd["a/kernel/value"], npd0["a/kernel/value"] + d @ u, rtol=1e-5)
+    np.testing.assert_allclose(npd["b/kernel/value"], npd0["b/kernel/value"] + d @ u, rtol=1e-5)
+    mgr.deactivate(m)
+    npd = tree_to_npd(nnx.state(m, nnx.Param))
+    np.testing.assert_allclose(npd["b/kernel/value"], npd0["b/kernel/value"], rtol=1e-6)

@@ -229,3 +229,52 @@ def test_attention_mask_polarity_zeroes_marked_slots() -> None:
     x2 = x.at[0, -1].set(x[0, -1] + 10.0)
     out_masked2 = np.asarray(attn(x2, mask=jnp.asarray(mask)))
     np.testing.assert_allclose(out_masked[0, :3], out_masked2[0, :3], atol=1e-5)
+
+
+def test_focal_loss_scalar_alpha_and_recon_base() -> None:
+    """Regression (code review): FocalLoss(alpha=0.25) crashed on the scalar
+    index; recon loss defaults to MAE per the reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from cflearn_tpu.losses.basic import FocalLoss, ReconstructionLoss
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    labels = jnp.asarray(np.random.RandomState(0).randint(0, 2, (8, 1)))
+    out = FocalLoss(alpha=0.25).forward(logits, labels)
+    assert bool(jnp.isfinite(out).all())
+    p = jnp.asarray([[1.0]])
+    x = jnp.asarray([[3.0]])
+    assert float(ReconstructionLoss().forward(p, x)[0, 0]) == 2.0  # MAE default
+    assert float(ReconstructionLoss(base_loss="mse").forward(p, x)[0, 0]) == 4.0
+
+
+def test_warmup_scheduler_starts_at_base_lr() -> None:
+    """Regression (code review): the warmup ramp must START at lr, not
+    lr/multiplier (reference base_lr*((multiplier-1)*step/warmup+1))."""
+    from cflearn_tpu.schedulers import build_scheduler
+
+    sched = build_scheduler("warmup", 1e-3, multiplier=5.0, warmup_step=10)
+    assert abs(float(sched(0)) - 1e-3) < 1e-9
+    assert abs(float(sched(10)) - 5e-3) < 1e-9
+
+
+def test_tome_non_divisible_sizes_keep_all_tokens() -> None:
+    """Regression (code review): odd h/w truncated real dst tokens and
+    zero-padded src indices (dropped/duplicated tokens). merge→unmerge of a
+    CONSTANT-per-token tensor must reproduce every token exactly when r=0,
+    and preserve total token count in general."""
+    import jax
+    import jax.numpy as jnp
+
+    from cflearn_tpu.modules.core.tome import bipartite_soft_matching_random2d
+
+    h, w, c = 5, 4, 8
+    x = jnp.arange(h * w, dtype=jnp.float32)[None, :, None] * jnp.ones((1, 1, c))
+    merge, unmerge, _ = bipartite_soft_matching_random2d(x, h, w, ratio=0.0)
+    np.testing.assert_allclose(np.asarray(unmerge(merge(x))), np.asarray(x), atol=1e-5)
+    # with merging active, every output row must come from a real token
+    merge, unmerge, _ = bipartite_soft_matching_random2d(x, h, w, ratio=0.3)
+    out = np.asarray(unmerge(merge(x)))
+    assert out.shape == np.asarray(x).shape
+    assert np.isfinite(out).all()

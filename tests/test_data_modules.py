@@ -198,3 +198,51 @@ def test_gather_counts_classes_across_splits() -> None:
     )
     block.fit_transform(bundle)
     assert block.num_classes == 3
+
+
+def test_labeled_transform_uses_inference_path() -> None:
+    """Regression (code review): `IData.transform(x, y)` ran the TRAIN path
+    when labels were given, so 'drop'-mode NaN handling removed rows from
+    evaluation inputs (misaligning predictions with the caller's arrays)."""
+    import cflearn_tpu as cf
+    from cflearn_tpu.data.ml.api import MLData, MLBundledProcessorConfig
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(64, 3).astype(np.float64)
+    y = (x.sum(1, keepdims=True) > 1.5).astype(np.int64)
+    proc = MLBundledProcessorConfig(block_configs={"ml_nan_handler": {"method": "drop"}})
+    data = MLData.init(processor_config=proc).fit(x, y)
+    x_eval = x[:8].copy()
+    x_eval[2, 1] = np.nan  # NaN row must NOT be dropped at inference
+    loader = data.build_loader(x_eval, y[:8])
+    batch = loader.get_full_batch()
+    assert len(batch["input"]) == 8
+
+
+def test_packed_loader_copy(tmp_path) -> None:
+    """Regression (code review): `loader.copy()` (used by ensemble fusion)
+    deep-copied the native ctypes record store and crashed."""
+    from PIL import Image
+
+    from cflearn_tpu.data.cv.image_folder import (
+        ImageFolderData,
+        ResizedPreparation,
+        prepare_image_folder,
+    )
+
+    src = tmp_path / "src"
+    for cls_name in ("a", "b"):
+        d = src / cls_name
+        d.mkdir(parents=True)
+        for i in range(4):
+            arr = (np.random.rand(10 + i, 12, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+    dst = str(tmp_path / "packed")
+    prepare_image_folder(str(src), dst, preparation=ResizedPreparation(8), valid_split=0.25, num_jobs=1)
+    data = ImageFolderData.from_folder(dst)
+    train, valid = data.get_loaders()
+    clone = train.copy()
+    b1 = clone.get_one_batch()
+    b2 = train.get_one_batch()
+    assert b1["input"].shape[1:] == b2["input"].shape[1:]
+    assert data.num_train == len(train.dataset)

@@ -68,3 +68,39 @@ def test_fuse_weighted() -> None:
     assert set(out.metric_values) == {"mae", "mse"}
     # mae=1, mse=1; both negative direction → score = (2*-1 + 1*-1)/3
     assert out.final_score == pytest.approx(-1.0)
+
+
+def test_binary_f1_and_auc_match_sklearn_defaults() -> None:
+    """Regression (code review): binary F1 must be the positive-class F1
+    (sklearn default), and AUC must rank probabilities, not raw logits."""
+    import sklearn.metrics as skm
+
+    from cflearn_tpu.metrics import AUC, F1Score
+
+    labels = np.array([1, 1, 1, 0])[:, None]
+    classes = np.array([1, 1, 0, 0])[:, None]
+    ours = F1Score().forward(classes, labels)
+    assert abs(ours - skm.f1_score(labels.ravel(), classes.ravel())) < 1e-9
+
+    # logits where raw-l1 ranking disagrees with softmax-p1 ranking
+    logits = np.array([[5.0, 4.0], [0.0, 1.0]], np.float32)
+    y = np.array([0, 1])[:, None]
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    expected = skm.roc_auc_score(y.ravel(), probs[:, 1])
+    assert abs(AUC().forward(logits, y) - expected) < 1e-9
+
+
+def test_quantile_metric_multi_column() -> None:
+    """Regression (code review): (B, k) quantile predictions vs (B, 1)
+    labels used to crash; value is per-quantile mean summed over columns."""
+    from cflearn_tpu.metrics import Quantile
+
+    preds = np.array([[0.0, 1.0, 2.0], [1.0, 2.0, 3.0]], np.float64)
+    labels = np.array([[1.0], [2.0]], np.float64)
+    q = [0.1, 0.5, 0.9]
+    m = Quantile(q=q).forward(preds, labels)
+    diff = labels - preds
+    expected = float(
+        np.maximum(np.asarray(q) * diff, (np.asarray(q) - 1.0) * diff).mean(0).sum()
+    )
+    assert abs(m - expected) < 1e-12
