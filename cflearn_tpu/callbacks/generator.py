@@ -23,7 +23,15 @@ def save_image_grid(images: np.ndarray, path: str, *, value_range: str = "tanh")
     if value_range == "tanh":
         images = (np.clip(images, -1, 1) + 1) * 127.5
     elif images.dtype != np.uint8:
-        images = np.clip(images, 0, 255)
+        # auto-scale float images: [0,1]-normalized and standardized inputs
+        # would otherwise clip to near-black
+        lo, hi = float(images.min()), float(images.max())
+        if hi <= 1.0 + 1e-6 and lo >= -1e-6:
+            images = images * 255.0
+        elif lo < 0.0 or hi <= 16.0:
+            images = (images - lo) / max(hi - lo, 1e-6) * 255.0
+        else:
+            images = np.clip(images, 0, 255)
     images = images.astype(np.uint8)
     n = images.shape[0]
     cols = int(np.ceil(np.sqrt(n)))
@@ -44,6 +52,12 @@ def save_image_grid(images: np.ndarray, path: str, *, value_range: str = "tanh")
 
 
 @TrainerCallback.register("generator")
+@TrainerCallback.register("ldm")
+@TrainerCallback.register("ddpm")
+@TrainerCallback.register("ae_kl")
+@TrainerCallback.register("ae_vq")
+@TrainerCallback.register("vae")
+@TrainerCallback.register("gan")
 class GeneratorCallback(ArtifactCallback):
     """Sample + reconstruct grids per artifact step."""
 
@@ -77,18 +91,29 @@ class GeneratorCallback(ArtifactCallback):
 
 
 @TrainerCallback.register("vq_vae")
-class VQVAECallback(GeneratorCallback):
-    """+ codebook-index histograms (reference `vq_vae.py:19`)."""
+class VQVAECallback(ArtifactCallback):
+    """originals + reconstructions + codebook indices, all from the SAME
+    batch so the dumped indices match the images (reference `vq_vae.py:19`)."""
+
+    key = "images"
+    num_samples = 4
 
     def log_artifacts(self, trainer: Any) -> None:
-        super().log_artifacts(trainer)
-        if not self.is_local_rank_0 or self._folder is None:
+        if not self.is_local_rank_0:
+            return
+        folder = self._prepare_folder(trainer)
+        if folder is None:
             return
         batch = trainer.train_loader.get_one_batch()
-        outputs = trainer.model.run({INPUT_KEY: np.asarray(batch[INPUT_KEY])[:4]}, training=False)
+        original = np.asarray(batch[INPUT_KEY])[: self.num_samples]
+        save_image_grid(original, os.path.join(folder, "original.png"))
+        outputs = trainer.model.run({INPUT_KEY: original}, training=False)
+        recon = outputs.get(PREDICTIONS_KEY)
+        if recon is not None and np.asarray(recon).shape == original.shape:
+            save_image_grid(np.asarray(recon), os.path.join(folder, "reconstructed.png"))
         indices = outputs.get("indices")
         if indices is not None:
-            np.save(os.path.join(self._folder, "code_indices.npy"), np.asarray(indices))
+            np.save(os.path.join(folder, "code_indices.npy"), np.asarray(indices))
 
 
 @TrainerCallback.register("image_classification")

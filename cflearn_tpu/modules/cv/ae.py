@@ -15,7 +15,7 @@ from flax import nnx
 
 from ..common import register_module
 from ..core.attentions import SpatialAttention
-from ..core.convs import Downsample, ResidualBlock, UpsampleConv2d, interpolate
+from ..core.convs import Downsample, ResidualBlock, UpsampleConv2d
 from .common import GaussianDistribution, VQCodebook, generators
 
 

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from ...constants import LABEL_KEY, PREDICTIONS_KEY
+from ...constants import PREDICTIONS_KEY
 from ..common import register_module
 from .common import GaussianDistribution, VQCodebook, generators
 from .decoder import VanillaDecoder1D

@@ -154,6 +154,11 @@ class CLIPTokenizer(ITokenizer):
         word = tuple(token[:-1]) + (token[-1] + "</w>",)
         pairs = _get_pairs(word)
         if not pairs or not self.bpe_ranks:
+            # no merges loaded → character-level fallback: per-char symbols
+            # ARE in the base vocab, while a whole-word symbol like
+            # 'hello</w>' is not and would be silently dropped by encode()
+            if not self.bpe_ranks and len(word) > 1:
+                return " ".join(word)
             return token + "</w>"
         while True:
             bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))

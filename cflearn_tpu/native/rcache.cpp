@@ -138,7 +138,9 @@ int rc_write(const char* path, const uint8_t* data, uint64_t num_records, uint64
     fclose(f);
     return -1;
   }
-  fclose(f);
+  // fclose flushes stdio buffers — a failure here (e.g. disk full) means
+  // the store on disk is truncated and must NOT be reported as success
+  if (fclose(f) != 0) return -1;
   return 0;
 }
 

@@ -26,18 +26,29 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         if _build_failed:
             return None
         if not _LIB_PATH.is_file():
+            # compile to a per-process temp path and os.replace (atomic):
+            # writing the final path directly leaves a truncated .so behind
+            # on interrupt/concurrent builds, permanently poisoning the cache
+            tmp_path = _LIB_PATH.with_suffix(f".{os.getpid()}.tmp.so")
             for cc in ("c++", "g++", "clang++"):
                 try:
                     subprocess.run(
                         [cc, "-O3", "-shared", "-fPIC", "-std=c++17",
-                         "-o", str(_LIB_PATH), str(_SRC), "-lpthread"],
+                         "-o", str(tmp_path), str(_SRC), "-lpthread"],
                         check=True,
                         capture_output=True,
                         timeout=120,
                     )
+                    os.replace(tmp_path, _LIB_PATH)
                     break
                 except (FileNotFoundError, subprocess.CalledProcessError, subprocess.TimeoutExpired):
                     continue
+                finally:
+                    if tmp_path.is_file():
+                        try:
+                            tmp_path.unlink()
+                        except OSError:
+                            pass
             else:
                 _build_failed = True
                 return None
@@ -120,8 +131,12 @@ class RecordCache:
 
     def gather(self, indices: np.ndarray) -> np.ndarray:
         indices = np.ascontiguousarray(indices, dtype=np.int64)
-        out = np.empty((len(indices), self.record_size), dtype=np.uint8)
+        # consistent bounds semantics across backends: the numpy fallback
+        # would silently wrap negative indices that the native path rejects
+        if len(indices) and (indices.min() < 0 or indices.max() >= self.num_records):
+            raise IndexError("rcache gather: index out of range")
         if self._handle:
+            out = np.empty((len(indices), self.record_size), dtype=np.uint8)
             rc = self._lib.rc_gather(
                 self._handle,
                 indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

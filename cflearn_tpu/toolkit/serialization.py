@@ -137,7 +137,17 @@ class Serializer:
 
     @staticmethod
     def save_npd(folder: str, serializable: ISerializable) -> None:
-        npd = serializable.to_npd()
+        npd = dict(serializable.to_npd())
+        # object arrays would be PICKLED by savez (and then rejected by
+        # load_npd's allow_pickle=False) — encode them as unicode arrays with
+        # a marker key so the round trip stays pickle-free
+        for k in list(npd):
+            v = npd[k]
+            if isinstance(v, np.ndarray) and v.dtype == object:
+                npd[f"__obj__::{k}"] = np.where(
+                    np.frompyfunc(lambda x: x is None, 1, 1)(v).astype(bool), "", v
+                ).astype(str)
+                del npd[k]
         os.makedirs(folder, exist_ok=True)
         np.savez_compressed(os.path.join(folder, "data.npz"), **npd)
 
@@ -147,7 +157,13 @@ class Serializer:
         if not os.path.isfile(path):
             return {}
         with np.load(path, allow_pickle=False) as z:
-            return {k: z[k] for k in z.files}
+            out: Dict[str, np.ndarray] = {}
+            for k in z.files:
+                if k.startswith("__obj__::"):
+                    out[k[len("__obj__::") :]] = z[k].astype(object)
+                else:
+                    out[k] = z[k]
+            return out
 
     @classmethod
     def save(cls, folder: str, serializable: ISerializable, *, save_npd: bool = True) -> None:

@@ -97,6 +97,17 @@ class Trainer(ITrainer):
         self.config = config
         self.metrics = metrics
         self.monitors = monitors or []
+        if callbacks is None and config.callback_names:
+            # bare-Trainer usage: honor config.callback_names like the
+            # pipeline's BuildCallbacksBlock does
+            names = config.callback_names
+            if isinstance(names, str):
+                names = [names]
+            callbacks = [
+                TrainerCallback.make(n, (config.callback_configs or {}).get(n, {}))
+                for n in names
+                if TrainerCallback.has(n)
+            ]
         self.callbacks = callbacks or []
         self.inference = inference or DLInference()
         self.state: Optional[TrainerState] = None
@@ -517,6 +528,13 @@ class Trainer(ITrainer):
                     host_losses = self._drain_loss_window()
                     for callback in self.callbacks:
                         callback.after_step(StepOutputs(None, host_losses), state)
+
+                if state.should_log_artifacts:
+                    # artifact dumps (image grids etc. — reference
+                    # `trainer.py:537-539`)
+                    self._sync_state_to_model()
+                    for callback in self.callbacks:
+                        callback.log_artifacts(self)
 
                 if terminate:
                     break

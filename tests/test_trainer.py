@@ -198,3 +198,35 @@ def test_async_checkpoint_retention_paths(tmp_path) -> None:
     for file in scores:
         assert os.path.isfile(os.path.join(trainer.checkpoint_folder, file)), file
     assert trainer.restore_checkpoint()
+
+
+def test_artifact_callbacks_write_images(tmp_path) -> None:
+    """Regression (code review): the trainer never invoked `log_artifacts`,
+    so artifact callbacks were dead code. A VAE fit with the generator
+    callback must write image grids under the workspace."""
+    import glob
+
+    np.random.seed(0)
+    x = (np.random.rand(32, 16, 16, 3).astype(np.float32) * 2 - 1)
+    from cflearn_tpu.data import ArrayData
+    from cflearn_tpu.monitors import LazyMonitor
+
+    data = ArrayData.init().fit(x)
+    config = DLConfig(
+        model="vae",
+        module_name="vae",
+        module_config={"img_size": 16, "latent_dim": 8, "num_downsample": 2},
+    )
+    model = IDLModel.from_config(config)
+    trainer = Trainer(
+        TrainerConfig(workspace=str(tmp_path), fixed_steps=2, callback_names=["generator"]),
+        monitors=[LazyMonitor()],
+    )
+    trainer.fit(data, model)
+    arts = glob.glob(os.path.join(str(tmp_path), "**", "original.png*"), recursive=True)
+    assert arts, "generator callback must dump original.png at artifact steps"
+    # reference-style per-model callback names resolve too
+    from cflearn_tpu.schema.train_schema import TrainerCallback
+
+    for name in ("ldm", "ddpm", "ae_kl", "ae_vq", "vae", "gan", "vq_vae"):
+        assert name in TrainerCallback.d, name
