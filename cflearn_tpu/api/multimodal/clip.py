@@ -16,23 +16,43 @@ from ...modules.nlp.tokenizers import CLIPTokenizer
 from ..common import IAPI
 
 
+CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
 class CLIPExtractor(IAPI):
-    def __init__(self, m: CLIP, *, use_bf16: bool = False, tokenizer: Optional[CLIPTokenizer] = None) -> None:
+    def __init__(self, m: CLIP, *, use_bf16: bool = False, tokenizer: Optional[Any] = None) -> None:
         super().__init__(m, use_bf16=use_bf16)
         self.m: CLIP = m
-        self.tokenizer = tokenizer or CLIPTokenizer()
+        if tokenizer is None:
+            # ChineseCLIP's text tower is BERT (context_length 512) — the
+            # English BPE tokenizer's ids would silently index garbage
+            # (reference selects 'clip.chinese' by context_length)
+            if getattr(m, "context_length", 77) == 512:
+                from ...modules.nlp.tokenizers import ChineseCLIPTokenizer
+
+                tokenizer = ChineseCLIPTokenizer()
+            else:
+                tokenizer = CLIPTokenizer()
+        self.tokenizer = tokenizer
         graphdef, _ = nnx.split(m)
         self._graphdef = graphdef
         self._img_fn = jax.jit(lambda st, x: nnx.merge(graphdef, st).encode_image(x))
         self._txt_fn = jax.jit(lambda st, t: nnx.merge(graphdef, st).encode_text(t))
 
     def get_image_latent(self, images: np.ndarray, *, batch_size: int = 64) -> np.ndarray:
-        """images: uint8/float NHWC at the model's img_size, normalized [-1,1]."""
+        """images: uint8 (or [0,1]/[-1,1] float) NHWC at the model's
+        img_size; normalized with CLIP's per-channel mean/std (the stats the
+        pretrained weights were trained with — reference `get_transform`)."""
         images = np.asarray(images)
         if images.ndim == 3:
             images = images[None]
         if images.dtype == np.uint8:
-            images = images.astype(np.float32) / 127.5 - 1.0
+            images = images.astype(np.float32) / 255.0
+        elif images.min() < -1e-3:
+            # [-1, 1] input → [0, 1]
+            images = (images.astype(np.float32) + 1.0) / 2.0
+        images = (images - CLIP_MEAN) / CLIP_STD
         state = nnx.state(self.m)
         outs: List[np.ndarray] = []
         for i in range(0, len(images), batch_size):

@@ -34,10 +34,11 @@ class ExternalDataset(IDataset):
         import jax
 
         if shard_by_process and jax.process_count() > 1:
-            n = len(dataset)
-            per = n // jax.process_count()
-            start = jax.process_index() * per
-            self._indices = np.arange(start, start + per)
+            # round-robin shard: covers the tail (contiguous blocks dropped
+            # n % P samples) and interleaves any sorted-by-class ordering
+            # (the DistributedSampler strategy, reference
+            # `data/pytorch/api.py:62-71`)
+            self._indices = np.arange(jax.process_index(), len(dataset), jax.process_count())
         else:
             self._indices = np.arange(len(dataset))
 
@@ -82,10 +83,18 @@ class ExternalData(IArrayDataMixin, IData):
         *,
         config: Optional[DataConfig] = None,
         transform: Optional[Callable[[Any], Any]] = None,
+        shard_valid: bool = False,
     ) -> "ExternalData":
         self = cls.init(config)
         self.train_dataset = ExternalDataset(train, transform=transform)
-        self.valid_dataset = ExternalDataset(valid, transform=transform) if valid is not None else None
+        # valid is NOT sharded by default: every rank must see the same
+        # metrics or per-rank monitor terminate/extend decisions diverge
+        # (one rank leaves the loop while others enter a collective → hang)
+        self.valid_dataset = (
+            ExternalDataset(valid, transform=transform, shard_by_process=shard_valid)
+            if valid is not None
+            else None
+        )
         return self
 
     def get_loaders(self) -> Tuple[Any, Optional[Any]]:
@@ -97,13 +106,18 @@ class ExternalData(IArrayDataMixin, IData):
             self.train_dataset,
             batch_size=self.config.batch_size,
             shuffle=self.config.shuffle_train,
+            drop_last=self.config.drop_last,
+            sample_weights=getattr(self, "train_weights", None),
             postprocess_fn=postprocess,
+            for_inference=self.config.for_inference,
         )
         valid = None
         if self.valid_dataset is not None:
             valid = ArrayLoader(
                 self.valid_dataset,
                 batch_size=self.config.valid_batch_size or self.config.batch_size,
+                shuffle=self.config.shuffle_valid,
+                sample_weights=getattr(self, "valid_weights", None),
                 postprocess_fn=postprocess,
                 for_inference=True,
             )

@@ -30,21 +30,51 @@ def run_distributed(
 ) -> int:
     """Spawn `num_processes` copies of `script_path` wired for
     `jax.distributed`. Returns the first nonzero exit code (0 on success)."""
+    import time
+
+    from ..toolkit.misc import timestamp
+
+    run_ts = timestamp(ensure_different=True)
     procs = []
     for pid in range(num_processes):
         env = dict(os.environ)
         env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{coordinator_port}"
         env["JAX_NUM_PROCESSES"] = str(num_processes)
         env["JAX_PROCESS_ID"] = str(pid)
+        # every rank derives the SAME sub-workspace (PrepareWorkplaceBlock)
+        env["CFLEARN_TPU_RUN_TS"] = run_ts
         if force_cpu:
             env["CFLEARN_TPU_FORCE_CPU"] = "1"
         if env_overrides:
             env.update({k: str(v) for k, v in env_overrides.items()})
         cmd = [sys.executable, script_path] + list(extra_args or [])
         procs.append(subprocess.Popen(cmd, env=env))
+    # poll-and-terminate: if any rank dies, the survivors would block forever
+    # in jax.distributed barriers — kill the group and report the failure
     code = 0
-    for p in procs:
-        rc = p.wait()
-        if rc != 0 and code == 0:
-            code = rc
+    try:
+        while procs:
+            alive = []
+            for p in procs:
+                rc = p.poll()
+                if rc is None:
+                    alive.append(p)
+                elif rc != 0 and code == 0:
+                    code = rc
+            if code != 0:
+                for p in alive:
+                    p.terminate()
+                for p in alive:
+                    try:
+                        p.wait(timeout=10)
+                    except subprocess.TimeoutExpired:
+                        p.kill()
+                return code
+            procs = alive
+            if procs:
+                time.sleep(0.2)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
     return code

@@ -109,7 +109,8 @@ class TeTEncoder(nnx.Module):
         apply_final_ln: bool = True,
         return_pooled: bool = False,
     ) -> Any:
-        x = self.token_embedding(token_ids) + self.positional_embedding[...][None]
+        # slice positions to the input length (callers need not pad to max)
+        x = self.token_embedding(token_ids) + self.positional_embedding[...][None, : token_ids.shape[1]]
         hidden_states: List[jax.Array] = []
         for block in self.blocks:
             x = block(x, causal=True)
@@ -211,6 +212,7 @@ class CLIP(IPerceptor):
         text_num_layers: int = 12,
         text_num_heads: int = 8,
         activation: str = "quick_gelu",
+        build_text_tower: bool = True,
         rngs: nnx.Rngs,
     ) -> None:
         self.img_size = img_size
@@ -225,16 +227,17 @@ class CLIP(IPerceptor):
             rngs=rngs,
         )
         self.visual_projection = nnx.Linear(vision_latent_dim, latent_dim, use_bias=False, rngs=rngs)
-        self.token_encoder = TeTEncoder(
-            vocab_size=vocab_size,
-            context_length=context_length,
-            latent_dim=text_latent_dim,
-            num_layers=text_num_layers,
-            num_heads=text_num_heads,
-            activation=activation,
-            rngs=rngs,
-        )
-        self.text_projection = nnx.Linear(text_latent_dim, latent_dim, use_bias=False, rngs=rngs)
+        if build_text_tower:
+            self.token_encoder = TeTEncoder(
+                vocab_size=vocab_size,
+                context_length=context_length,
+                latent_dim=text_latent_dim,
+                num_layers=text_num_layers,
+                num_heads=text_num_heads,
+                activation=activation,
+                rngs=rngs,
+            )
+            self.text_projection = nnx.Linear(text_latent_dim, latent_dim, use_bias=False, rngs=rngs)
         self.logit_scale = nnx.Param(jnp.asarray(math.log(1.0 / 0.07)))
 
     def encode_image(self, image: jax.Array, *, normalize: bool = True) -> jax.Array:
@@ -356,9 +359,13 @@ class ChineseCLIP(CLIP):
             vision_patch_size=kwargs.pop("vision_patch_size", 14),
             vision_num_layers=kwargs.pop("vision_num_layers", 24),
             vision_num_heads=kwargs.pop("vision_num_heads", 16),
-            vocab_size=49408,  # placeholder tower, replaced below
+            # the BERT text tower below replaces CLIP's — don't allocate the
+            # ~63M-param placeholder just to throw it away
+            build_text_tower=False,
             rngs=rngs,
         )
+        if kwargs:
+            raise TypeError(f"unrecognized ChineseCLIP kwargs: {sorted(kwargs)}")
         self.token_encoder = BertTextEncoder(
             vocab_size=vocab_size,
             context_length=context_length,

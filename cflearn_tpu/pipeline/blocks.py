@@ -77,9 +77,6 @@ class SetMLDefaultsBlock(SetDefaultsBlock):
             if is_clf and config.loss_name in (None, "mse") and "loss_name" in self._defaults:
                 config.loss_name = "cross_entropy"
                 self._defaults["loss_name"] = "cross_entropy"
-            elif is_clf and config.loss_name is None:
-                config.loss_name = "cross_entropy"
-                self._defaults["loss_name"] = "cross_entropy"
             if config.metric_names is None:
                 config.metric_names = ["acc"] if is_clf else ["mae", "mse"]
                 self._defaults["metric_names"] = config.metric_names
@@ -98,7 +95,19 @@ class PrepareWorkplaceBlock(Block):
 
     def build(self, config: DLConfig) -> None:
         if config.create_sub_workspace:
-            workspace = os.path.join(config.workspace, timestamp(ensure_different=True))
+            import jax as _jax
+
+            # all processes must derive the SAME sub-workspace: the trainer's
+            # all-rank best-checkpoint restore reads rank 0's files, so a
+            # per-process microsecond suffix would silently diverge ranks.
+            # The launcher pins it via env; single-process keeps the
+            # collision-proof microsecond suffix.
+            env_ts = os.environ.get("CFLEARN_TPU_RUN_TS")
+            if env_ts:
+                ts = env_ts
+            else:
+                ts = timestamp(ensure_different=_jax.process_count() == 1)
+            workspace = os.path.join(config.workspace, ts)
             config.workspace = workspace
             config.create_sub_workspace = False
             self._defaults["workspace"] = workspace
@@ -283,7 +292,12 @@ class TrainingBlock(Block):
     def run(self, data: IData, **kwargs: Any) -> None:
         trainer_block = self.get_previous(BuildTrainerBlock)
         model_block = self.get_previous(BuildModelBlock)
-        opt_block = self.try_get_previous(SerializeOptimizerBlock)
+        # SerializeOptimizerBlock is built AFTER TrainingBlock, so it is not
+        # in `previous` — look it up on the whole pipeline or optimizer-state
+        # resume silently never happens
+        opt_block = None
+        if self.pipeline is not None:
+            opt_block = self.pipeline.try_get_block(SerializeOptimizerBlock)
         if opt_block is not None and getattr(opt_block, "opt_npd", None):
             trainer_block.trainer._preloaded_opt_npd = opt_block.opt_npd
         trainer_block.trainer.fit(data, model_block.model, **kwargs)

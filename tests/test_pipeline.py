@@ -109,8 +109,16 @@ def test_load_training_resume(tmp_path) -> None:
     data = MLData.init().fit(x, y)
     resumed.config.num_epoch = 1
     resumed.config.workspace = str(tmp_path / "resume")
+    # regression (code review): optimizer-state resume used to be dead code
+    # (TrainingBlock could not see SerializeOptimizerBlock, built after it)
+    from cflearn_tpu.pipeline.blocks import BuildTrainerBlock, SerializeOptimizerBlock
+
+    opt_block = resumed.try_get_block(SerializeOptimizerBlock)
+    assert opt_block is not None and opt_block.opt_npd, "optimizer states must be loaded"
     resumed.fit(data)
     assert resumed.is_fitted
+    trainer = resumed.try_get_block(BuildTrainerBlock).trainer
+    assert trainer._preloaded_opt_npd, "resume must hand opt states to the trainer"
 
 
 def test_ml_data_with_strings() -> None:
