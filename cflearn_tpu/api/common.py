@@ -84,10 +84,10 @@ class Weights:
         return key in self._pool
 
     def register(self, key: str, states: Dict[str, np.ndarray]) -> None:
-        if key in self._pool:
-            self._pool.move_to_end(key)
-            return
+        # re-registering REPLACES the stored states (silently keeping a
+        # stale copy would ignore a user's refreshed checkpoint)
         self._pool[key] = states
+        self._pool.move_to_end(key)
         if 0 < self.limit < len(self._pool):
             self._pool.popitem(last=False)
 

@@ -205,18 +205,27 @@ class MultiHeadSpatialAttention(nnx.Module):
         self.num_heads = num_heads
         self.norm = nnx.GroupNorm(in_channels, num_groups=num_groups, epsilon=1e-5, rngs=rngs)
         self.to_qkv = nnx.Linear(in_channels, 3 * in_channels, rngs=rngs)
-        self.to_out = nnx.Linear(in_channels, in_channels, rngs=rngs)
+        # zero-initialized output projection (reference zero_module on the
+        # attention proj_out): the block starts as identity
+        from ..common import zero_module
+
+        self.to_out = zero_module(nnx.Linear(in_channels, in_channels, rngs=rngs))
 
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         net = self.norm(x).reshape(b, h * w, c)
         qkv = self.to_qkv(net)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = sdp_attn(
-            _split_heads(q, self.num_heads),
-            _split_heads(k, self.num_heads),
-            _split_heads(v, self.num_heads),
-        )
+        # per-head-interleaved layout (reference QKVAttentionLegacy,
+        # `attentions.py:373/461`): channels are [h0:(q,k,v), h1:(q,k,v), …],
+        # NOT [Q_all | K_all | V_all] — checkpoints trained under the legacy
+        # reshape slice wrongly otherwise for num_heads > 1
+        dh = c // self.num_heads
+        qkv = qkv.reshape(b, h * w, self.num_heads, 3 * dh)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # each (b, n, heads, dh)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        out = sdp_attn(q, k, v)
         out = _merge_heads(out)
         return x + self.to_out(out).reshape(b, h, w, c)
 
@@ -238,7 +247,8 @@ class LinearDepthWiseAttention(nnx.Module):
         q = _split_heads(q, self.num_heads)
         k = _split_heads(k, self.num_heads)
         v = _split_heads(v, self.num_heads)
-        q = jax.nn.softmax(q, axis=-1)
+        # reference (`attentions.py:490`): softmax on K over the TOKEN axis
+        # only — no q softmax
         k = jax.nn.softmax(k, axis=-2)
         ctx = jnp.einsum("bhnd,bhne->bhde", k, v)
         out = jnp.einsum("bhnd,bhde->bhne", q, ctx)

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from ..common import zero_module
 from ...ops.conv import conv_call
 from ...ops.group_norm import gn_call, group_norm
 from .activations import build_activation
@@ -45,6 +46,7 @@ class Conv2d(nnx.Module):
         groups: int = 1,
         bias: bool = True,
         gain: float = 1.0,
+        weight_scale: Optional[float] = None,
         transform_kernel: bool = False,
         rngs: nnx.Rngs,
     ) -> None:
@@ -60,30 +62,64 @@ class Conv2d(nnx.Module):
             use_bias=bias,
             rngs=rngs,
         )
-        self.gain = gain
+        # reference semantics (`convs/basic.py:41`): `gain` is an INIT gain
+        # (xavier-normal), `weight_scale` is the runtime multiplier — gain
+        # must not scale activations every forward pass
+        if gain != 1.0:
+            fan_in = in_channels * kernel_size * kernel_size // groups
+            fan_out = out_channels * kernel_size * kernel_size // groups
+            std = gain * (2.0 / (fan_in + fan_out)) ** 0.5
+            k = self.conv.kernel[...]
+            self.conv.kernel[...] = std * jax.random.normal(rngs.params(), k.shape, k.dtype)
+        self.weight_scale = weight_scale
         self.transform_kernel = transform_kernel
 
     def set_circular(self, circular: bool) -> None:
         self.padding_mode = "circular" if circular else "zeros"
 
+    def _kernel(self) -> jax.Array:
+        k = self.conv.kernel[...]
+        if self.transform_kernel:
+            # [1,2,1]/4 smoothing via 4 shifted copies (reference :147-151)
+            k = jnp.pad(k, ((1, 1), (1, 1), (0, 0), (0, 0)))
+            k = (k[1:, 1:] + k[:-1, 1:] + k[1:, :-1] + k[:-1, :-1]) / 4.0
+        return k
+
     def __call__(self, x: jax.Array) -> jax.Array:
-        if self.padding_mode == "circular":
-            kh, kw = self.conv.kernel_size
-            ph, pw = kh // 2, kw // 2
-            x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="wrap")
-            backup = self.conv.padding
-            self.conv.padding = "VALID"
-            out = self.conv(x)
-            self.conv.padding = backup
+        if self.transform_kernel or self.padding_mode == "circular":
+            kernel = self._kernel()
+            if self.padding_mode == "circular":
+                kh, kw = kernel.shape[:2]
+                x = jnp.pad(
+                    x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)), mode="wrap"
+                )
+                padding: Any = "VALID"
+            else:
+                padding = self.conv.padding
+                if isinstance(padding, str):
+                    padding = padding.upper()
+            out = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=self.conv.strides,
+                padding=padding,
+                rhs_dilation=self.conv.kernel_dilation,
+                feature_group_count=self.conv.feature_group_count,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.conv.bias is not None:
+                out = out + self.conv.bias[...]
         else:
             out = conv_call(self.conv, x)
-        if self.gain != 1.0:
-            out = out * self.gain
+        if self.weight_scale is not None:
+            out = out * self.weight_scale
         return out
 
 
 class DepthWiseConv2d(nnx.Module):
-    """Depthwise + pointwise (reference `convs/basic.py:187`)."""
+    """Depthwise conv, no pointwise stage (reference `convs/basic.py:187`
+    is a single groups=dim conv — an extra pointwise layer would have no
+    checkpoint counterpart)."""
 
     def __init__(self, dim: int, *, kernel_size: int = 3, rngs: nnx.Rngs) -> None:
         self.depth_wise = nnx.Conv(
@@ -94,10 +130,9 @@ class DepthWiseConv2d(nnx.Module):
             feature_group_count=dim,
             rngs=rngs,
         )
-        self.point_wise = nnx.Conv(dim, dim, kernel_size=(1, 1), rngs=rngs)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        return self.point_wise(self.depth_wise(x))
+        return self.depth_wise(x)
 
 
 class Interpolate(nnx.Module):
@@ -214,17 +249,34 @@ class ECABlock(nnx.Module):
 
 
 class CABlock(nnx.Module):
-    """Channel attention (RCAN-style; reference `convs/basic.py:389`)."""
+    """Coordinate Attention (reference `convs/basic.py:389` — separate H/W
+    pooled paths through a shared bottleneck, per-row and per-column sigmoid
+    gates; NOT plain channel attention)."""
 
-    def __init__(self, num_channels: int, reduction: int = 16, *, rngs: nnx.Rngs) -> None:
-        self.down = nnx.Conv(num_channels, num_channels // reduction, kernel_size=(1, 1), rngs=rngs)
-        self.up = nnx.Conv(num_channels // reduction, num_channels, kernel_size=(1, 1), rngs=rngs)
+    def __init__(self, num_channels: int, reduction: int = 32, *, rngs: nnx.Rngs) -> None:
+        latent = max(8, num_channels // reduction)
+        self.conv_in = nnx.Conv(num_channels, latent, kernel_size=(1, 1), rngs=rngs)
+        self.norm = nnx.BatchNorm(latent, rngs=rngs)
+        self.conv_h = nnx.Conv(latent, num_channels, kernel_size=(1, 1), rngs=rngs)
+        self.conv_w = nnx.Conv(latent, num_channels, kernel_size=(1, 1), rngs=rngs)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        w = jnp.mean(x, axis=(1, 2), keepdims=True)
-        w = jax.nn.relu(self.down(w))
-        w = jax.nn.sigmoid(self.up(w))
-        return x * w
+        b, h, w, c = x.shape
+        net_h = jnp.mean(x, axis=2, keepdims=True)  # (b, h, 1, c)
+        net_w = jnp.mean(x, axis=1, keepdims=True)  # (b, 1, w, c)
+        net_w_t = net_w.transpose(0, 2, 1, 3)  # (b, w, 1, c)
+        net = jnp.concatenate([net_h, net_w_t], axis=1)  # (b, h+w, 1, c)
+        net = self.conv_in(net)
+        net = self.norm(net)
+        net = _h_swish(net)
+        gate_h, gate_w = net[:, :h], net[:, h:]
+        gate_h = jax.nn.sigmoid(self.conv_h(gate_h))  # (b, h, 1, c)
+        gate_w = jax.nn.sigmoid(self.conv_w(gate_w)).transpose(0, 2, 1, 3)  # (b, 1, w, c)
+        return x * gate_h * gate_w
+
+
+def _h_swish(x: jax.Array) -> jax.Array:
+    return x * jax.nn.relu6(x + 3.0) / 6.0
 
 
 class ResidualBlock(nnx.Module):
@@ -245,6 +297,8 @@ class ResidualBlock(nnx.Module):
         self.conv1 = nnx.Conv(in_channels, out_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
         self.norm2 = nnx.GroupNorm(out_channels, num_groups=num_groups, epsilon=eps, rngs=rngs)
         self.dropout = nnx.Dropout(dropout, rngs=rngs) if dropout > 0 else None
+        # NOT zero-initialized: only the time-embedding UNet resblock zeros
+        # its conv2 in the reference (`residual.py:202`)
         self.conv2 = nnx.Conv(out_channels, out_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
         if in_channels != out_channels:
             self.shortcut = nnx.Conv(in_channels, out_channels, kernel_size=(1, 1), rngs=rngs)
@@ -286,7 +340,11 @@ class ResidualBlockWithTimeEmbedding(nnx.Module):
         self.time_proj = nnx.Linear(time_embed_dim, embed_out, rngs=rngs)
         self.norm2 = nnx.GroupNorm(out_channels, num_groups=num_groups, epsilon=eps, rngs=rngs)
         self.dropout = nnx.Dropout(dropout, rngs=rngs) if dropout > 0 else None
-        self.conv2 = nnx.Conv(out_channels, out_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
+        # zero-initialized (reference `residual.py:202` zero_module): the
+        # residual branch starts as identity — from-scratch training parity
+        self.conv2 = zero_module(
+            nnx.Conv(out_channels, out_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
+        )
         if in_channels != out_channels:
             self.shortcut = nnx.Conv(in_channels, out_channels, kernel_size=(1, 1), rngs=rngs)
         else:

@@ -64,23 +64,37 @@ class RNN(nnx.Module):
         bidirectional: bool = False,
         rngs: nnx.Rngs,
     ) -> None:
+        def make_cell(in_dim: int) -> Any:
+            if cell_type.lower() == "lstm":
+                return nnx.OptimizedLSTMCell(in_dim, hidden_dim, rngs=rngs)
+            return nnx.GRUCell(in_dim, hidden_dim, rngs=rngs)
+
+        self.bidirectional = bidirectional
         cells = []
+        bwd_cells = []
         in_dim = input_dim
         for _ in range(num_layers):
-            if cell_type.lower() == "lstm":
-                cell = nnx.OptimizedLSTMCell(in_dim, hidden_dim, rngs=rngs)
-            else:
-                cell = nnx.GRUCell(in_dim, hidden_dim, rngs=rngs)
-            cells.append(nnx.RNN(cell))
-            in_dim = hidden_dim
+            cells.append(nnx.RNN(make_cell(in_dim)))
+            if bidirectional:
+                bwd_cells.append(nnx.RNN(make_cell(in_dim)))
+            in_dim = hidden_dim * (2 if bidirectional else 1)
         self.layers = nnx.List(cells)
-        self.head = nnx.Linear(hidden_dim, output_dim, rngs=rngs)
+        self.bwd_layers = nnx.List(bwd_cells) if bidirectional else nnx.data(None)
+        self.head = nnx.Linear(in_dim, output_dim, rngs=rngs)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         if x.ndim == 2:
             x = x[:, None, :]
-        for layer in self.layers:
-            x = layer(x)
+        if not self.bidirectional:
+            for layer in self.layers:
+                x = layer(x)
+            return self.head(x[:, -1])
+        # reference `ml/rnn.py:29,67`: forward + reversed passes, features
+        # concatenated (head input dim doubles)
+        for fwd, bwd in zip(self.layers, self.bwd_layers):
+            f = fwd(x)
+            b = bwd(x[:, ::-1])[:, ::-1]
+            x = jnp.concatenate([f, b], axis=-1)
         return self.head(x[:, -1])
 
 
@@ -266,9 +280,11 @@ class NDT(nnx.Module):
         def walk(node: int, path: List[Any]) -> None:
             if t.children_left[node] == -1:
                 li = leaf_idx[node]
+                # reference `ndt.py:75-78`: weights sign/len(path), NO bias —
+                # a depth-proportional bias let deep partially-matched leaves
+                # outscore shallow fully-matched ones
                 for (i, sgn) in path:
-                    route_w[i, li] = sgn * scale
-                route_b[li] = scale * 0.5 * len(path)
+                    route_w[i, li] = sgn * scale / max(len(path), 1)
                 return
             i = internal_idx[node]
             walk(t.children_left[node], path + [(i, -1.0)])

@@ -346,9 +346,14 @@ def _bwd_blocks(q_len: int, kv_len: int, d: int):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention_trainable(q, k, v, causal: bool = False, sm_scale: Optional[float] = None):
     """Differentiable flash attention: Pallas forward + Pallas backward
-    (custom VJP). Positional `causal`/`sm_scale` (non-diff args)."""
-    out, _ = _flash_fwd_with_lse(q, k, v, causal, sm_scale)
-    return out
+    (custom VJP). Positional `causal`/`sm_scale` (non-diff args).
+
+    The PRIMAL (used when not differentiating) is the tuned inference
+    kernel; the custom-VJP fwd rule (used under jax.grad) computes the lse
+    residuals. This makes the kernel safe to use unconditionally — callers
+    no longer need a (fragile) training flag to avoid routing gradients
+    into a VJP-less kernel."""
+    return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
 
 
 def _flash_fwd_with_lse(q, k, v, causal, sm_scale):
@@ -556,8 +561,9 @@ def sdp_attn(
 
                 return context_parallel_attention(q, k, v, mesh, causal=causal, sm_scale=sm_scale)
     if mask is None and bias is None and not force_xla and _use_pallas(q, k):
-        if training:
-            # custom-VJP kernel: training attention stays on Pallas too
-            return flash_attention_trainable(q, k, v, causal, sm_scale)
-        return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+        # always the custom-VJP entry: its primal IS the tuned inference
+        # kernel, and under jax.grad the Pallas backward engages — modules
+        # built with dropout=0.0 (which report training=False) stay
+        # differentiable (code-review regression)
+        return flash_attention_trainable(q, k, v, causal, sm_scale)
     return xla_attention(q, k, v, causal=causal, sm_scale=sm_scale, mask=mask, bias=bias)

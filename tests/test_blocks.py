@@ -278,3 +278,93 @@ def test_tome_non_divisible_sizes_keep_all_tokens() -> None:
     out = np.asarray(unmerge(merge(x)))
     assert out.shape == np.asarray(x).shape
     assert np.isfinite(out).all()
+
+
+def test_mhsa_uses_legacy_interleaved_qkv_layout() -> None:
+    """Regression (code review): fused-qkv channels are per-head interleaved
+    [h0:(q,k,v), h1:(q,k,v), …] (reference QKVAttentionLegacy) — a global
+    [Q|K|V] split would slice converted checkpoints wrongly for heads>1."""
+    import jax
+    import jax.numpy as jnp
+
+    from cflearn_tpu.modules.core.attentions import MultiHeadSpatialAttention
+
+    heads, c = 2, 8
+    m = MultiHeadSpatialAttention(c, num_heads=heads, num_groups=4, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 3, c))
+    out = m(x)
+    # manual legacy computation from the module's own weights
+    net = np.asarray(m.norm(x)).reshape(1, 9, c)
+    w = np.asarray(m.to_qkv.kernel[...])
+    bqkv = np.asarray(m.to_qkv.bias[...])
+    qkv = net @ w + bqkv  # (1, 9, 3c)
+    dh = c // heads
+    qkv = qkv.reshape(1, 9, heads, 3 * dh)
+    q, k, v = qkv[..., :dh], qkv[..., dh : 2 * dh], qkv[..., 2 * dh :]
+    outs = []
+    for h_ in range(heads):
+        scores = (q[0, :, h_] / np.sqrt(dh)) @ k[0, :, h_].T
+        p = np.exp(scores - scores.max(-1, keepdims=True))
+        p = p / p.sum(-1, keepdims=True)
+        outs.append(p @ v[0, :, h_])
+    attn = np.concatenate(outs, axis=-1)
+    expected = np.asarray(x) + (
+        attn @ np.asarray(m.to_out.kernel[...]) + np.asarray(m.to_out.bias[...])
+    ).reshape(1, 3, 3, c)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
+def test_ndt_routes_match_sklearn_tree() -> None:
+    """Regression (code review): a depth-proportional route bias misrouted
+    leaves on unbalanced trees."""
+    from sklearn.tree import DecisionTreeClassifier
+
+    from cflearn_tpu.modules.ml.nets import NDT
+
+    rng = np.random.RandomState(0)
+    # unbalanced: one shallow pure region + deep structure elsewhere
+    x = rng.rand(400, 3).astype(np.float32)
+    y = ((x[:, 0] > 0.7) | ((x[:, 1] > 0.5) & (x[:, 2] > 0.5))).astype(np.int64)
+    tree = DecisionTreeClassifier(max_depth=5, random_state=0).fit(x, y)
+    ndt = NDT.from_sklearn_tree(tree, 3, 2, rngs=nnx.Rngs(0))
+    import jax.numpy as jnp
+
+    pred = np.argmax(np.asarray(ndt(jnp.asarray(x))), axis=-1)
+    agreement = float((pred == tree.predict(x)).mean())
+    assert agreement > 0.95, agreement
+
+
+def test_rnn_bidirectional_and_conv2d_gain() -> None:
+    """Regression (code review): `bidirectional` was silently ignored;
+    Conv2d `gain` scaled activations at runtime instead of init."""
+    import jax
+    import jax.numpy as jnp
+
+    from cflearn_tpu.modules.core.convs import Conv2d
+    from cflearn_tpu.modules.ml.nets import RNN
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 3))
+    uni = RNN(3, 2, hidden_dim=8, rngs=nnx.Rngs(0))
+    bi = RNN(3, 2, hidden_dim=8, bidirectional=True, rngs=nnx.Rngs(0))
+    assert uni(x).shape == bi(x).shape == (4, 2)
+    assert bi.head.kernel[...].shape[0] == 16  # doubled head input
+
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    plain = Conv2d(4, 4, kernel_size=3, rngs=nnx.Rngs(0))
+    scaled = Conv2d(4, 4, kernel_size=3, weight_scale=2.0, rngs=nnx.Rngs(0))
+    np.testing.assert_allclose(
+        np.asarray(scaled(img)), 2.0 * np.asarray(plain(img)), atol=1e-5
+    )
+    # transform_kernel runs (was stored-but-ignored) and changes the output
+    tk = Conv2d(4, 4, kernel_size=3, transform_kernel=True, rngs=nnx.Rngs(0))
+    assert not np.allclose(np.asarray(tk(img)), np.asarray(plain(img)))
+
+
+def test_weights_pool_reregister_replaces() -> None:
+    """Regression (code review): re-registering a tag kept the stale copy."""
+    from cflearn_tpu.api.common import Weights
+
+    w = Weights()
+    w.register("v", {"a": np.zeros(2)})
+    w.register("v", {"a": np.ones(2)})
+    np.testing.assert_array_equal(w.get("v")["a"], np.ones(2))

@@ -165,9 +165,15 @@ def test_ddim_guidance_interval() -> None:
         ),
         rngs=nnx.Rngs(0),
     )
-    # de-zero conv_out so conditioning actually moves eps
-    k = ddpm.unet.conv_out.kernel
-    k[...] = 0.1 * jax.random.normal(jax.random.PRNGKey(1), k[...].shape)
+    # de-zero the SD-parity zero-initialized convs (conv_out + resblock
+    # conv2s) so the ADM label conditioning actually moves eps
+    seed = 1
+    for _, mod in nnx.iter_graph(ddpm.unet):
+        if isinstance(mod, nnx.Conv) and not np.asarray(mod.kernel[...]).any():
+            mod.kernel[...] = 0.1 * jax.random.normal(
+                jax.random.PRNGKey(seed), mod.kernel[...].shape
+            )
+            seed += 1
     z = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
     cond = jnp.asarray([1, 2])
     uncond = jnp.asarray([0, 0])
