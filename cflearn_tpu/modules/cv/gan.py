@@ -7,7 +7,7 @@ PatchGAN discriminators used both standalone and inside the AE adversarial
 losses).
 """
 
-from typing import Any, List, Optional
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -83,6 +83,7 @@ class NLayerDiscriminator(nnx.Module):
         in_channels: int = 3,
         num_layers: int = 3,
         start_channels: int = 64,
+        num_classes: Optional[int] = None,
         rngs: nnx.Rngs,
     ) -> None:
         blocks: List[Any] = []
@@ -100,15 +101,33 @@ class NLayerDiscriminator(nnx.Module):
         self.blocks = nnx.List(blocks)
         self.norms = nnx.List(norms)
         self.conv_out = nnx.Conv(ch, 1, kernel_size=(4, 4), padding=[(1, 1), (1, 1)], rngs=rngs)
+        self.num_classes = num_classes
+        # class-conditional logits head on the final feature map (reference
+        # `gan/discriminators.py:89-93`: 4x4 conv -> spatial mean)
+        if num_classes is not None:
+            self.cond = nnx.Conv(ch, num_classes, kernel_size=(4, 4), padding=[(1, 1), (1, 1)], rngs=rngs)
+        else:
+            self.cond = nnx.data(None)
 
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def features(self, x: jax.Array) -> jax.Array:
         net = x
         for conv, norm in zip(self.blocks, self.norms):
             net = conv(net)
             if norm is not None:
                 net = norm(net)
             net = jax.nn.leaky_relu(net, 0.2)
-        return self.conv_out(net)
+        return net
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.conv_out(self.features(x))
+
+    def forward_with_cond(self, x: jax.Array) -> Tuple[jax.Array, Optional[jax.Array]]:
+        feature_map = self.features(x)
+        logits = self.conv_out(feature_map)
+        cond_logits = None
+        if self.cond is not None:
+            cond_logits = jnp.mean(self.cond(feature_map), axis=(1, 2))
+        return logits, cond_logits
 
 
 @discriminators.register("basic")

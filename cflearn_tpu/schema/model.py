@@ -56,6 +56,12 @@ class TrainStep:
         self.requires_grad_in_forward = requires_grad_in_forward
         self.requires_scheduler_step = requires_scheduler_step
         self.enable_toggle_optimizer = enable_toggle_optimizer
+        # scope -> active flag for the CURRENTLY COMPILED step program; set by
+        # the trainer before tracing so a step's loss can statically depend on
+        # whether a sibling step is live (e.g. the AE generator only adds its
+        # adversarial term once the discriminator step has started — reference
+        # `models/cv/ae.py:220-225` gates on `d_loss_start_step`)
+        self.step_actives: Dict[str, bool] = {}
 
     # traced ------------------------------------------------------------------
 

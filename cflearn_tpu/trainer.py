@@ -248,6 +248,12 @@ class Trainer(ITrainer):
             callback.mutate_train_forward_kwargs(forward_kwargs, self)
             callback.mutate_train_loss_kwargs(loss_kwargs, self)
 
+        # tell each step which scopes are live in THIS compiled program so
+        # losses can statically gate on sibling steps (AE adversarial start)
+        actives_map = {train_steps[i].scope: bool(actives[i]) for i in range(len(train_steps))}
+        for ts in train_steps:
+            ts.step_actives = actives_map
+
         # finetune freezing: per-scope boolean mask trees over the diff params
         # (reference sets requires_grad=False, `trainer.py:457-493`; here the
         # functional equivalent zeroes grads before the optimizer — matching

@@ -49,6 +49,49 @@ def test_gan_training(image_data, tmp_path) -> None:
     assert any(k.startswith("core_") for k in (trainer.intermediate.metric_values if trainer.intermediate else {}))
 
 
+def test_gan_wgangp_and_conditional(tmp_path) -> None:
+    """Regression (code review): only the vanilla GAN loss existed — lsgan /
+    wgangp (+ gradient penalty) and the class-conditional discriminator head
+    (reference `GANLoss`/`GradientNormLoss`, `models/cv/gan.py:35-82`) were
+    silently ignored."""
+    from cflearn_tpu.models.cv.gan import gan_loss
+
+    logits = jnp.array([0.5, -1.5, 2.0])
+    np.testing.assert_allclose(
+        np.asarray(gan_loss(logits, True, mode="lsgan")),
+        np.mean((np.asarray(logits) - 1.0) ** 2),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gan_loss(logits, True, mode="wgangp")),
+        -np.mean(np.asarray(logits)),
+        rtol=1e-6,
+    )
+
+    np.random.seed(1)
+    x = np.random.rand(32, 16, 16, 3).astype(np.float32) * 2 - 1
+    y = np.random.randint(0, 4, (32, 1)).astype(np.int64)
+    data = ArrayData.init().fit(x, y)
+    config = DLConfig(
+        model="gan",
+        module_name="gan",
+        module_config={
+            "img_size": 16,
+            "latent_dim": 16,
+            "latent_resolution": 4,
+            "num_classes": 4,
+            "discriminator_config": {"num_layers": 2, "start_channels": 16},
+        },
+        loss_config={"gan_mode": "wgangp", "lambda_gp": 5.0},
+    )
+    trainer = _train(config, data, tmp_path)
+    mv = trainer.intermediate.metric_values if trainer.intermediate else {}
+    assert any("d_gp" in k for k in mv), mv.keys()
+    assert any("g_cond" in k for k in mv), mv.keys()
+    for v in mv.values():
+        assert np.isfinite(v)
+
+
 def test_vae_training(image_data, tmp_path) -> None:
     config = DLConfig(model="vae", module_name="vae", module_config={"img_size": 16, "latent_dim": 8, "num_downsample": 2})
     _train(config, image_data, tmp_path)
@@ -99,6 +142,57 @@ def test_ae_kl_adversarial_training(image_data, tmp_path) -> None:
         },
     )
     _train(config, image_data, tmp_path)
+
+
+def test_ae_kl_d_loss_start_step_and_adaptive_weight(image_data, tmp_path) -> None:
+    """Regression (code review): `d_loss_start_step` was stored but never
+    consumed — the adversarial game always ran from step 0 (reference gates
+    both steps on it, `models/cv/ae.py:220,339`); `use_adaptive_weight` was
+    documented but unimplemented."""
+    module_config = {
+        "img_size": 16,
+        "inner_channels": 32,
+        "z_channels": 2,
+        "embedding_channels": 2,
+        "channel_multipliers": [1, 2],
+        "use_perceptual": False,
+        "use_adaptive_weight": True,
+        "log_var_init": 0.0,
+    }
+
+    def run(start_step: int, workspace: str):
+        config = DLConfig(
+            model="ae_kl",
+            module_name="ae_kl",
+            module_config={**module_config, "d_loss_start_step": start_step},
+        )
+        model = IDLModel.from_config(config)
+        before = jax.tree_util.tree_map(
+            np.asarray, nnx.state(model.discriminator, nnx.Param)
+        )
+        trainer = Trainer(
+            TrainerConfig(workspace=workspace, fixed_steps=2, callback_names=[]),
+            monitors=[LazyMonitor()],
+        )
+        trainer.fit(image_data, model)
+        trainer._sync_state_to_model()
+        after = jax.tree_util.tree_map(
+            np.asarray, nnx.state(trainer.model.discriminator, nnx.Param)
+        )
+        return before, after
+
+    # never reaches the start step: discriminator must stay bit-identical
+    b, a = run(100, str(tmp_path / "late"))
+    for lb, la in zip(jax.tree_util.tree_leaves(b), jax.tree_util.tree_leaves(a)):
+        np.testing.assert_array_equal(lb, la)
+    # starts immediately: discriminator must move (and the adaptive-weight
+    # + log_var paths must produce finite, trainable losses)
+    b, a = run(0, str(tmp_path / "immediate"))
+    moved = any(
+        not np.array_equal(lb, la)
+        for lb, la in zip(jax.tree_util.tree_leaves(b), jax.tree_util.tree_leaves(a))
+    )
+    assert moved
 
 
 def test_classifier_training(tmp_path) -> None:
