@@ -283,6 +283,16 @@ class DiffusionAPI(IAPI):
                 module.set_tome_ratio(ratio, merge_mlp=merge_mlp)
         self._jit_cache.clear()
 
+    def set_deepcache(self, interval: Optional[int], *, cut: int = 3) -> None:
+        """DeepCache (Ma et al. 2023) UNet feature reuse: every `interval`-th
+        sampler step runs the full UNet and caches the deep-branch feature;
+        in-between steps run only the shallowest `cut` input blocks +
+        `cut+1` output blocks, splicing the cache in. `interval=None` (or
+        <=1) disables. Trace-time static — programs recompile on change."""
+        self.m.deepcache_interval = None if interval is not None and interval <= 1 else interval
+        self.m.deepcache_cut = cut
+        self._jit_cache.clear()
+
     def setup_hooks(
         self,
         *,

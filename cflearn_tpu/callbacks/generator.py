@@ -147,3 +147,8 @@ class SigmoidCallback(ArtifactCallback):
         if preds is not None:
             probs = 1.0 / (1.0 + np.exp(-np.asarray(preds)))
             save_image_grid(probs * 2 - 1, os.path.join(folder, "probabilities.png"))
+
+
+# reference base-class name (`callbacks/general.py:250` ImageCallback — the
+# artifact callback that rasterizes image grids)
+ImageCallback = GeneratorCallback

@@ -10,6 +10,8 @@ LABEL_KEY = "labels"
 PREDICTIONS_KEY = "predictions"
 LOSS_KEY = "loss"
 LATENT_KEY = "latent"
+MU_KEY = "mu"
+LOG_VAR_KEY = "log_var"
 BATCH_INDICES_KEY = "batch_indices"
 ORIGINAL_LABEL_KEY = "original_labels"
 

@@ -46,3 +46,11 @@ class ArrayDictData(IArrayDataMixin, IData):
         if y is not None:
             arrays[LABEL_KEY] = np.asarray(y)
         return arrays
+
+
+# reference dataset-class name; dict batches are served by the same
+# fancy-indexing array dataset here
+from .utils import ArrayDataset as ArrayDictDataset  # noqa: E402
+
+# interface alias (reference IArrayDictDataset)
+IArrayDictDataset = ArrayDictDataset

@@ -15,7 +15,9 @@ Parity: reference `cflearn/data/blocks/ml/` (1,397 LoC):
 * `GatherBlock` (`gather.py:13`) — final feature/label dims.
 """
 
+import dataclasses
 import math
+from enum import Enum
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -523,3 +525,77 @@ class GatherBlock(IDataBlock):
             if x is not None:
                 setattr(bundle, attr, np.ascontiguousarray(np.asarray(x, dtype=np.float32)))
         return bundle
+
+
+# ---------------------------------------------------------------------------
+# reference-parity enums + per-block config dataclasses (reference
+# `schema.py:741-751`, `data/blocks/ml/nan_handler.py:15-29`,
+# `splitter.py:38-42,249-256`, `preprocessor.py:28-57`, `recognizer.py:18-21`
+# — the blocks above consume the same string values)
+# ---------------------------------------------------------------------------
+
+class DataTypes(str, Enum):
+    INT = "int"
+    FLOAT = "float"
+    STRING = "string"
+
+
+class ColumnTypes(str, Enum):
+    REDUNDANT = REDUNDANT
+    NUMERICAL = NUMERICAL
+    CATEGORICAL = CATEGORICAL
+
+
+class DataOrder(str, Enum):
+    NONE = "none"
+    TOP_DOWN = "top_down"
+    BOTTOM_UP = "bottom_up"
+
+
+class NanReplaceMethod(str, Enum):
+    MEAN = "mean"
+    MEDIAN = "median"
+
+
+class NanDropStrategy(str, Enum):
+    NONE = "none"
+    DROP_Y = "drop_y"
+    DROP_ALL = "drop_all"
+
+
+class PreProcessMethods(str, Enum):
+    MIN_MAX = "min_max"
+    NORMALIZE = "normalize"
+    QUANTILE_NORMALIZE = "quantile_normalize"
+
+
+@dataclasses.dataclass
+class MLNanHandlerConfig:
+    drop_strategy: str = NanDropStrategy.DROP_Y
+    replace_method: str = NanReplaceMethod.MEDIAN
+
+
+@dataclasses.dataclass
+class MLRecognizerConfig:
+    all_close_threshold: float = 1.0e-6
+    redundancy_threshold: float = 0.5
+    custom_feature_types: Optional[Dict[str, str]] = None
+
+
+@dataclasses.dataclass
+class MLSplitterConfig:
+    num_split: Optional[Any] = None
+    min_split: Optional[int] = None
+    max_split: int = 10000
+    split_order: str = DataOrder.NONE
+    split_shuffle: bool = True
+    is_classification: Optional[bool] = None
+
+
+@dataclasses.dataclass
+class MLPreProcessConfig:
+    auto_preprocess: bool = True
+    preprocess_methods: Optional[Dict[str, str]] = None
+    preprocess_configs: Optional[Dict[str, Dict[str, Any]]] = None
+    label_preprocess_methods: Optional[Dict[str, str]] = None
+    label_preprocess_configs: Optional[Dict[str, Dict[str, Any]]] = None

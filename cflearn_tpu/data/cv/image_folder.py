@@ -14,12 +14,12 @@ native deps; decode/resize happens once at preparation time.
 import json
 import os
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
 
 import numpy as np
 
 from ...constants import INPUT_KEY, LABEL_KEY
-from ...schema.data import DataConfig, IData, IDataset
+from ...schema.data import DataConfig, IData, IDataset, IDataBlock
 from ..utils import ArrayLoader, IArrayDataMixin
 
 META_FILE = "meta.json"
@@ -309,3 +309,74 @@ class ImageFolderData(IArrayDataMixin, IData):
             return len(self._dataset("valid"))
         except (KeyError, IndexError):
             return 0
+
+
+default_image_extensions = {".jpg", ".png", ".jpeg"}
+
+
+class CollectResults(NamedTuple):
+    all_img_paths: List[str]
+    hierarchy_list: List[List[str]]
+
+
+def collect_images(
+    src_folder: str,
+    *,
+    prefix: Optional[str] = None,
+    extensions: Optional[Any] = None,
+    filter_fn: Optional[Any] = None,
+) -> CollectResults:
+    """Walk `src_folder` and collect image paths + their folder hierarchies
+    (reference `data/blocks/cv/image_folder.py:224`)."""
+    if extensions is None:
+        extensions = default_image_extensions
+    prefix_idx = len(prefix.split(os.path.sep)) if prefix is not None else 0
+    all_img_paths: List[str] = []
+    hierarchy_list: List[List[str]] = []
+    for root, _, files in sorted(os.walk(src_folder)):
+        for name in sorted(files):
+            if os.path.splitext(name)[1].lower() not in extensions:
+                continue
+            path = os.path.join(root, name)
+            hierarchy = path.split(os.path.sep)[prefix_idx:]
+            if filter_fn is not None and not filter_fn(hierarchy):
+                continue
+            hierarchy_list.append(hierarchy)
+            all_img_paths.append(path)
+    return CollectResults(all_img_paths, hierarchy_list)
+
+
+@IDataBlock.register("image_folder")
+class ImageFolderBlock(IDataBlock):
+    """Turn a raw image folder (`bundle.x_train` = src path) into a prepared
+    packed folder via `prepare_image_folder` (reference
+    `data/blocks/cv/image_folder.py:728`)."""
+
+    tgt_folder: Optional[str]
+    preparation_pack: Optional[Dict[str, Any]]
+    force_rerun: bool
+
+    @property
+    def fields(self) -> List[str]:
+        return ["tgt_folder", "preparation_pack", "force_rerun"]
+
+    @property
+    def init_fields(self) -> Dict[str, Any]:
+        return {"tgt_folder": None, "preparation_pack": None, "force_rerun": False}
+
+    def fit_transform(self, bundle: Any) -> Any:
+        return self.transform(bundle, False)
+
+    def transform(self, bundle: Any, for_inference: bool) -> Any:
+        src = bundle.x_train
+        if not isinstance(src, str):
+            return bundle
+        tgt = self.tgt_folder or (src.rstrip(os.path.sep) + "_prepared")
+        pack = dict(self.preparation_pack or {})
+        prep_type = pack.pop("type", "resized")
+        preparation = (
+            ResizedPreparation(**pack) if prep_type == "resized" else DefaultPreparation()
+        )
+        prepare_image_folder(src, tgt, preparation=preparation, force=self.force_rerun)
+        bundle.x_train = tgt
+        return bundle

@@ -130,3 +130,8 @@ class ExternalData(IArrayDataMixin, IData):
     @property
     def num_valid(self) -> int:
         return len(self.valid_dataset) if self.valid_dataset is not None else 0
+
+
+# reference config name (`data/utils.py` TorchDataConfig — external-dataset
+# loader config; the shared DataConfig plays that role here)
+TorchDataConfig = DataConfig

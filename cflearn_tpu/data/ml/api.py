@@ -8,11 +8,12 @@ always appends `GatherBlock` (reference `data/ml/api.py:91-92`).
 """
 
 import dataclasses
-from typing import Any, Dict, List, Optional
+from enum import Enum
+from typing import Any, Dict, List, NamedTuple, Optional
 
 import numpy as np
 
-from ...schema.data import DataProcessor, DataProcessorConfig, IData, IDataBlock
+from ...schema.data import DataConfig, DataProcessor, DataProcessorConfig, IData, IDataBlock
 from ..array import ArrayData
 from ..blocks.ml import (
     FileParserBlock,
@@ -22,7 +23,7 @@ from ..blocks.ml import (
     RecognizerBlock,
     SplitterBlock,
 )
-from ..utils import IArrayDataMixin
+from ..utils import ArrayDataset, ArrayLoader, IArrayDataMixin
 
 
 @dataclasses.dataclass(eq=False)
@@ -128,3 +129,46 @@ class MLData(IArrayDataMixin, IData):
 
     def get_arrays(self, for_valid: bool) -> Optional[Dict[str, np.ndarray]]:
         return ArrayData.get_arrays(self, for_valid)  # type: ignore[arg-type]
+
+
+# ---------------------------------------------------------------------------
+# reference-parity names (reference `data/blocks/ml/schema.py:9-17`,
+# `data/blocks/ml/file.py:212`, `data/ml/api.py:107-156`)
+# ---------------------------------------------------------------------------
+
+class MLDatasetTag(str, Enum):
+    TRAIN = "train"
+    VALID = "validation"
+
+
+class MLBatch(NamedTuple):
+    input: np.ndarray
+    labels: Optional[np.ndarray]
+    others: Optional[Dict[str, np.ndarray]] = None
+
+
+@dataclasses.dataclass(eq=False)
+class MLFileProcessorConfig(MLProcessorConfig):
+    """CSV/file-parsing preset (the FileParserBlock consumes these keys)."""
+
+    delimiter: str = ","
+    has_header: bool = True
+    label_names: Optional[List[str]] = None
+    label_indices: Optional[List[int]] = None
+    contain_labels: bool = True
+    auto_convert_labels: bool = True
+    custom_dtypes: Optional[Dict[str, str]] = None
+    custom_mappings: Optional[Dict[str, Dict[str, int]]] = None
+    default_values: Optional[Dict[str, int]] = None
+
+
+@dataclasses.dataclass(eq=False)
+class MLDataConfig(DataConfig):
+    batch_size: int = 128
+    valid_batch_size: int = 256
+
+
+# array-backed dataset/loader roles (reference MLDataset/MLLoader subclass
+# the array stack; here the array stack is used directly)
+MLDataset = ArrayDataset
+MLLoader = ArrayLoader

@@ -13,7 +13,7 @@ from typing import Any, Dict, Iterator, List, Optional, Tuple
 import jax
 import numpy as np
 
-from ..constants import BATCH_INDICES_KEY, INPUT_KEY, LABEL_KEY
+from ..constants import BATCH_INDICES_KEY, INPUT_KEY, LABEL_KEY, PREDICTIONS_KEY
 from ..schema.data import DataConfig, IData, IDataLoader, IDataset
 from ..toolkit.misc import np_dict_type, to_jax_dtype
 
@@ -256,3 +256,34 @@ class DeviceBatcher:
 
     def get_full_batch(self) -> Dict[str, Any]:
         return self._convert(self.loader.get_full_batch(), allow_pad=False)
+
+
+def predict_array_data(
+    m: Any,
+    data: "IArrayDataMixin",
+    run_fn: Optional[Any] = None,
+    *,
+    batch_size: Optional[int] = None,
+    **predict_kwargs: Any,
+) -> Dict[str, np.ndarray]:
+    """Run a model over every batch of `data`'s train loader and concatenate
+    the outputs (reference `data/utils.py:226`)."""
+    if batch_size is not None:
+        data.config.batch_size = batch_size
+    loader = data.get_loaders()[0]
+    results: Dict[str, List[np.ndarray]] = {}
+    for i, batch in enumerate(loader):
+        if run_fn is None:
+            out = m.run(batch, training=False, **predict_kwargs)
+        else:
+            out = run_fn(m, i, batch, **predict_kwargs)
+        if not isinstance(out, dict):
+            out = {PREDICTIONS_KEY: out}
+        for k, v in out.items():
+            if v is not None:
+                results.setdefault(k, []).append(np.asarray(v))
+    return {k: np.concatenate(v, axis=0) for k, v in results.items()}
+
+
+# reference interface names (`data/utils.py` IArrayDataset / ArrayDictDataset)
+IArrayDataset = ArrayDataset

@@ -177,3 +177,7 @@ def _batch_len(np_batch: np_dict_type) -> int:
         if isinstance(v, np.ndarray) and v.ndim >= 1:
             return v.shape[0]
     return 1
+
+
+# reference interface name (`schema.py:954` IInference)
+IInference = DLInference

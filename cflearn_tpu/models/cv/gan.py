@@ -9,7 +9,7 @@ step sees generated samples through `lax.stop_gradient` instead of optimizer
 toggling.
 """
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +22,21 @@ from ...schema.config import DLConfig
 from ...schema.losses_schema import loss_dict_type
 from ...schema.model import IDLModel, TrainStep
 from ...toolkit.misc import tensor_dict_type
+
+
+class GANTarget(NamedTuple):
+    """reference `models/cv/gan.py:30`."""
+
+    target_is_real: bool
+    labels: Optional[jax.Array] = None
+
+
+class DiscriminatorOutput(NamedTuple):
+    """(patch logits, optional class logits) — reference
+    `modules/cv/gan/discriminators.py` DiscriminatorOutput."""
+
+    output: Any
+    cond_logits: Optional[jax.Array] = None
 
 
 def gan_loss(logits: Any, target_real: bool, *, mode: str = "vanilla") -> jax.Array:
@@ -156,13 +171,13 @@ class GANModel(IDLModel):
             DiscriminatorStep(loss_mode=self.loss_mode, lambda_gp=self.lambda_gp),
         ]
 
-    def discriminate(self, x: jax.Array) -> Any:
+    def discriminate(self, x: jax.Array) -> DiscriminatorOutput:
         """(patch logits, optional class logits) — reference
         `DiscriminatorOutput` (`modules/cv/gan/discriminators.py`)."""
         fwd = getattr(self.discriminator, "forward_with_cond", None)
         if fwd is None:
-            return self.discriminator(x), None
-        return fwd(x)
+            return DiscriminatorOutput(self.discriminator(x), None)
+        return DiscriminatorOutput(*fwd(x))
 
     def params_filter(self, scope: str) -> Any:
         if scope == "discriminator":

@@ -70,3 +70,20 @@ class TemporalMLModel(CommonMLModel):
         if self.encoder is not None:
             net = self.encoder(net).merged
         return self.m(net)
+
+
+def to_ml_model(name: str) -> str:
+    """reference `schema.py:1991`."""
+    return f"ml.{name}"
+
+
+def register_ml_model(name: str) -> Any:
+    """Register an IDLModel under the `ml.` namespace (reference
+    `models/ml/common.py:23`)."""
+    return IDLModel.register(to_ml_model(name))
+
+
+@register_ml_model("wnd")
+class WideAndDeepModel(CommonMLModel):
+    """Wide-and-deep: the `wnd` module takes (wide=one_hot+numerical,
+    deep=embedding+numerical) — reference `models/ml/wnd.py:13`."""

@@ -147,3 +147,7 @@ class EMA(nnx.Module):
 
     def restore(self, module: nnx.Module, stored: Any) -> None:
         nnx.update(module, stored)
+
+
+# reference registry-dict name (`modules/__init__.py` module_dict)
+module_dict = module_registry

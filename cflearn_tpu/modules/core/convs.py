@@ -366,3 +366,229 @@ class ResidualBlockWithTimeEmbedding(nnx.Module):
         net = conv_call(self.conv2, net)
         skip = x if self.shortcut is None else self.shortcut(x)
         return skip + net
+
+
+class GaussianBlur3(nnx.Module):
+    """Fixed depthwise [1,2,1]⊗[1,2,1]/16 blur (reference
+    `convs/basic.py:27`)."""
+
+    def __init__(self, in_channels: int, *, rngs: Optional[nnx.Rngs] = None) -> None:
+        base = jnp.array([1.0, 2.0, 1.0])
+        kernel = base[:, None] * base[None, :] / 16.0
+        # HWIO, one group per channel
+        self.kernel = nnx.Variable(jnp.tile(kernel[:, :, None, None], (1, 1, 1, in_channels)))
+        self.in_channels = in_channels
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return jax.lax.conv_general_dilated(
+            x,
+            self.kernel[...].astype(x.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.in_channels,
+        )
+
+
+def conv_nd(n: int, in_channels: int, out_channels: int, kernel_size: int, *, stride: int = 1, padding: Union[int, str] = 0, rngs: nnx.Rngs, **kwargs: Any) -> nnx.Module:
+    """Rank-n convolution (reference `convs/basic.py:519`). NHWC-family
+    layouts (channels-last)."""
+    if isinstance(padding, int):
+        pad: Any = [(padding, padding)] * n
+    else:
+        pad = padding
+    return nnx.Conv(
+        in_channels,
+        out_channels,
+        kernel_size=(kernel_size,) * n,
+        strides=(stride,) * n,
+        padding=pad,
+        rngs=rngs,
+        **kwargs,
+    )
+
+
+def get_conv_blocks(
+    in_channels: int,
+    out_channels: int,
+    kernel_size: int,
+    stride: int,
+    *,
+    bias: bool = True,
+    norm_type: Optional[str] = None,
+    norm_kwargs: Optional[Any] = None,
+    activation: Optional[Any] = None,
+    pre_activate: bool = False,
+    rngs: nnx.Rngs,
+    **conv2d_kwargs: Any,
+) -> Any:
+    """[conv, norm?, activation?] (or pre-activated order) — reference
+    `convs/basic.py:529`. Returns a list of callables; compose with
+    `toolkit.misc.Sequential` or apply in order."""
+    from .norms import NormFactory
+
+    conv = Conv2d(
+        in_channels,
+        out_channels,
+        kernel_size=kernel_size,
+        stride=stride,
+        bias=bias,
+        rngs=rngs,
+        **conv2d_kwargs,
+    )
+    blocks: list = []
+    if not pre_activate:
+        blocks.append(conv)
+    if norm_type is not None and norm_type != "none":
+        factory = NormFactory(norm_type)
+        norm_dim = in_channels if pre_activate else out_channels
+        blocks.append(factory.make(norm_dim, rngs=rngs, **(norm_kwargs or {})))
+    if activation is not None:
+        if isinstance(activation, str):
+            activation = build_activation(activation, rngs=rngs)
+        blocks.append(activation)
+    if pre_activate:
+        blocks.append(conv)
+    return blocks
+
+
+class ResDownsample(nnx.Module):
+    """Symmetric stride-2 conv (or avg-pool) downsample with the reference
+    UNet signature (reference `convs/residual.py:86`)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        use_conv: bool,
+        *,
+        out_channels: Optional[int] = None,
+        padding: int = 1,
+        rngs: nnx.Rngs,
+    ) -> None:
+        out_channels = out_channels or in_channels
+        if not use_conv and in_channels != out_channels:
+            raise ValueError("`in_channels` must equal `out_channels` when `use_conv=False`")
+        self.net = Downsample(
+            in_channels, out_channels, use_conv=use_conv, symmetric=padding == 1, rngs=rngs
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.net(x)
+
+
+class ResUpsample(nnx.Module):
+    """2x nearest upsample + optional conv3x3 (reference
+    `convs/residual.py:120`)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        use_conv: bool,
+        *,
+        out_channels: Optional[int] = None,
+        padding: int = 1,
+        rngs: nnx.Rngs,
+    ) -> None:
+        out_channels = out_channels or in_channels
+        if use_conv:
+            self.conv = nnx.Conv(
+                in_channels,
+                out_channels,
+                kernel_size=(3, 3),
+                padding=[(padding, padding)] * 2,
+                rngs=rngs,
+            )
+        else:
+            self.conv = nnx.data(None)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = interpolate(x, factor=2.0, mode="nearest")
+        if self.conv is not None:
+            x = self.conv(x)
+        return x
+
+
+class ResidualBlockV2(nnx.Module):
+    """Pre-activation residual block: (norm→act→conv) x2 + skip (reference
+    `convs/residual.py:54`)."""
+
+    def __init__(
+        self,
+        dim: int,
+        dropout: float,
+        kernel_size: int = 3,
+        stride: int = 1,
+        *,
+        norm_type: Optional[str] = "batch_norm",
+        rngs: nnx.Rngs,
+        **kwargs: Any,
+    ) -> None:
+        from .norms import NormFactory
+
+        factory = NormFactory(norm_type)
+        self.norm1 = factory.make(dim, rngs=rngs)
+        self.conv1 = Conv2d(dim, dim, kernel_size=kernel_size, stride=stride, padding="same", rngs=rngs)
+        self.dropout = nnx.Dropout(dropout, rngs=rngs) if 0.0 < dropout < 1.0 else None
+        self.norm2 = factory.make(dim, rngs=rngs)
+        self.conv2 = Conv2d(dim, dim, kernel_size=kernel_size, stride=stride, padding="same", rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        net = x
+        if self.norm1 is not None:
+            net = self.norm1(net)
+        net = self.conv1(jax.nn.leaky_relu(net, 0.2))
+        if self.dropout is not None:
+            net = self.dropout(net)
+        if self.norm2 is not None:
+            net = self.norm2(net)
+        net = self.conv2(jax.nn.leaky_relu(net, 0.2))
+        return x + net
+
+
+def max_pool2d_with_indices(x: jax.Array, kernel_size: int, stride: Optional[int] = None) -> Tuple[jax.Array, jax.Array]:
+    """NHWC max pool returning flat spatial argmax indices (for
+    `MaxUnpool2d`)."""
+    stride = stride or kernel_size
+    b, h, w, c = x.shape
+    flat_idx = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w, 1)
+    flat_idx = jnp.broadcast_to(flat_idx, x.shape)
+
+    def reducer(a, b_):
+        av, ai = a
+        bv, bi = b_
+        take_b = bv > av
+        return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
+
+    neg_inf = jnp.finfo(x.dtype).min
+    vals, idxs = jax.lax.reduce_window(
+        (x, flat_idx),
+        (neg_inf, jnp.int32(0)),
+        reducer,
+        (1, kernel_size, kernel_size, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )
+    return vals, idxs
+
+
+class MaxUnpool2d(nnx.Module):
+    """Scatter pooled values back to their argmax positions (reference
+    `convs/basic.py:294`; indices as produced by
+    `max_pool2d_with_indices`)."""
+
+    def __init__(self, kernel_size: int, stride: Optional[int] = None, *, rngs: Optional[nnx.Rngs] = None) -> None:
+        self.kernel_size = kernel_size
+        self.stride = stride or kernel_size
+
+    def __call__(self, x: jax.Array, indices: jax.Array, output_size: Tuple[int, int]) -> jax.Array:
+        b, h, w, c = x.shape
+        oh, ow = output_size
+        flat = jnp.zeros((b, oh * ow, c), x.dtype)
+        idx = indices.reshape(b, h * w, c)
+        vals = x.reshape(b, h * w, c)
+        out = jax.vmap(
+            lambda f, i, v: jax.vmap(
+                lambda fc, ic, vc: fc.at[ic].set(vc), in_axes=-1, out_axes=-1
+            )(f, i, v)
+        )(flat, idx, vals)
+        return out.reshape(b, oh, ow, c)

@@ -151,3 +151,26 @@ class DropPath(nnx.Module):
         mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(key, keep, mask_shape)
         return jnp.where(mask, x / keep, 0.0)
+
+
+def leaf_aggregation(net: jax.Array, leaves: jax.Array) -> jax.Array:
+    """`net @ softmax(leaves, axis=1)` (reference `customs.py:117`
+    LeafAggregation — a torch custom-autograd memory optimization; JAX AD
+    differentiates the expression natively)."""
+    return net @ jax.nn.softmax(leaves, axis=1)
+
+
+def route(planes: jax.Array, path_mask: jax.Array, sign_mask: jax.Array) -> jax.Array:
+    """Per-leaf routing probabilities from internal-node plane logits
+    (reference `customs.py:138` Route). `planes`: (B, T, I) logits;
+    `path_mask`/`sign_mask`: (L, I) static tree-path masks. Returns
+    (B, T, L)."""
+    p_left = jax.nn.sigmoid(planes)[:, :, None, :]  # (B, T, 1, I)
+    p = jnp.where(sign_mask[None, None] > 0.5, 1.0 - p_left, p_left)
+    log_p = jnp.where(path_mask[None, None] > 0.5, jnp.log(jnp.clip(p, 1e-12)), 0.0)
+    return jnp.exp(jnp.sum(log_p, axis=-1))
+
+
+# reference custom-autograd names
+LeafAggregation = leaf_aggregation
+Route = route

@@ -100,3 +100,7 @@ class OverlapPatchEmbed(nnx.Module):
         net = self.projection(x)
         b, h, w, d = net.shape
         return self.norm(net.reshape(b, h * w, d))
+
+
+# reference base name (`core/high_level.py` ImgToPatches family)
+ImgToPatches = VanillaPatchEmbed

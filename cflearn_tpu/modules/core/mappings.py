@@ -107,3 +107,7 @@ class ResBlock(nnx.Module):
 
 def build_mapping(name: str, *args: Any, **kwargs: Any) -> nnx.Module:
     return mappings.build(name, *args, **kwargs)
+
+
+# reference `register_mapping` (`core/mappings.py` registry surface)
+register_mapping = mappings.register

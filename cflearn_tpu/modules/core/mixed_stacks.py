@@ -25,6 +25,20 @@ token_mixers = PrefixModules("token_mixer")
 channel_mixers = PrefixModules("channel_mixer")
 
 
+def build_token_mixer(name: str, **kwargs: Any) -> Any:
+    """reference `build_token_mixer` (`mixed_stacks/token_mixers.py`)."""
+    return token_mixers.build(name, **kwargs)
+
+
+def build_channel_mixer(name: str, **kwargs: Any) -> Any:
+    """reference `build_channel_mixer` (`mixed_stacks/channel_mixers.py`)."""
+    return channel_mixers.build(name, **kwargs)
+
+
+register_token_mixer = token_mixers.register
+register_channel_mixer = channel_mixers.register
+
+
 # ----------------------------------------------------------------------------
 # token mixers
 # ----------------------------------------------------------------------------
@@ -578,3 +592,74 @@ class SpatialTransformer(nnx.Module):
         else:
             net = self.proj_out(net.reshape(b, h, w, -1))
         return residual + net
+
+
+# reference inner-block name (`mixed_stacks/spatial.py` SpatialTransformerBlock)
+SpatialTransformerBlock = BasicTransformerBlock
+
+# interface names for custom mixers (reference ITokenMixer/IChannelMixer —
+# register concrete mixers with `register_token_mixer`/`register_channel_mixer`)
+class ITokenMixer(nnx.Module):
+    """Token-mixing interface: `__call__(net, *, deterministic) -> net`."""
+
+
+class IChannelMixer(nnx.Module):
+    """Channel-mixing interface: `__call__(net) -> net`."""
+
+
+class BertPooler(nnx.Module):
+    """CLS-token pooler: first token → linear → tanh (reference
+    `mixed_stacks/poolers.py:14`)."""
+
+    def __init__(self, dim: int, *, rngs: nnx.Rngs) -> None:
+        self.linear = nnx.Linear(dim, dim, rngs=rngs)
+
+    def __call__(self, net: jax.Array) -> jax.Array:
+        return jnp.tanh(self.linear(net[:, 0]))
+
+
+class SequencePooler(nnx.Module):
+    """Learned softmax-weighted sequence pooling with optional aux heads
+    (reference `mixed_stacks/poolers.py:27`)."""
+
+    def __init__(
+        self,
+        dim: int,
+        aux_heads: Optional[List[str]] = None,
+        bias: bool = True,
+        *,
+        rngs: nnx.Rngs,
+    ) -> None:
+        self.out_dim = 1 + (0 if aux_heads is None else len(aux_heads))
+        self.projection = nnx.Linear(dim, self.out_dim, use_bias=bias, rngs=rngs)
+
+    def __call__(self, net: jax.Array) -> jax.Array:
+        weights = jax.nn.softmax(self.projection(net), axis=1)
+        net = jnp.swapaxes(weights, -1, -2) @ net
+        if self.out_dim > 1:
+            return net
+        return net.squeeze(-2)
+
+
+def walk_spatial_transformer_blocks(m: nnx.Module, fn: Any) -> None:
+    """Apply `fn` to every `SpatialTransformerBlock` under `m` (reference
+    `mixed_stacks/api.py:905`)."""
+    seen = set()
+    for _, child in nnx.iter_graph(m):
+        if isinstance(child, BasicTransformerBlock) and id(child) not in seen:
+            seen.add(id(child))
+            fn(child)
+
+
+def walk_spatial_transformer_hooks(m: nnx.Module, fn: Any = None) -> List[Any]:
+    """Collect (and optionally visit) every block's hooks object (reference
+    `mixed_stacks/api.py:914`)."""
+    all_hooks: List[Any] = []
+    walk_spatial_transformer_blocks(
+        m, lambda block: all_hooks.append(getattr(block, "hooks", None))
+    )
+    all_hooks = [h for h in all_hooks if h is not None]
+    if fn is not None:
+        for hooks in all_hooks:
+            fn(hooks, all_hooks)
+    return all_hooks

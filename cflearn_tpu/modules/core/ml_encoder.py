@@ -11,7 +11,7 @@ possible (XLA fuses the rest).
 
 import dataclasses
 import math
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -103,3 +103,30 @@ class Encoder(nnx.Module):
             if self.dropout is not None:
                 embedding = self.dropout(embedding)
         return MLEncodePack(one_hot, embedding, numerical)
+
+
+class EncodingResult(NamedTuple):
+    """Raw categorical encodings (reference `ml_encoder.py:73`)."""
+
+    indices: Optional[jax.Array]
+    one_hot: Optional[jax.Array]
+    embedding: Optional[jax.Array]
+
+    @property
+    def merged(self) -> Optional[jax.Array]:
+        if self.one_hot is None and self.embedding is None:
+            return None
+        if self.one_hot is None:
+            return self.embedding
+        if self.embedding is None:
+            return self.one_hot
+        return jnp.concatenate([self.one_hot, self.embedding], axis=-1)
+
+
+def ml_encode(encoder: Optional["Encoder"], net: jax.Array) -> MLEncodePack:
+    """Encode categorical columns of `net` (reference `ml_encoder.py:268`);
+    the nnx `Encoder.__call__` already performs the merge, this is the
+    functional reference surface."""
+    if encoder is None or not getattr(encoder, "categorical_columns", None):
+        return MLEncodePack(None, None, net, None, net)
+    return encoder(net)

@@ -60,3 +60,8 @@ class NormFactory:
         if nt == "instance_norm":
             return nnx.GroupNorm(dim, num_groups=dim, rngs=rngs, **kwargs)
         raise ValueError(f"unrecognized norm type '{nt}'")
+
+
+# reference aliases (`core/norms.py` BN/LN): NHWC BatchNorm / LayerNorm
+BN = nnx.BatchNorm
+LN = nnx.LayerNorm

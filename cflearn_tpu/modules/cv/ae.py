@@ -243,3 +243,16 @@ class AutoEncoderVQ(nnx.Module):
             "commitment_loss": out.commitment_loss,
             "indices": out.indices,
         }
+
+
+# reference class names (`modules/cv/encoder/attn.py:32`,
+# `decoder/attn.py:34`, `ae/kl.py:70`, `ae/vq.py:17`, `ae/common.py:12`)
+AttentionEncoder = AttnEncoder
+AttentionDecoder = AttnDecoder
+AttentionAutoEncoderKL = AutoEncoderKL
+AttentionAutoEncoderVQ = AutoEncoderVQ
+
+
+class IAttentionAutoEncoder(nnx.Module):
+    """Interface of the SD first-stage AEs: `encode`/`decode` with an
+    attention mid-block (reference `ae/common.py:12`)."""

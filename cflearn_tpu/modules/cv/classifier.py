@@ -242,3 +242,56 @@ class ImgSiren(nnx.Module):
     def to_image(self, out: jax.Array) -> jax.Array:
         b = out.shape[0]
         return jnp.tanh(out.reshape(b, self.img_size, self.img_size, -1))
+
+
+def make_grid(size: int, in_dim: int = 2) -> jax.Array:
+    """[-1, 1] coordinate grid, flattened to (1, size^in_dim, in_dim)
+    (reference `implicit/siren.py:21`)."""
+    axes = [jnp.linspace(-1.0, 1.0, size) for _ in range(in_dim)]
+    grid = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
+    return grid.reshape(1, -1, in_dim)
+
+
+def img_siren_head(size: int, out_channels: int) -> Any:
+    """Reshape flat SIREN outputs to an NHWC image (reference
+    `implicit/siren.py:27`)."""
+
+    def head(net: jax.Array) -> jax.Array:
+        return net.reshape(net.shape[0], size, size, out_channels)
+
+    return head
+
+
+class Siren(nnx.Module):
+    """Bare sinusoidal coordinate MLP (reference `implicit/siren.py:97` —
+    `ImgSiren` composes this with `make_grid` + `img_siren_head`)."""
+
+    def __init__(
+        self,
+        *,
+        in_dim: int = 2,
+        out_dim: int = 3,
+        latent_dim: int = 256,
+        num_layers: int = 5,
+        w_sin: float = 30.0,
+        rngs: nnx.Rngs,
+    ) -> None:
+        layers = []
+        ch = in_dim
+        for _ in range(num_layers):
+            layers.append(nnx.Linear(ch, latent_dim, rngs=rngs))
+            ch = latent_dim
+        self.layers = nnx.List(layers)
+        self.head = nnx.Linear(ch, out_dim, rngs=rngs)
+        self.w_sin = w_sin
+
+    def __call__(self, coords: jax.Array) -> jax.Array:
+        net = coords
+        for i, layer in enumerate(self.layers):
+            w = self.w_sin if i == 0 else 1.0
+            net = jnp.sin(w * layer(net))
+        return self.head(net)
+
+
+# reference class name (`cv/classifier/vanilla.py` VanillaClassifier)
+VanillaClassifier = ImageClassifier

@@ -24,6 +24,27 @@ discriminators = PrefixModules("discriminators")
 auto_regressors = PrefixModules("auto_regressors")
 
 
+def _make_build(registry: PrefixModules) -> Any:
+    def build(name: str, *, config: Optional[Dict[str, Any]] = None, **kwargs: Any) -> nnx.Module:
+        return registry.build(name, **{**(config or {}), **kwargs})
+
+    return build
+
+
+# reference-named functional surface (`cflearn/modules/cv/common.py:35-39`
+# exposes build_encoder/..., register_encoder/...)
+build_encoder = _make_build(encoders)
+build_decoder = _make_build(decoders)
+build_generator = _make_build(generators)
+build_discriminator = _make_build(discriminators)
+build_auto_regressor = _make_build(auto_regressors)
+register_encoder = encoders.register
+register_decoder = decoders.register
+register_generator = generators.register
+register_discriminator = discriminators.register
+register_auto_regressor = auto_regressors.register
+
+
 @dataclasses.dataclass
 class DecoderInputs:
     z: jax.Array
@@ -101,6 +122,10 @@ class VQCodebookOutput:
     commitment_loss: jax.Array
 
 
+# reference name (`cv/common.py` VQCodebookOut)
+VQCodebookOut = VQCodebookOutput
+
+
 class VQCodebook(nnx.Module):
     """Codebook lookup + straight-through VQ (reference `cv/common.py:362`)."""
 
@@ -133,3 +158,95 @@ class VQCodebook(nnx.Module):
 
     def lookup(self, indices: jax.Array) -> jax.Array:
         return self.embedding[...][indices]
+
+
+# ---------------------------------------------------------------------------
+# interface bases (reference `modules/cv/common.py:42-330` — duck-typed here,
+# provided for subclassing/isinstance parity)
+# ---------------------------------------------------------------------------
+
+class IEncoder(nnx.Module):
+    """Image → latent (reference `cv/common.py:42`)."""
+
+    in_channels: int = 3
+
+    def encode(self, net: jax.Array) -> jax.Array:
+        return self(net)
+
+
+class IConditional(nnx.Module):
+    """Optional class conditioning (reference `cv/common.py:77`)."""
+
+    num_classes: Optional[int] = None
+
+    @property
+    def is_conditional(self) -> bool:
+        return self.num_classes is not None
+
+    def get_sample_labels(
+        self,
+        num_samples: int,
+        class_idx: Optional[int] = None,
+        *,
+        key: Optional[jax.Array] = None,
+    ) -> Optional[jax.Array]:
+        if self.num_classes is None:
+            return None
+        if class_idx is not None:
+            return jnp.full((num_samples,), class_idx, dtype=jnp.int32)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return jax.random.randint(key, (num_samples,), 0, self.num_classes)
+
+
+class IDecoder(IConditional):
+    """Latent → image (reference `cv/common.py:96`)."""
+
+    img_size: Optional[int] = None
+    latent_channels: Optional[int] = None
+    latent_resolution: Optional[int] = None
+
+    def decode(self, inputs: "DecoderInputs") -> jax.Array:
+        return self(inputs)
+
+
+class IGenerator(IConditional):
+    """Sampling interface: `sample(num, labels=...)` (reference
+    `cv/common.py:150+`)."""
+
+
+class IGaussianGenerator(IGenerator):
+    """Generators sampling from a gaussian latent (reference VAE family)."""
+
+
+class IDiscriminator(nnx.Module):
+    """Image → realness logits (reference `cv/common.py`)."""
+
+
+class IAutoRegressor(nnx.Module):
+    """Autoregressive pixel models (reference `cv/common.py`)."""
+
+
+class EncoderDecoder(nnx.Module):
+    """Registry-built encoder/decoder pair (reference `cv/common.py:338`)."""
+
+    def __init__(
+        self,
+        *,
+        encoder: str = "vanilla",
+        decoder: str = "vanilla",
+        encoder_config: Optional[Dict[str, Any]] = None,
+        decoder_config: Optional[Dict[str, Any]] = None,
+        rngs: nnx.Rngs,
+    ) -> None:
+        self.encoder = build_encoder(encoder, config=encoder_config, rngs=rngs)
+        self.decoder = build_decoder(decoder, config=decoder_config, rngs=rngs)
+
+
+def get_latent_resolution(encoder: Any, img_size: int) -> int:
+    """Trace the encoder on a zero image and report the latent spatial size
+    (reference `cv/common.py:331`; NHWC here)."""
+    in_channels = getattr(encoder, "in_channels", 3)
+    shape = (1, img_size, img_size, in_channels)
+    net = jax.eval_shape(lambda x: encoder.encode(x), jax.ShapeDtypeStruct(shape, jnp.float32))
+    return net.shape[1]

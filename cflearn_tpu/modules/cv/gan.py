@@ -169,3 +169,7 @@ class MultiScaleDiscriminator(nnx.Module):
                 b, h, w, c = net.shape
                 net = jax.image.resize(net, (b, h // 2, w // 2, c), "bilinear")
         return outs
+
+
+# reference class name (`modules/cv/gan/vanilla.py` GAN — the generator module)
+GAN = VanillaGenerator

@@ -123,3 +123,12 @@ class VQVAE(nnx.Module):
             "commitment_loss": out.commitment_loss,
             "indices": out.indices,
         }
+
+
+def reparameterize(mu: jax.Array, log_var: jax.Array, key: jax.Array) -> jax.Array:
+    """`mu + exp(0.5*log_var) * eps` (reference `vae/vanilla.py` reparameterize)."""
+    return mu + jnp.exp(0.5 * log_var) * jax.random.normal(key, mu.shape, mu.dtype)
+
+
+# reference class name (`modules/cv/vae/vanilla.py` VAE)
+VAE = VanillaVAE

@@ -302,3 +302,7 @@ class NDT(nnx.Module):
         ndt.to_routes.bias[...] = jnp.asarray(route_b)
         ndt.to_leaves.kernel[...] = jnp.asarray(leaf_w)
         return ndt
+
+
+# reference class name for the tabular transformer (`ml/mixed_stacked.py:119`)
+Transformer = TabTransformer

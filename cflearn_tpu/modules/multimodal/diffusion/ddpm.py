@@ -81,6 +81,11 @@ class DDPM(nnx.Module):
         self.parameterization = parameterization
         self.condition_type = condition_type
         self.condition_model = nnx.data(condition_model)
+        # DeepCache (Ma et al. 2023) — trace-time static config; samplers
+        # alternate full/shallow UNet passes when `deepcache_interval` is set
+        # (see `DiffusionAPI.set_deepcache`)
+        self.deepcache_interval: Optional[int] = None
+        self.deepcache_cut: int = 3
         unet_config = dict(unet_config or {})
         unet_config.setdefault("in_channels", in_channels)
         unet_config.setdefault("out_channels", out_channels)
@@ -183,7 +188,9 @@ class DDPM(nnx.Module):
         control_scales: Optional[List[Any]] = None,
         control_gates: Optional[Any] = None,
         hooks: Optional[Any] = None,
-    ) -> jax.Array:
+        deep_cache: Optional[jax.Array] = None,
+        return_cache: bool = False,
+    ) -> Any:
         """Condition dispatch + ControlNet injection (reference :358-475).
 
         Multi-control: `control_net`/`control_hint` may be lists — residuals
@@ -248,10 +255,18 @@ class DDPM(nnx.Module):
             hooks.begin("write")
             self.unet(ref_noisy, timesteps, context, labels, hooks=hooks)
             hooks.begin("read")
-            out = self.unet(net, timesteps, context, labels, control=control, hooks=hooks)
+            out = self.unet(
+                net, timesteps, context, labels, control=control, hooks=hooks,
+                deep_cache=deep_cache, cache_cut=self.deepcache_cut if (deep_cache is not None or return_cache) else None,
+                return_cache=return_cache,
+            )
             hooks.begin(None)
             return out
-        return self.unet(net, timesteps, context, labels, control=control, hooks=hooks)
+        return self.unet(
+            net, timesteps, context, labels, control=control, hooks=hooks,
+            deep_cache=deep_cache, cache_cut=self.deepcache_cut if (deep_cache is not None or return_cache) else None,
+            return_cache=return_cache,
+        )
 
     # ------------------------------------------------------------- sampling
 

@@ -10,6 +10,8 @@ num_head_channels=64, context 1024, v-parameterization for 768-v).
 
 from typing import Any, Dict, Optional
 
+from enum import Enum
+
 import jax
 import jax.numpy as jnp
 from flax import nnx
@@ -150,3 +152,19 @@ class StableDiffusionInpainting(StableDiffusion):
         kwargs.setdefault("in_channels", 9)
         super().__init__(rngs=rngs, **kwargs)
         self.out_channels = 4
+
+
+class SDLoRAMode(str, Enum):
+    """Which UNet layers LoRA attaches to (reference `ldm.py:205`)."""
+
+    UNET = "unet"
+    UNET_EXTENDED = "unet_extended"
+
+
+def convert_lora(inp: Any) -> Dict[str, Any]:
+    """Convert a kohya/diffusers torch LoRA checkpoint into a pack of
+    per-layer (down, up, alpha) arrays (reference `ldm.py:210` — there via a
+    hosted mapping json; here via the structural key mapper)."""
+    from ...core.lora import LoRAManager
+
+    return LoRAManager.load_torch_lora(inp)

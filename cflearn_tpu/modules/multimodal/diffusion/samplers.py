@@ -76,13 +76,24 @@ class ISampler(WithRegister):
         cond: Optional[Any],
         uncond: Optional[Any],
         guidance_scale: float,
+        deep_cache: Optional[jax.Array] = None,
+        return_cache: bool = False,
         **kwargs: Any,
-    ) -> jax.Array:
-        """CFG denoise → eps. Batches cond & uncond into one UNet call."""
+    ) -> Any:
+        """CFG denoise → eps. Batches cond & uncond into one UNet call.
+        `deep_cache`/`return_cache` thread the DeepCache feature (the cache
+        lives at the CFG-batched size in CFG segments)."""
         m = self.model
+        dc_kw = {}
+        if deep_cache is not None or return_cache:
+            dc_kw = {"deep_cache": deep_cache, "return_cache": True}
         if uncond is None or guidance_scale == 1.0:
-            out = m.denoise(x, t, cond, **kwargs)
-            return m.predict_eps_from(x, t.astype(jnp.int32), out)
+            out = m.denoise(x, t, cond, **kwargs, **dc_kw)
+            cache = None
+            if dc_kw:
+                out, cache = out
+            eps = m.predict_eps_from(x, t.astype(jnp.int32), out)
+            return (eps, cache) if return_cache or deep_cache is not None else eps
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
         # cond may be a pytree (hybrid concat+cross_attn conditioning)
@@ -95,10 +106,14 @@ class ISampler(WithRegister):
             kwargs["control_hint"] = jax.tree_util.tree_map(
                 lambda h: jnp.concatenate([h, h], axis=0), kwargs["control_hint"]
             )
-        out = m.denoise(x2, t2, c2, **kwargs)
+        out = m.denoise(x2, t2, c2, **kwargs, **dc_kw)
+        cache = None
+        if dc_kw:
+            out, cache = out
         eps = m.predict_eps_from(x2, t2.astype(jnp.int32), out)
         eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
-        return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+        eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+        return (eps, cache) if return_cache or deep_cache is not None else eps
 
     def _pop_control_gate_schedule(
         self, kwargs: Dict[str, Any], num_exec_steps: int
@@ -213,26 +228,72 @@ class DDIMSampler(ISampler):
             seg_uncond = uncond if use_cfg else None
             seg_scale = guidance_scale if use_cfg else 1.0
 
-            def step(x: jax.Array, inputs: Any) -> Tuple[jax.Array, None]:
-                if gates_r is None:
-                    t, a_t, a_prev, sigma_t, k = inputs
-                    kw = kwargs
-                else:
-                    t, a_t, a_prev, sigma_t, k, g = inputs
-                    kw = dict(kwargs, control_gates=g)
-                tb = jnp.full((b,), t)
-                eps = self._denoise(x, tb, cond, seg_uncond, seg_scale, **kw)
+            def update(x: jax.Array, eps: jax.Array, a_t: Any, a_prev: Any, sigma_t: Any, k: Any) -> jax.Array:
                 x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
                 dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * eps
                 noise = sigma_t * jax.random.normal(k, x.shape, x.dtype)
-                return jnp.sqrt(a_prev) * x0 + dir_xt + noise, None
+                return jnp.sqrt(a_prev) * x0 + dir_xt + noise
+
+            def unpack(inputs: Any) -> Any:
+                if gates_r is None:
+                    t, a_t, a_prev, sigma_t, k = inputs
+                    return t, a_t, a_prev, sigma_t, k, kwargs
+                t, a_t, a_prev, sigma_t, k, g = inputs
+                return t, a_t, a_prev, sigma_t, k, dict(kwargs, control_gates=g)
 
             xs = (
                 (ts_r, a_r, ap_r, s_r, seg_keys)
                 if gates_r is None
                 else (ts_r, a_r, ap_r, s_r, seg_keys, gates_r)
             )
-            out, _ = jax.lax.scan(step, x, xs)
+            interval = getattr(self.model, "deepcache_interval", None)
+            if interval is None or interval <= 1 or len(idx) < 2:
+
+                def step(x: jax.Array, inputs: Any) -> Tuple[jax.Array, None]:
+                    t, a_t, a_prev, sigma_t, k, kw = unpack(inputs)
+                    tb = jnp.full((b,), t)
+                    eps = self._denoise(x, tb, cond, seg_uncond, seg_scale, **kw)
+                    return update(x, eps, a_t, a_prev, sigma_t, k), None
+
+                out, _ = jax.lax.scan(step, x, xs)
+                return out
+
+            # DeepCache (Ma et al. 2023): the segment's first step runs FULL
+            # (unrolled, seeding the cache); subsequent steps alternate by
+            # parity — a shallow pass reuses the deep feature from the last
+            # full pass. The parity restarts per segment, so the cache never
+            # crosses a CFG-batch-size boundary.
+            first = jax.tree_util.tree_map(lambda a: a[0], xs)
+            rest = jax.tree_util.tree_map(lambda a: a[1:], xs)
+            t, a_t, a_prev, sigma_t, k, kw = unpack(first)
+            eps, cache = self._denoise(
+                x, jnp.full((b,), t), cond, seg_uncond, seg_scale, return_cache=True, **kw
+            )
+            x = update(x, eps, a_t, a_prev, sigma_t, k)
+            is_full = jnp.asarray(
+                (np.arange(1, len(idx)) % interval) == 0, dtype=bool
+            )
+
+            def dc_step(carry: Any, inputs: Any) -> Tuple[Any, None]:
+                x, cache = carry
+                step_inputs, full_flag = inputs
+                t, a_t, a_prev, sigma_t, k, kw = unpack(step_inputs)
+                tb = jnp.full((b,), t)
+
+                def run_full(_: Any) -> Any:
+                    return self._denoise(
+                        x, tb, cond, seg_uncond, seg_scale, return_cache=True, **kw
+                    )
+
+                def run_shallow(_: Any) -> Any:
+                    return self._denoise(
+                        x, tb, cond, seg_uncond, seg_scale, deep_cache=cache, **kw
+                    )
+
+                eps, new_cache = jax.lax.cond(full_flag, run_full, run_shallow, None)
+                return (update(x, eps, a_t, a_prev, sigma_t, k), new_cache), None
+
+            (out, _), _ = jax.lax.scan(dc_step, (x, cache), (rest, is_full))
             return out
 
         if self.guidance_interval is None or uncond is None:
@@ -1055,3 +1116,35 @@ class DPMSolverSampler(ISampler):
 
     def sample_from(self, x0: jax.Array, **kwargs: Any) -> jax.Array:
         return _generic_sample_from(self, x0, **kwargs)
+
+
+def is_misc_key(key: str) -> bool:
+    """Condition-dict keys that are not cross-attention context (reference
+    `samplers/schema.py:30`)."""
+    from .utils import CONCAT_KEY, CONTROL_HINT_END_KEY, CONTROL_HINT_KEY, CONTROL_HINT_START_KEY
+
+    return key in (CONCAT_KEY, CONTROL_HINT_KEY, CONTROL_HINT_START_KEY, CONTROL_HINT_END_KEY)
+
+
+class IQSampler:
+    """Forward-noising interface (reference `samplers/schema.py:72`)."""
+
+    def __init__(self, model: Any) -> None:
+        self.model = model
+
+    def q_sample(self, net: "jax.Array", timesteps: "jax.Array", noise: Optional["jax.Array"] = None) -> "jax.Array":
+        raise NotImplementedError
+
+
+class DDPMQSampler(IQSampler):
+    """q(x_t | x_0) with the model's cumulative-alpha schedule (reference
+    `samplers/schema.py:90`)."""
+
+    def q_sample(self, net: "jax.Array", timesteps: "jax.Array", noise: Optional["jax.Array"] = None) -> "jax.Array":
+        if noise is None:
+            noise = jax.random.normal(self.model.rngs.default(), net.shape, net.dtype)
+        return self.model.q_sample(net, timesteps, noise)
+
+
+# reference mixin name for the DDIM family (`samplers/ddim.py:56`)
+DDIMMixin = DDIMSampler

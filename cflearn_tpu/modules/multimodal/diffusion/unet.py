@@ -249,7 +249,17 @@ class UNetDiffuser(nnx.Module):
         *,
         control: Optional[List[jax.Array]] = None,
         hooks: Optional[SpatialTransformerHooks] = None,
-    ) -> jax.Array:
+        deep_cache: Optional[jax.Array] = None,
+        cache_cut: Optional[int] = None,
+        return_cache: bool = False,
+    ) -> Any:
+        """`deep_cache`/`cache_cut`/`return_cache` implement DeepCache (Ma et
+        al. 2023) feature reuse: with `cache_cut=c`, a FULL pass (`deep_cache
+        is None`, `return_cache=True`) additionally returns the feature
+        entering `output_blocks[-(c+1)]`; a SHALLOW pass (`deep_cache`
+        given) computes only the first `c` input blocks and the last `c+1`
+        output blocks, splicing the cached deep feature in — skipping the
+        deep levels + mid block entirely."""
         p_dtype = self.param_dtype
         net = net.astype(p_dtype)
         if context is not None:
@@ -268,20 +278,37 @@ class UNetDiffuser(nnx.Module):
                 return jax.checkpoint(lambda *a: block(*a, **kw))(*args)
             return block(*args, **kw)
 
-        for block in self.input_blocks:
-            net = run_block(block, net, time_embed, context, hooks=hooks)
-            hs.append(net)
-        net = self.mid(net, time_embed, context, hooks=hooks)
-        if control is not None:
-            net = net + control[-1]
-        for i, block in enumerate(self.output_blocks):
+        shallow = deep_cache is not None and cache_cut is not None
+        cache_out: Optional[jax.Array] = None
+        if shallow:
+            for block in list(self.input_blocks)[:cache_cut]:
+                net = run_block(block, net, time_embed, context, hooks=hooks)
+                hs.append(net)
+            net = deep_cache.astype(p_dtype)
+            out_blocks = list(self.output_blocks)[-(cache_cut + 1):]
+            cache_out = deep_cache
+        else:
+            for block in self.input_blocks:
+                net = run_block(block, net, time_embed, context, hooks=hooks)
+                hs.append(net)
+            net = self.mid(net, time_embed, context, hooks=hooks)
+            if control is not None:
+                net = net + control[-1]
+            out_blocks = list(self.output_blocks)
+        capture_at = None if cache_cut is None else len(self.output_blocks) - (cache_cut + 1)
+        for i, block in enumerate(out_blocks):
+            if not shallow and return_cache and i == capture_at:
+                cache_out = net
             skip = hs.pop()
             if control is not None:
                 skip = skip + control[len(hs)]
             net = jnp.concatenate([net, skip], axis=-1)
             net = run_block(block, net, time_embed, context, hooks=hooks)
         net = jax.nn.silu(self.norm_out(net))
-        return self.conv_out(net)
+        out = self.conv_out(net)
+        if return_cache:
+            return out, cache_out
+        return out
 
 
 @register_module("diffusion/control_net")

@@ -238,3 +238,7 @@ class ChineseCLIPTokenizer(ITokenizer):
             return_tensors="np",
         )
         return out["input_ids"].astype(np.int32)
+
+
+# reference base name (`nlp/tokenizers.py` ICLIPTokenizer)
+ICLIPTokenizer = ITokenizer

@@ -8,7 +8,7 @@ applied by the trainer placing optax state with the same NamedSharding as the
 params.
 """
 
-from typing import Any, Callable, Dict, Optional, Union
+from typing import Any, Callable, Dict, NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -140,3 +140,14 @@ def _adamp(lr: ScalarOrSchedule, **kwargs: Any) -> optax.GradientTransformation:
         _adamp_transform(**kwargs),
         optax.scale_by_learning_rate(lr),
     )
+
+
+class OptimizerPack(NamedTuple):
+    """Per-scope optimizer/scheduler declaration (reference `schema.py:1718`);
+    accepted as a value of `TrainerConfig.optimizer_settings`."""
+
+    scope: str
+    optimizer_name: str
+    scheduler_name: Optional[str] = None
+    optimizer_config: Optional[Dict[str, Any]] = None
+    scheduler_config: Optional[Dict[str, Any]] = None

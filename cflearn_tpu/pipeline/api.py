@@ -8,8 +8,10 @@ label recovery), `DLEvaluationPipeline` (:358), `DLPipelineSerializer`
 fuse ensembling).
 """
 
+import abc
 import json
 import os
+from enum import Enum
 import shutil
 from typing import Any, Dict, List, Optional, Type, TypeVar
 
@@ -492,3 +494,28 @@ class FusedInference:
 
             metric_outputs = metrics.evaluate({LABEL_KEY: first.labels}, fused)
         return InferenceOutputs(fused, first.labels, metric_outputs, first.loss_items)
+
+
+class PipelineTypes(str, Enum):
+    DL_TRAINING = "dl.training"
+    ML_TRAINING = "ml.training"
+    DL_INFERENCE = "dl.inference"
+    DL_EVALUATION = "dl.evaluation"
+
+
+class PackType(str, Enum):
+    TRAINING = "training"
+    INFERENCE = "inference"
+    EVALUATION = "evaluation"
+
+
+class IEvaluationPipeline(abc.ABC):
+    """`evaluate(loader) -> MetricsOutputs` (reference
+    `pipeline/schema.py:8`)."""
+
+    @abc.abstractmethod
+    def evaluate(self, loader: Any, **kwargs: Any) -> Any:
+        ...
+
+
+IEvaluationPipeline.register(DLEvaluationPipeline)

@@ -372,3 +372,38 @@ class SerializeOptimizerBlock(Block):
         if os.path.isfile(path):
             with np.load(path, allow_pickle=False) as z:
                 self.opt_npd = {k: z[k] for k in z.files}
+
+
+class TryLoadBlock(Block):
+    """Block that loads cached state from a serialize folder when available,
+    else builds from scratch (reference `pipeline/blocks/utils.py:23`).
+    Subclasses implement `try_load` / `from_scratch` / `dump_to`."""
+
+    serialize_folder: Optional[str] = None
+
+    def try_load(self, folder: str) -> bool:
+        raise NotImplementedError
+
+    def from_scratch(self, config: DLConfig) -> None:
+        raise NotImplementedError
+
+    def dump_to(self, folder: str) -> None:
+        raise NotImplementedError
+
+    def build(self, config: DLConfig) -> None:
+        if self.serialize_folder is not None:
+            folder = os.path.join(self.serialize_folder, self.name)
+            if self.try_load(folder):
+                return
+        self.from_scratch(config)
+
+    def save_extra(self, folder: str) -> None:
+        os.makedirs(folder, exist_ok=True)
+        self.dump_to(folder)
+
+
+# reference block names (`pipeline/blocks/basic.py` SetTrainerDefaultsBlock /
+# SetMLTrainerDefaultsBlock — trainer-default injection lives in the same
+# defaults blocks here)
+SetTrainerDefaultsBlock = SetDefaultsBlock
+SetMLTrainerDefaultsBlock = SetMLDefaultsBlock

@@ -125,3 +125,18 @@ class Pipeline(IPipeline):
         self._config = config_cls()
         self._config.from_info(info["config"])
         self.prepare()
+
+
+class InjectDefaultsMixin:
+    """Records defaults a block injected so the report can show them
+    (reference `pipeline/blocks/utils.py:12-19`; `Block` already carries
+    `_defaults`, this mixin is the standalone reference name)."""
+
+    _defaults: Dict[str, Any]
+
+    def __init__(self) -> None:
+        self._defaults = {}
+
+    def process_defaults(self, _defaults: Dict[str, Any]) -> None:
+        for k, v in self._defaults.items():
+            _defaults[k] = v

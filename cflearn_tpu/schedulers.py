@@ -174,3 +174,28 @@ class PlateauState:
                 self.scale = max(self.min_scale, self.scale * self.factor)
                 self.num_bad = 0
         return self.scale
+
+
+# scheduler "ops" registry (reference `schedulers.py:184` register_op — here
+# ops are optax-schedule factories like everything else)
+scheduler_ops: Dict[str, Callable[..., optax.Schedule]] = {}
+
+
+def register_op(name: str) -> Callable:
+    def _register(fn: Any) -> Any:
+        scheduler_ops[name] = fn
+        return fn
+
+    return _register
+
+
+# reference scheduler names → the optax factories that play the same role
+# (reference classes wrap torch LRScheduler; here every scheduler is an
+# optax.Schedule factory `f(lr, **kwargs)`)
+WarmupScheduler = _warmup
+StepLRWithFloor = _step
+ExponentialLRWithFloor = _exponential
+LinearInverseScheduler = _linear_inverse
+ReduceLROnPlateauWithGet = _plateau
+LinearWarmupOp = register_op("linear")(_linear_warmup)
+CosineWarmupOp = register_op("cosine")(_cosine_warmup)

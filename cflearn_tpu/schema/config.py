@@ -186,6 +186,17 @@ class MLConfig(DLConfig):
     index_mapping: Optional[Dict[str, int]] = None
     infer_encoder_settings: bool = True
 
+    def __post_init__(self) -> None:
+        # accept the reference's dataclass settings (MLEncoderSettings /
+        # MLGlobalEncoderSettings) anywhere plain dicts are expected
+        if self.encoder_settings:
+            self.encoder_settings = {
+                k: dataclasses.asdict(v) if dataclasses.is_dataclass(v) else v
+                for k, v in self.encoder_settings.items()
+            }
+        if dataclasses.is_dataclass(self.global_encoder_settings):
+            self.global_encoder_settings = dataclasses.asdict(self.global_encoder_settings)
+
     def sanity_check(self) -> None:
         super().sanity_check()
 
@@ -202,3 +213,44 @@ config_registry: Dict[str, type] = {
     "dl": DLConfig,
     "ml": MLConfig,
 }
+
+
+@dataclasses.dataclass
+class TqdmSettings(DataClassBase):
+    """Progress-bar settings (reference `schema.py:1866`)."""
+
+    use_tqdm: bool = False
+    use_step_tqdm: bool = False
+    use_tqdm_in_validation: bool = False
+    in_distributed: bool = False
+    position: int = 0
+    desc: str = "epoch"
+
+
+@dataclasses.dataclass
+class MLEncoderSettings(DataClassBase):
+    """Per-column categorical encoding settings (reference `schema.py`
+    MLEncoderSettings): `dim` = number of values, `methods` =
+    "embedding" | "one_hot" (or both)."""
+
+    dim: int
+    methods: Union[str, List[str]] = "embedding"
+    method_configs: Optional[Dict[str, Any]] = None
+
+    @property
+    def use_one_hot(self) -> bool:
+        methods = self.methods if isinstance(self.methods, list) else [self.methods]
+        return "one_hot" in methods
+
+    @property
+    def use_embedding(self) -> bool:
+        methods = self.methods if isinstance(self.methods, list) else [self.methods]
+        return "embedding" in methods
+
+
+@dataclasses.dataclass
+class MLGlobalEncoderSettings(DataClassBase):
+    """Global embedding overrides (reference `schema.py:1996`)."""
+
+    embedding_dim: Optional[int] = None
+    embedding_dropout: Optional[float] = None

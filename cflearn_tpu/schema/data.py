@@ -9,7 +9,7 @@ device boundary lives in the trainer's prefetcher, not here.
 """
 
 import dataclasses
-from typing import Any, Dict, Iterator, List, Optional, Tuple, Type, TypeVar, Union
+from typing import Any, Dict, Iterator, List, NamedTuple, Optional, Tuple, Type, TypeVar, Union
 
 import numpy as np
 
@@ -526,3 +526,37 @@ def norm_sw(sample_weights: Optional[np.ndarray]) -> Optional[np.ndarray]:
     if sample_weights is None:
         return None
     return sample_weights / np.sum(sample_weights)
+
+
+sample_weights_type = Optional[Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]]
+
+
+def split_sw(sample_weights: sample_weights_type) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """Split (train, valid) sample weights and normalize each (reference
+    `schema.py:208-217`)."""
+    if sample_weights is None:
+        train_weights = valid_weights = None
+    elif not isinstance(sample_weights, np.ndarray):
+        train_weights, valid_weights = sample_weights
+    else:
+        train_weights, valid_weights = sample_weights, None
+    return norm_sw(train_weights), norm_sw(valid_weights)
+
+
+class DataArgs(NamedTuple):
+    """(x, y, others) bundle slice (reference `schema.py:283`)."""
+
+    x: Any
+    y: Any
+    others: Optional[np_dict_type]
+
+    @property
+    def xy(self) -> Tuple[Any, Any]:
+        return self.x, self.y
+
+
+# shared type aliases (reference `schema.py:81-87`)
+texts_type = Union[str, List[str]]
+configs_type = Optional[Union[List[Dict[str, Any]], Dict[str, Any]]]
+general_config_type = Optional[Union[str, Dict[str, Any]]]
+states_callback_type = Optional[Any]

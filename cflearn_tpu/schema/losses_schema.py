@@ -95,3 +95,8 @@ def build_loss(name: str, config: Any = None, **kwargs: Any) -> ILoss:
     if name not in ILoss.d:
         raise ValueError(f"loss '{name}' is not registered (available: {sorted(ILoss.d)})")
     return ILoss.d[name](**kw)
+
+
+def register_loss(name: str, *, allow_duplicate: bool = False) -> Any:
+    """reference `register_loss` (`schema.py` losses registry)."""
+    return ILoss.register(name, allow_duplicate=allow_duplicate)

@@ -17,7 +17,7 @@ optimizer toggling, and "no grad in forward" becomes `lax.stop_gradient`.
 
 import json
 import os
-from typing import Any, Callable, Dict, List, Optional, Tuple, Type, TypeVar
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple, Type, TypeVar
 
 import jax
 import numpy as np
@@ -297,3 +297,11 @@ class StepOutputs:
     def __init__(self, forward_results: Any, loss_items: Dict[str, float]) -> None:
         self.forward_results = forward_results
         self.loss_items = loss_items
+
+
+class TrainStepLoss(NamedTuple):
+    """reference `schema.py` TrainStepLoss — the repo's `loss_fn` returns the
+    dict form directly; this shape is accepted for migrated code."""
+
+    loss: Any
+    losses: Dict[str, Any]

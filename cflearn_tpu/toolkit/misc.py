@@ -537,3 +537,8 @@ def make_indices_visualization_map(indices: arr_type) -> np.ndarray:
         draw.text(((28 - tw) / 2 - bbox[0], (28 - th) / 2 - bbox[1]), text, fill=0)
         tiles.append(np.asarray(img, np.float32) / 127.5 - 1.0)
     return np.stack(tiles)[..., None]
+
+
+# reference type aliases (`schema.py:82-85`)
+param_type = arr_type
+losses_type = Union[jax.Array, tensor_dict_type]

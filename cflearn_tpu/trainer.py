@@ -184,6 +184,16 @@ class Trainer(ITrainer):
             for scope, sub in self.config.optimizer_settings.items():
                 if sub is None:
                     continue
+                if hasattr(sub, "_asdict"):  # reference OptimizerPack
+                    sub = {
+                        k: v
+                        for k, v in sub._asdict().items()
+                        if k != "scope" and v is not None
+                    }
+                    if "optimizer_name" in sub:
+                        sub["optimizer"] = sub.pop("optimizer_name")
+                    if "scheduler_name" in sub:
+                        sub["scheduler"] = sub.pop("scheduler_name")
                 merged = dict(settings.get(scope, settings["all"]))
                 merged = json.loads(json.dumps(merged))
                 merged.update({k: v for k, v in sub.items() if v is not None})
@@ -731,3 +741,23 @@ class Trainer(ITrainer):
         self.model.load_state_dict(loaded.state_dict())
         self._full_state = nnx.state(self.model)
         return True
+
+
+def get_input_sample(loader: Any) -> Dict[str, Any]:
+    """First batch, truncated to one sample per key (reference
+    `trainer.py:75`)."""
+    sample = dict(next(iter(loader)))
+    for k, v in sample.items():
+        if isinstance(v, (np.ndarray, jax.Array)):
+            sample[k] = v[:1]
+        elif isinstance(v, list):
+            sample[k] = [vv[:1] if isinstance(vv, (np.ndarray, jax.Array)) else vv for vv in v]
+    return sample
+
+
+def get_update_fn(trainer: "Trainer") -> Any:
+    """The trainer's compiled step-function factory (reference
+    `schema.py:977` builds the torch update closure; here the whole
+    forward+loss+update is one jitted program keyed by the active-step
+    tuple)."""
+    return trainer.get_step_fn

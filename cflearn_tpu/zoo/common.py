@@ -325,3 +325,58 @@ def get_sd_tag(version: Optional[str]) -> str:
         SDVersions.ANIME_GUOFENG: "anime_guofeng3",
         SDVersions.ANIME_ORANGE: "anime_orange2",
     }.get(version, version)
+
+
+def parse_json(json_path: Any) -> Dict[str, Any]:
+    """Load a zoo preset json (reference `zoo/utils.py:36`)."""
+    with open(json_path, "r") as f:
+        return json.load(f)
+
+
+def parse_config_info(config: str) -> Dict[str, Any]:
+    """Parsed preset plus its resolved metadata (reference
+    `zoo/utils.py:22`)."""
+    parsed = parse_config(config)
+    return {
+        "config": config,
+        "module": parsed.get("__module__"),
+        "converter": parsed.get("__converter__"),
+        "download": parsed.get("__download__"),
+        "parsed": parsed,
+    }
+
+
+def load_predefined_config(config: str) -> Any:
+    """Zoo preset → DLConfig (reference `zoo/common.py:18`)."""
+    from ..schema.config import DLConfig
+
+    parsed = parse_config(config)
+    module_name = parsed.pop("__module__", None)
+    parsed.pop("__converter__", None)
+    parsed.pop("__download__", None)
+    if module_name is None:
+        raise ValueError(f"module name not found in '{config}'")
+    return DLConfig(module_name=module_name, module_config=parsed)
+
+
+def build_predefined_module(config: str, **kwargs: Any) -> nnx.Module:
+    """Build a zoo module without pretrained weights (reference
+    `zoo/common.py:26`)."""
+    return load_module(config, pretrained=False, **kwargs)
+
+
+def load_pretrained_weights(module: nnx.Module, tag: str, **download_kwargs: Any) -> nnx.Module:
+    """Download checkpoint `tag` and load it into `module` (reference
+    `zoo/common.py:38`)."""
+    entry = get_available().get(tag)
+    if entry is None:
+        raise ValueError(f"no pretrained checkpoint registered under tag '{tag}'")
+    npd = load_states(entry, entry.get("converter") if isinstance(entry, dict) else None)
+    state = nnx.state(module)
+    nnx.update(module, npd_to_tree(npd, state, strict=False))
+    return module
+
+
+def load_pretrained_module(config: str, **kwargs: Any) -> nnx.Module:
+    """Build + load pretrained (reference `zoo/common.py:50`)."""
+    return load_module(config, pretrained=True, **kwargs)

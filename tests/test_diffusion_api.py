@@ -558,3 +558,26 @@ def test_multi_controlnet(tiny_api) -> None:
         np.testing.assert_array_equal(gated_off, single)
     finally:
         conv_out.kernel[...] = orig_kernel
+
+
+def test_deepcache(tiny_api) -> None:
+    """DeepCache feature reuse: interval<=1 must be exactly the baseline
+    program; interval=2 runs full/shallow alternation and produces a valid,
+    close-to-baseline image (the tiny 3-in-block UNet uses cut=1)."""
+    baseline = tiny_api.txt2img("a cat", size=(64, 64), num_steps=4, seed=7)
+    try:
+        tiny_api.set_deepcache(1)
+        same = tiny_api.txt2img("a cat", size=(64, 64), num_steps=4, seed=7)
+        np.testing.assert_array_equal(baseline, same)
+        tiny_api.set_deepcache(2, cut=1)
+        cached = tiny_api.txt2img("a cat", size=(64, 64), num_steps=4, seed=7)
+        assert cached.shape == baseline.shape
+        # the approximation must stay in the same neighborhood (tiny net,
+        # 4 steps: identical full steps 0/2 anchor it)
+        diff = np.abs(cached.astype(np.float32) - baseline.astype(np.float32)).mean()
+        assert diff < 48.0, diff
+        # deterministic under the same seed
+        cached2 = tiny_api.txt2img("a cat", size=(64, 64), num_steps=4, seed=7)
+        np.testing.assert_array_equal(cached, cached2)
+    finally:
+        tiny_api.set_deepcache(None)

@@ -1,0 +1,129 @@
+"""Top-level namespace parity with the reference package.
+
+The reference `cflearn/__init__.py` star-imports every layer, flattening
+~415 public names to the package top level; a migrating user writes
+`cflearn.X` → `cflearn_tpu.X` for every one of them.
+`tests/data/reference_exports.json` is the frozen snapshot of the
+reference's star-exported `__all__` union (regenerate with the AST scanner
+over `/root/reference/cflearn` if the reference ever changes).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from flax import nnx
+
+import cflearn_tpu as cf
+
+_SNAPSHOT = os.path.join(os.path.dirname(__file__), "data", "reference_exports.json")
+
+
+def test_reference_export_surface_complete() -> None:
+    with open(_SNAPSHOT) as f:
+        names = json.load(f)
+    assert len(names) >= 400
+    missing = [n for n in names if not hasattr(cf, n)]
+    assert not missing, f"reference names missing from cflearn_tpu: {missing}"
+
+
+def test_repvgg_deploy_fusion_matches_train_branches() -> None:
+    """Structural reparameterization: fused single-conv inference must match
+    the 3-branch training form (reference `backbone/models/vgg.py`
+    switch_to_deploy)."""
+    m = cf.RepVGG([1, 1, 2, 1], [0.75, 0.75, 0.75, 2.5], rngs=nnx.Rngs(0))
+    m.eval()
+    x = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    y0 = np.asarray(m(x))
+    m.switch_to_deploy()
+    y1 = np.asarray(m(x))
+    np.testing.assert_allclose(y0, y1, atol=1e-5)
+
+
+def test_backbone_feature_pyramid_and_mix_vit() -> None:
+    x = np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32)
+    bb = cf.Backbone("rep_vgg_lite", rngs=nnx.Rngs(0))
+    bb.eval()
+    feats = bb(x)
+    assert "latent" in feats and feats["stage1"].shape == (1, 32, 32, 48)
+    assert [feats[s].shape[-1] for s in bb.stage_names] == bb.out_channels
+
+    mv = cf.mix_vit_lite(rngs=nnx.Rngs(0))
+    out = mv(x)
+    assert out.shape == (1, 2, 2, 256)
+    assert np.isfinite(np.asarray(out)).all()
+
+    b1 = cf.BackboneEncoder1D("mix_vit_lite", rngs=nnx.Rngs(0))
+    assert b1(x).shape == (1, 256)
+
+
+def test_small_module_parity_helpers() -> None:
+    rngs = nnx.Rngs(0)
+    # poolers
+    net = np.random.RandomState(0).rand(2, 5, 8).astype(np.float32)
+    assert cf.BertPooler(8, rngs=rngs)(net).shape == (2, 8)
+    assert cf.SequencePooler(8, rngs=rngs)(net).shape == (2, 8)
+    # max pool indices round trip through MaxUnpool2d
+    from cflearn_tpu.modules.core.convs import max_pool2d_with_indices
+
+    x = np.random.RandomState(0).rand(1, 4, 4, 2).astype(np.float32)
+    vals, idxs = max_pool2d_with_indices(x, 2)
+    unpooled = cf.MaxUnpool2d(2)(vals, idxs, (4, 4))
+    assert unpooled.shape == x.shape
+    # every pooled max lands back at its argmax position
+    assert np.allclose(np.sort(np.unique(np.asarray(unpooled)))[-4:], np.sort(np.asarray(vals).ravel())[-4:])
+    # GaussianBlur3 preserves constants
+    ones = np.ones((1, 8, 8, 3), np.float32)
+    blurred = cf.GaussianBlur3(3)(ones)
+    np.testing.assert_allclose(np.asarray(blurred)[:, 1:-1, 1:-1], 1.0, rtol=1e-6)
+    # Route/LeafAggregation functional equivalents
+    planes = np.random.RandomState(0).randn(2, 3, 3).astype(np.float32)
+    path = np.array([[1, 1, 0], [1, 1, 0], [1, 0, 1], [1, 0, 1]], np.float32)
+    sign = np.array([[0, 0, 0], [0, 1, 0], [1, 0, 0], [1, 0, 1]], np.float32)
+    probs = cf.route(planes, path, sign)
+    assert probs.shape == (2, 3, 4)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_optimizer_pack_accepted_by_trainer_settings() -> None:
+    from cflearn_tpu.monitors import LazyMonitor
+    from cflearn_tpu.schema import DLConfig, TrainerConfig
+    from cflearn_tpu.schema.model import IDLModel
+    from cflearn_tpu.trainer import Trainer
+    from cflearn_tpu.data import ArrayData
+
+    x = np.random.RandomState(0).rand(16, 8).astype(np.float32)
+    y = x.sum(1, keepdims=True).astype(np.float32)
+    config = DLConfig(
+        model="common",
+        module_name="fcnn",
+        module_config={"input_dim": 8, "output_dim": 1},
+        loss_name="mse",
+    )
+    model = IDLModel.from_config(config)
+    pack = cf.OptimizerPack("all", "sgd", optimizer_config={"lr": 1e-2})
+    trainer = Trainer(
+        TrainerConfig(
+            workspace="/tmp/test_opt_pack",
+            fixed_steps=1,
+            callback_names=[],
+            optimizer_settings={"all": pack},
+        ),
+        monitors=[LazyMonitor()],
+    )
+    trainer.fit(ArrayData.init().fit(x, y), model)
+    assert trainer.state is not None and trainer.state.step == 1
+
+
+def test_ml_encoder_settings_dataclasses() -> None:
+    settings = {"0": cf.MLEncoderSettings(dim=4, methods="one_hot")}
+    config = cf.MLConfig(
+        model="ml.common",
+        module_name="fcnn",
+        module_config={"input_dim": 3, "output_dim": 2},
+        encoder_settings=settings,
+        infer_encoder_settings=False,
+    )
+    assert isinstance(config.encoder_settings["0"], dict)
+    assert config.encoder_settings["0"]["dim"] == 4
