@@ -17,6 +17,7 @@ vs_baseline ≥ 2.0.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -46,6 +47,13 @@ TOME_RATIO = 0.5  # ToMe-SD's standard ratio: ~negligible FID delta at r=0.5
 # is skipped entirely (batch 4 instead of 8). Measured: 3.55 -> 4.21 img/s.
 GUIDANCE_INTERVAL = (0.25, 0.70)
 
+# DeepCache (Ma et al. 2023): alternate full/shallow UNet passes, reusing the
+# deep feature (everything below `cut` input blocks / above the mirrored
+# output blocks) from the last full pass. Interval 1 = off. Overridable for
+# sweeps: CFLEARN_BENCH_DC_INTERVAL / CFLEARN_BENCH_DC_CUT.
+DEEPCACHE_INTERVAL = int(os.environ.get("CFLEARN_BENCH_DC_INTERVAL", "1"))
+DEEPCACHE_CUT = int(os.environ.get("CFLEARN_BENCH_DC_CUT", "3"))
+
 
 def build_sd():
     from cflearn_tpu.modules.core.mixed_stacks import SpatialTransformer
@@ -63,6 +71,9 @@ def build_sd():
         for _, module in nnx.iter_graph(model):
             if isinstance(module, SpatialTransformer):
                 module.set_tome_ratio(TOME_RATIO)
+    if DEEPCACHE_INTERVAL > 1:
+        model.deepcache_interval = DEEPCACHE_INTERVAL
+        model.deepcache_cut = DEEPCACHE_CUT
     return model
 
 

@@ -482,6 +482,16 @@ class IKSampler(ISampler):
         t_of = np.interp(np.log(np.maximum(sigmas[:-1], full_sigmas[0])), log_sigmas, np.arange(len(acp)))
         return sigmas[start_step:], t_of[start_step:]
 
+    def _t_at(self, sigmas: np.ndarray) -> np.ndarray:
+        """Host sigma→timestep map — the same log-sigma interpolation
+        `_sigmas` applies, usable on any (e.g. segment-sliced) sigma array."""
+        acp = self._np_acp()
+        full_sigmas = np.sqrt((1.0 - acp) / acp)
+        log_sigmas = np.log(full_sigmas)
+        return np.interp(
+            np.log(np.maximum(sigmas, full_sigmas[0])), log_sigmas, np.arange(len(acp))
+        )
+
     def _eps_denoised(
         self,
         x: jax.Array,
@@ -528,9 +538,9 @@ class IKSampler(ISampler):
         if not use_gi and gates is None:
             return self._integrate(z, sigmas, t_of, cond, uncond, guidance_scale, key, **kwargs)
         if gates is not None and not self.supports_guidance_interval:
+            # every in-repo IKSampler is segment-safe; guard for subclasses
             raise NotImplementedError(
-                "control hint start/end gating needs segment-safe integration; "
-                "use ddim/basic, k_euler(_a), k_dpmpp_2m or plms with this option"
+                "control hint start/end gating needs segment-safe integration"
             )
         s0, s1 = (0, n)
         if use_gi:
@@ -642,10 +652,16 @@ class KEulerAncestralSampler(IKSampler):
 
 @ISampler.register("k_heun")
 class KHeunSampler(IKSampler):
+    supports_guidance_interval = True  # per-step self-contained: the
+    # corrector's lookahead timestep is derived from sigma_next on host, so
+    # segment slicing is exact
+
     def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:
         sig = jnp.asarray(sigmas, dtype=x.dtype)
         ts = jnp.asarray(t_of, dtype=jnp.float32)
-        ts_next = jnp.concatenate([ts[1:], ts[-1:]])
+        # timestep at sigma_{i+1} for the corrector eval; unused on the final
+        # step (sigma_next == 0 takes the plain Euler branch)
+        ts_next = jnp.asarray(self._t_at(np.asarray(sigmas)[1:]), dtype=jnp.float32)
 
         def step(x: jax.Array, inputs: Any) -> Tuple[jax.Array, None]:
             sigma, sigma_next, t, t_next = inputs
@@ -667,30 +683,47 @@ class KHeunSampler(IKSampler):
 
 @ISampler.register("klms")
 class KLMSSampler(IKSampler):
-    """Linear multistep over sigma space (order ≤ 4)."""
+    """Linear multistep over sigma space (order ≤ 4). Segment-safe: the
+    derivative history (device) plus the trailing sigma window and global
+    step offset (host) thread across guidance-interval/control-gate
+    segments, so segmented runs match the unsegmented integral exactly."""
 
     use_karras = False
     order = 4
+    supports_guidance_interval = True
 
-    def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:
+    def _run(self, x, carry_in, sigmas, t_of, cond, uncond, scale, **kwargs):
         n = len(t_of)
-        # precompute LMS coefficients on host (static)
+        if carry_in is None:
+            prev_sig: List[float] = []
+            ds_in = None
+            g0 = 0
+        else:
+            ds_in, prev_sig, g0 = carry_in
+        # global sigma window: hist[base + i] == S[g0 + i] for the full-run
+        # schedule S; Lagrange nodes for step g reach back ≤3 entries
+        hist = list(prev_sig) + [float(v) for v in np.asarray(sigmas)]
+        base = len(prev_sig)
+        import scipy.integrate as integrate  # lazy
+
         coeffs = np.zeros((n, self.order), dtype=np.float32)
         for i in range(n):
-            cur_order = min(i + 1, self.order)
+            cur_order = min(g0 + i + 1, self.order)
             for j in range(cur_order):
                 # integral of lagrange basis over [sigma_i, sigma_{i+1}]
-                import scipy.integrate as integrate  # lazy
-
                 def fn(tau: float, j=j, i=i, cur_order=cur_order) -> float:
                     prod = 1.0
                     for kk in range(cur_order):
                         if kk == j:
                             continue
-                        prod *= (tau - sigmas[i - kk]) / (sigmas[i - j] - sigmas[i - kk])
+                        prod *= (tau - hist[base + i - kk]) / (
+                            hist[base + i - j] - hist[base + i - kk]
+                        )
                     return prod
 
-                coeffs[i, j] = integrate.quad(fn, sigmas[i], sigmas[i + 1], epsrel=1e-4)[0]
+                coeffs[i, j] = integrate.quad(
+                    fn, hist[base + i], hist[base + i + 1], epsrel=1e-4
+                )[0]
         sig = jnp.asarray(sigmas, dtype=x.dtype)
         ts = jnp.asarray(t_of, dtype=jnp.float32)
         cfs = jnp.asarray(coeffs, dtype=x.dtype)
@@ -704,8 +737,17 @@ class KLMSSampler(IKSampler):
             return (x_new, (d, ds[0], ds[1])), None
 
         zeros = jnp.zeros_like(x)
-        (out, _), _ = jax.lax.scan(step, (x, (zeros, zeros, zeros)), (sig[:-1], ts, cfs))
+        ds0 = (zeros, zeros, zeros) if ds_in is None else ds_in
+        (out, ds_out), _ = jax.lax.scan(step, (x, ds0), (sig[:-1], ts, cfs))
+        tail = (list(prev_sig) + [float(v) for v in np.asarray(sigmas)[:-1]])[-(self.order - 1):]
+        return out, (ds_out, tail, g0 + n)
+
+    def _integrate(self, x, sigmas, t_of, cond, uncond, scale, key, **kwargs) -> jax.Array:
+        out, _ = self._run(x, None, sigmas, t_of, cond, uncond, scale, **kwargs)
         return out
+
+    def _integrate_carry(self, x, carry, sigmas, t_of, cond, uncond, scale, key, **kwargs):
+        return self._run(x, carry, sigmas, t_of, cond, uncond, scale, **kwargs)
 
 
 @ISampler.register("k_dpmpp_2m")

@@ -315,14 +315,35 @@ def test_ddim_guidance_interval() -> None:
     plms_mid = run_k("plms", (0.25, 0.75))
     assert not np.allclose(np.asarray(plms_mid), np.asarray(plms_full))
     assert bool(jnp.isfinite(plms_mid).all())
-    # klms (Lagrange history over global sigma indices) stays full-CFG
-    s = ISampler.make("klms", {"model": ddpm, "guidance_interval": (0.2, 0.8)})
-    s2 = ISampler.make("klms", {"model": ddpm})
-    np.testing.assert_allclose(
-        np.asarray(s.sample(z, cond=cond, uncond=uncond, guidance_scale=3.0, num_steps=4)),
-        np.asarray(s2.sample(z, cond=cond, uncond=uncond, guidance_scale=3.0, num_steps=4)),
-        rtol=1e-5,
-    )
+    # klms + k_heun are segment-safe too: the Lagrange derivative history /
+    # the corrector's sigma-derived lookahead timestep thread across
+    # segments, so (0,1) is exactly full CFG and a middle band is honored
+    for name in ("klms", "k_heun"):
+        k_full = run_k(name, None)
+        np.testing.assert_allclose(
+            np.asarray(run_k(name, (0.0, 1.0))), np.asarray(k_full), rtol=1e-5
+        )
+        k_mid = run_k(name, (0.25, 0.75))
+        assert not np.allclose(np.asarray(k_mid), np.asarray(k_full)), name
+        assert bool(jnp.isfinite(k_mid).all()), name
+    # exact cross-segment parity: chaining _integrate_carry over a split
+    # must reproduce the single-shot integral bit-for-bit semantics
+    key = jax.random.PRNGKey(3)
+    for name in ("klms", "k_heun", "k_dpmpp_2m"):
+        s = ISampler.make(name, {"model": ddpm})
+        sigmas, t_of = s._sigmas(6)
+        full_out = s._integrate(z, sigmas, t_of, cond, uncond, 3.0, key)
+        for split in (1, 3, 5):
+            x1, carry = s._integrate_carry(
+                z, None, sigmas[: split + 1], t_of[:split], cond, uncond, 3.0, key
+            )
+            seg_out, _ = s._integrate_carry(
+                x1, carry, sigmas[split:], t_of[split:], cond, uncond, 3.0, key
+            )
+            np.testing.assert_allclose(
+                np.asarray(seg_out), np.asarray(full_out), rtol=2e-4, atol=1e-5,
+                err_msg=f"{name} split={split}",
+            )
 
 
 def test_sampling_inside_jit() -> None:
