@@ -230,7 +230,10 @@ class DDPM(nnx.Module):
                 # inpainting workaround (reference `ddpm.py:441-445`): a
                 # 4-channel control branch driving a 9-channel inpainting UNet
                 cnet_in = net if cn_in == net.shape[-1] else net[..., :cn_in]
-                ci = cn(cnet_in, hint, timesteps, context)
+                # shallow DeepCache passes consume only the first cut+1
+                # residuals — skip computing the deep ControlNet levels
+                cn_levels = None if deep_cache is None else self.deepcache_cut + 1
+                ci = cn(cnet_in, hint, timesteps, context, max_levels=cn_levels)
                 sc = scales_per[i] if i < len(scales_per) else None
                 if sc is not None:
                     ci = [c * s for c, s in zip(ci, sc)]

@@ -378,7 +378,13 @@ class ControlNet(nnx.Module):
         hint: jax.Array,
         timesteps: jax.Array,
         context: Optional[jax.Array] = None,
+        *,
+        max_levels: Optional[int] = None,
     ) -> List[jax.Array]:
+        """`max_levels` truncates the residual list (and the compute that
+        would produce the deeper ones) — shallow DeepCache passes only
+        consume the first `cut+1` residuals, the rest ride the cached deep
+        feature."""
         time_embed = self.unet.time_embed(timesteps)
         guided = hint
         for conv in self.hint_blocks:
@@ -387,9 +393,13 @@ class ControlNet(nnx.Module):
         outs: List[jax.Array] = []
         h = self.unet.conv_in(net) + guided
         outs.append(self.zero_convs[0](h))
+        if max_levels is not None and len(outs) >= max_levels:
+            return outs
         for i, block in enumerate(self.unet.input_blocks):
             h = block(h, time_embed, context)
             outs.append(self.zero_convs[i + 1](h))
+            if max_levels is not None and len(outs) >= max_levels:
+                return outs
         h = self.unet.mid(h, time_embed, context)
         outs.append(self.mid_zero(h))
         return outs

@@ -581,3 +581,70 @@ def test_deepcache(tiny_api) -> None:
         np.testing.assert_array_equal(cached, cached2)
     finally:
         tiny_api.set_deepcache(None)
+
+
+def test_deepcache_with_control(tiny_api) -> None:
+    """DeepCache under ControlNet: shallow passes truncate the control
+    residual computation to the consumed levels (`max_levels=cut+1`);
+    interval<=1 must be exactly the uncached controlled program."""
+    import jax
+
+    cn = ControlNet(
+        hint_channels=3,
+        in_channels=4,
+        start_channels=32,
+        num_res_blocks=1,
+        channel_multipliers=(1, 2),
+        attention_downsample_rates=(1,),
+        num_heads=4,
+        context_dim=32,
+        rngs=nnx.Rngs(5),
+    )
+    for i, conv in enumerate(list(cn.zero_convs) + [cn.mid_zero]):
+        k = conv.kernel.value
+        conv.kernel.value = 0.02 * jax.random.normal(jax.random.PRNGKey(500 + i), k.shape, k.dtype)
+    api = ControlledDiffusionAPI(tiny_api.m)
+    api.prepare_control("canny", cn)
+    conv_out = tiny_api.m.unet.conv_out
+    orig_kernel = conv_out.kernel[...]
+    try:
+        conv_out.kernel[...] = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(9), orig_kernel.shape, orig_kernel.dtype
+        )
+        hint = (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
+        base = api.sample_with_control(1, {"canny": hint}, cond="c", size=(64, 64), num_steps=4, seed=3)
+        api.set_deepcache(1)
+        same = api.sample_with_control(1, {"canny": hint}, cond="c", size=(64, 64), num_steps=4, seed=3)
+        np.testing.assert_array_equal(base, same)
+        api.set_deepcache(2, cut=1)
+        cached = api.sample_with_control(1, {"canny": hint}, cond="c", size=(64, 64), num_steps=4, seed=3)
+        assert cached.shape == base.shape
+        assert np.isfinite(cached.astype(np.float32)).all()
+        cached2 = api.sample_with_control(1, {"canny": hint}, cond="c", size=(64, 64), num_steps=4, seed=3)
+        np.testing.assert_array_equal(cached, cached2)
+    finally:
+        api.set_deepcache(None)
+        conv_out.kernel[...] = orig_kernel
+
+
+def test_deepcache_with_guidance_interval(tiny_api) -> None:
+    """The bench configuration: DeepCache parity restarts inside each
+    guidance-interval segment (the cache never crosses a CFG-batch-size
+    boundary). interval<=1 with a gi band must equal the plain gi program."""
+    tiny_api.switch_sampler("ddim", guidance_interval=(0.25, 0.75))
+    try:
+        base = tiny_api.txt2img("a cat", size=(64, 64), num_steps=6, seed=11)
+        tiny_api.set_deepcache(1)
+        same = tiny_api.txt2img("a cat", size=(64, 64), num_steps=6, seed=11)
+        np.testing.assert_array_equal(base, same)
+        tiny_api.set_deepcache(2, cut=1)
+        cached = tiny_api.txt2img("a cat", size=(64, 64), num_steps=6, seed=11)
+        assert cached.shape == base.shape
+        assert np.isfinite(cached.astype(np.float32)).all()
+        diff = np.abs(cached.astype(np.float32) - base.astype(np.float32)).mean()
+        assert diff < 48.0, diff
+        cached2 = tiny_api.txt2img("a cat", size=(64, 64), num_steps=6, seed=11)
+        np.testing.assert_array_equal(cached, cached2)
+    finally:
+        tiny_api.set_deepcache(None)
+        tiny_api.switch_sampler("ddim")
