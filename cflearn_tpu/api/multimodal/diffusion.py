@@ -288,7 +288,11 @@ class DiffusionAPI(IAPI):
         sampler step runs the full UNet and caches the deep-branch feature;
         in-between steps run only the shallowest `cut` input blocks +
         `cut+1` output blocks, splicing the cache in. `interval=None` (or
-        <=1) disables. Trace-time static — programs recompile on change."""
+        <=1) disables. Trace-time static — programs recompile on change.
+        Honored by the ddim-family samplers (ddim/basic — the serving
+        default); k-samplers/plms/lcm/solver ignore it (full UNet every
+        step). `cut=1` is the paper's standard SD config (cache at the
+        shallowest branch); measured tradeoffs in docs/performance.md."""
         self.m.deepcache_interval = None if interval is not None and interval <= 1 else interval
         self.m.deepcache_cut = cut
         self._jit_cache.clear()

@@ -99,6 +99,10 @@ def main() -> None:
     for _, module in nnx.iter_graph(sd):
         if isinstance(module, SpatialTransformer):
             module.set_tome_ratio(0.5)
+    # same serving config as bench.py (DeepCache N=3 at the shallowest branch)
+    if int(os.environ.get("CFLEARN_BENCH_DC_INTERVAL", "3")) > 1:
+        sd.deepcache_interval = int(os.environ.get("CFLEARN_BENCH_DC_INTERVAL", "3"))
+        sd.deepcache_cut = int(os.environ.get("CFLEARN_BENCH_DC_CUT", "1"))
     gd2, st2 = nnx.split(sd)
     tokens = jnp.asarray(np.random.randint(0, 49000, (1, 77)), jnp.int32)
     uncond = jnp.zeros((1, 77), jnp.int32)

@@ -402,8 +402,9 @@ def test_mesh_sharded_serving(tiny_api) -> None:
 
 def test_control_gating_non_ddim_samplers(tiny_api) -> None:
     """Regression (code review): control hint start/end gating used to crash
-    every non-ddim sampler with a TypeError on `control_gates`. Now k_euler /
-    plms / lcm thread gates; klms raises a clear error."""
+    every non-ddim sampler with a TypeError on `control_gates`. Now every
+    registered sampler threads gates (klms/k_heun via segment-safe
+    integration with threaded multistep history)."""
     import jax
 
     def make_cn(seed):
@@ -430,7 +431,7 @@ def test_control_gating_non_ddim_samplers(tiny_api) -> None:
     try:
         conv_out.kernel[...] = 0.05 * jax.random.normal(jax.random.PRNGKey(9), backup.shape, backup.dtype)
         hint = (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
-        for sampler in ("k_euler", "plms", "lcm"):
+        for sampler in ("k_euler", "plms", "lcm", "klms", "k_heun"):
             api.switch_sampler(sampler)
             full = api.sample_with_control(
                 1, {"canny": hint}, cond="c", size=(64, 64), num_steps=4, seed=0
@@ -441,12 +442,6 @@ def test_control_gating_non_ddim_samplers(tiny_api) -> None:
             )
             assert full.shape == late.shape == (1, 64, 64, 3), sampler
             assert not np.array_equal(full, late), sampler
-        api.switch_sampler("klms")
-        with pytest.raises(NotImplementedError, match="gating"):
-            api.sample_with_control(
-                1, {"canny": hint}, cond="c", size=(64, 64), num_steps=4, seed=0,
-                hint_starts={"canny": 0.5},
-            )
     finally:
         conv_out.kernel[...] = backup
         api.switch_sampler("ddim")
