@@ -292,7 +292,9 @@ class DiffusionAPI(IAPI):
         Honored by the ddim-family samplers (ddim/basic — the serving
         default); k-samplers/plms/lcm/solver ignore it (full UNet every
         step). `cut=1` is the paper's standard SD config (cache at the
-        shallowest branch); measured tradeoffs in docs/performance.md."""
+        shallowest branch); measured tradeoffs in docs/performance.md.
+        The cut is clamped to the UNet's block counts at use time, so the
+        default is safe on small architectures."""
         self.m.deepcache_interval = None if interval is not None and interval <= 1 else interval
         self.m.deepcache_cut = cut
         self._jit_cache.clear()

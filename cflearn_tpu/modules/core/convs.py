@@ -541,7 +541,10 @@ class ResidualBlockV2(nnx.Module):
             net = self.dropout(net)
         if self.norm2 is not None:
             net = self.norm2(net)
-        net = self.conv2(jax.nn.leaky_relu(net, 0.2))
+        # no activation before conv2: the reference's second get_conv_blocks
+        # call leaves `activation` at its None default
+        # (`convs/residual.py:76-79`) — norm -> conv only
+        net = self.conv2(net)
         return x + net
 
 

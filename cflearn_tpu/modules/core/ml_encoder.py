@@ -128,5 +128,5 @@ def ml_encode(encoder: Optional["Encoder"], net: jax.Array) -> MLEncodePack:
     the nnx `Encoder.__call__` already performs the merge, this is the
     functional reference surface."""
     if encoder is None or not getattr(encoder, "categorical_columns", None):
-        return MLEncodePack(None, None, net, None, net)
+        return MLEncodePack(None, None, net)
     return encoder(net)

@@ -309,6 +309,13 @@ class RepVGGBlock(nnx.Module):
         fused.kernel[...] = kernel
         fused.bias[...] = bias
         self.conv_fused = fused
+        # drop the train-time branches (reference `vgg.py` __delattr__ after
+        # fusion) so deploy-time state carries only the fused conv
+        self.dense = nnx.data(None)
+        self.dense_bn = nnx.data(None)
+        self.side = nnx.data(None)
+        self.side_bn = nnx.data(None)
+        self.identity = nnx.data(None)
         self.deploy = True
 
 
@@ -561,11 +568,13 @@ class BackboneEncoder1D(nnx.Module):
     """Backbone pooled to a 1d latent (reference
     `encoder/backbone/api.py` BackboneEncoder1D)."""
 
-    def __init__(self, name: str = "rep_vgg", *, latent_dim: Optional[int] = None, rngs: Optional[nnx.Rngs] = None, **kwargs: Any) -> None:
+    def __init__(self, name: str = "rep_vgg", *, rngs: Optional[nnx.Rngs] = None, **kwargs: Any) -> None:
         from ...constants import LATENT_KEY
 
         self.net = Backbone(name, rngs=rngs, **kwargs)
-        self.latent_dim = latent_dim or self.net.latent_channels
+        # derived, never configurable (reference `backbone/api.py:90` sets
+        # latent_dim = encoder.latent_channels)
+        self.latent_dim = self.net.latent_channels
         self._latent_key = LATENT_KEY
 
     def __call__(self, x: jax.Array) -> jax.Array:

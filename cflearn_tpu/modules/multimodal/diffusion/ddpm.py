@@ -83,7 +83,8 @@ class DDPM(nnx.Module):
         self.condition_model = nnx.data(condition_model)
         # DeepCache (Ma et al. 2023) — trace-time static config; samplers
         # alternate full/shallow UNet passes when `deepcache_interval` is set
-        # (see `DiffusionAPI.set_deepcache`)
+        # (see `DiffusionAPI.set_deepcache`). The cut is clamped to the
+        # architecture at use time (`_effective_cache_cut`).
         self.deepcache_interval: Optional[int] = None
         self.deepcache_cut: int = 3
         unet_config = dict(unet_config or {})
@@ -169,6 +170,15 @@ class DDPM(nnx.Module):
         so = self.sqrt_one_minus_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
         return sa * noise - so * x0
 
+    def _effective_cache_cut(self) -> int:
+        """DeepCache cut clamped to the UNet: the shallow pass runs
+        `input_blocks[:cut]` + `output_blocks[-(cut+1):]`, so cut must be
+        <= len(input_blocks) and <= len(output_blocks)-1 (small UNets would
+        otherwise capture a negative output index and crash at trace time)."""
+        n_in = len(self.unet.input_blocks)
+        n_out = len(self.unet.output_blocks)
+        return max(1, min(self.deepcache_cut, n_in, n_out - 1))
+
     # ----------------------------------------------------------- conditions
 
     def get_cond(self, cond: Any) -> Any:
@@ -232,7 +242,7 @@ class DDPM(nnx.Module):
                 cnet_in = net if cn_in == net.shape[-1] else net[..., :cn_in]
                 # shallow DeepCache passes consume only the first cut+1
                 # residuals — skip computing the deep ControlNet levels
-                cn_levels = None if deep_cache is None else self.deepcache_cut + 1
+                cn_levels = None if deep_cache is None else self._effective_cache_cut() + 1
                 ci = cn(cnet_in, hint, timesteps, context, max_levels=cn_levels)
                 sc = scales_per[i] if i < len(scales_per) else None
                 if sc is not None:
@@ -260,14 +270,14 @@ class DDPM(nnx.Module):
             hooks.begin("read")
             out = self.unet(
                 net, timesteps, context, labels, control=control, hooks=hooks,
-                deep_cache=deep_cache, cache_cut=self.deepcache_cut if (deep_cache is not None or return_cache) else None,
+                deep_cache=deep_cache, cache_cut=self._effective_cache_cut() if (deep_cache is not None or return_cache) else None,
                 return_cache=return_cache,
             )
             hooks.begin(None)
             return out
         return self.unet(
             net, timesteps, context, labels, control=control, hooks=hooks,
-            deep_cache=deep_cache, cache_cut=self.deepcache_cut if (deep_cache is not None or return_cache) else None,
+            deep_cache=deep_cache, cache_cut=self._effective_cache_cut() if (deep_cache is not None or return_cache) else None,
             return_cache=return_cache,
         )
 

@@ -368,10 +368,10 @@ def build_predefined_module(config: str, **kwargs: Any) -> nnx.Module:
 def load_pretrained_weights(module: nnx.Module, tag: str, **download_kwargs: Any) -> nnx.Module:
     """Download checkpoint `tag` and load it into `module` (reference
     `zoo/common.py:38`)."""
-    entry = get_available().get(tag)
-    if entry is None:
+    if tag not in get_available().get("checkpoints", {}):
         raise ValueError(f"no pretrained checkpoint registered under tag '{tag}'")
-    npd = load_states(entry, entry.get("converter") if isinstance(entry, dict) else None)
+    # load_states resolves the tag through the checkpoint index (sha-verified)
+    npd = load_states(tag, None)
     state = nnx.state(module)
     nnx.update(module, npd_to_tree(npd, state, strict=False))
     return module

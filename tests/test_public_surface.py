@@ -11,6 +11,8 @@ over `/root/reference/cflearn` if the reference ever changes).
 import json
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from flax import nnx
@@ -127,3 +129,59 @@ def test_ml_encoder_settings_dataclasses() -> None:
     )
     assert isinstance(config.encoder_settings["0"], dict)
     assert config.encoder_settings["0"]["dim"] == 4
+
+
+def test_ml_encode_without_encoder() -> None:
+    """Regression (code review): `ml_encode(None, net)` crashed with a
+    TypeError — MLEncodePack was constructed with the reference's 5-field
+    shape instead of this repo's 3-field dataclass."""
+    net = np.random.RandomState(0).rand(4, 3).astype(np.float32)
+    pack = cf.ml_encode(None, net)
+    assert pack.one_hot is None and pack.embedding is None
+    np.testing.assert_array_equal(np.asarray(pack.numerical), net)
+    np.testing.assert_array_equal(np.asarray(pack.merged), net)
+
+
+def test_load_pretrained_weights_index_lookup() -> None:
+    """Regression (code review): valid tags live under
+    available.json['checkpoints'] — the top-level lookup rejected every
+    registered checkpoint."""
+    from cflearn_tpu.zoo.common import get_available, load_pretrained_weights
+
+    index = get_available()["checkpoints"]
+    assert "lpips" in index  # registered tag passes the gate...
+    with np.testing.assert_raises(ValueError):
+        load_pretrained_weights(None, "definitely-not-a-tag")
+    # ...and the registered-tag path proceeds past registration (download
+    # itself is exercised by the zoo download tests / needs network)
+
+
+def test_deepcache_cut_clamped_to_architecture() -> None:
+    """Regression (code review): the default cut=3 on a small UNet used to
+    capture a negative output-block index and crash at trace time with a
+    lax.cond pytree mismatch."""
+    from cflearn_tpu.modules.multimodal.diffusion import DDPM, ISampler
+
+    ddpm = DDPM(
+        img_size=8,
+        in_channels=3,
+        out_channels=3,
+        num_timesteps=10,
+        condition_type="adm",
+        unet_config=dict(
+            start_channels=32,
+            num_res_blocks=1,
+            channel_multipliers=(1, 2),
+            attention_downsample_rates=(),
+            num_heads=4,
+            context_dim=None,
+            use_spatial_transformer=False,
+            num_classes=4,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    ddpm.deepcache_interval = 2  # default cut=3 > what this UNet supports
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 3))
+    s = ISampler.make("ddim", {"model": ddpm})
+    out = s.sample(z, cond=jnp.asarray([1]), num_steps=4)
+    assert np.isfinite(np.asarray(out)).all()
