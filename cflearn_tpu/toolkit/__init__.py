@@ -11,8 +11,15 @@ from .misc import (
     download,
     download_json,
     fix_denormal_states,
+    get_file_info,
     get_num_params,
     get_seed,
+    get_tensors,
+    has_batch_norms,
+    inject_parameters,
+    show_or_return,
+    sorted_param_diffs,
+    to_2d,
     hash_code,
     jax_batch_to_np,
     mean_std,

@@ -487,6 +487,34 @@ def inject_parameters(
     nnx.update(tgt, npd_to_tree(src_npd, tgt_state, strict=strict and tgt_filter_fn is None))
 
 
+def has_batch_norms(module: Any) -> bool:
+    """reference `toolkit.py:1496` — whether any submodule is a batch norm
+    (matters for EMA/SWA-style weight averaging and channels-last export)."""
+    from flax import nnx
+
+    for _, sub in nnx.iter_graph(module):
+        if isinstance(sub, (nnx.BatchNorm,)):
+            return True
+    return False
+
+
+def get_tensors(inp: Any) -> Dict[str, np.ndarray]:
+    """reference `toolkit.py:1320` — normalize a checkpoint-ish input
+    (path to .safetensors/.pt/.ckpt, a raw state dict, or a dict holding
+    one under 'state_dict') into a flat {name: ndarray} dict."""
+    if isinstance(inp, (str, Path)):
+        from ..zoo.convert import load_torch_state_dict
+
+        return load_torch_state_dict(str(inp))
+    if isinstance(inp, dict):
+        d = inp.get("state_dict", inp)
+        return {
+            k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in d.items()
+        }
+    raise ValueError(f"cannot extract tensors from `{type(inp)}`")
+
+
 class Diffs(tuple):
     """(names, diffs) result of `sorted_param_diffs`."""
 

@@ -129,6 +129,72 @@ def main() -> None:
         lats.append(time.time() - t0)
     results["txt2img_p50_latency_ms"] = round(sorted(lats)[len(lats) // 2] * 1e3, 1)
 
+    # ---- SD-1.5 UNet finetune training throughput (the training story:
+    # flash-attention fwd+bwd Pallas kernels + remat; f32 master params,
+    # bf16 compute, AdamW). Latents 64x64x4 (512px images), precomputed
+    # text cond — the standard SD finetune workload shape.
+    import optax
+
+    from cflearn_tpu.modules.multimodal.diffusion.unet import UNetDiffuser
+
+    unet = UNetDiffuser(use_checkpoint=True, rngs=nnx.Rngs(0))
+    # de-zero the SD-parity zero-init convs (conv_out etc.) so gradients
+    # flow through the whole net from step 1 (see CLAUDE.md gotcha)
+    zkey = jax.random.PRNGKey(7)
+    zp = nnx.state(unet, nnx.Param)
+    leaves, tdef = jax.tree_util.tree_flatten(zp)
+    zkeys = jax.random.split(zkey, len(leaves))
+    leaves = [
+        jax.random.normal(k, x.shape, x.dtype) * 0.02
+        if hasattr(x, "shape") and x.ndim > 0 and float(jnp.max(jnp.abs(x))) == 0.0
+        else x
+        for k, x in zip(zkeys, leaves)
+    ]
+    nnx.update(unet, jax.tree_util.tree_unflatten(tdef, leaves))
+    gd_u, uparams, urest = nnx.split(unet, nnx.Param, ...)
+    tx = optax.adamw(1e-5)
+    opt_state = tx.init(uparams)
+    TB = 8
+    T = 1000
+    betas = np.linspace(1e-4, 2e-2, T, dtype=np.float64)
+    acp = jnp.asarray(np.cumprod(1.0 - betas), jnp.float32)
+    latents = jax.random.normal(jax.random.PRNGKey(1), (TB, 64, 64, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (TB, 77, 768), jnp.float32)
+
+    def _bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree,
+        )
+
+    @jax.jit
+    def train_step(uparams, opt_state, latents, ctx, key):
+        t_key, n_key = jax.random.split(key)
+        t = jax.random.randint(t_key, (TB,), 0, T)
+        eps = jax.random.normal(n_key, latents.shape, jnp.float32)
+        a = acp[t][:, None, None, None]
+        x_t = jnp.sqrt(a) * latents + jnp.sqrt(1.0 - a) * eps
+
+        def loss_fn(p):
+            m = nnx.merge(gd_u, _bf16(p), urest)
+            pred = m(x_t.astype(jnp.bfloat16), t, ctx.astype(jnp.bfloat16))
+            return jnp.mean((pred.astype(jnp.float32) - eps) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(uparams)
+        updates, opt_state = tx.update(grads, opt_state, uparams)
+        return optax.apply_updates(uparams, updates), opt_state, loss
+
+    uparams, opt_state, loss = train_step(uparams, opt_state, latents, ctx, jax.random.PRNGKey(3))
+    float(loss)  # compile + sync
+    t0 = time.time()
+    iters = 10
+    for i in range(iters):
+        uparams, opt_state, loss = train_step(
+            uparams, opt_state, latents, ctx, jax.random.PRNGKey(i + 4)
+        )
+    float(loss)
+    results["sd15_unet_train_images_per_sec"] = round(TB * iters / (time.time() - t0), 2)
+
     print(json.dumps(results))
 
 

@@ -1,10 +1,13 @@
 """Foundation tests (reference analogue: `tests/test_toolkit.py`)."""
 
+import os
+
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
+from flax import nnx
 
 from cflearn_tpu.toolkit import (
     Serializer,
@@ -208,3 +211,157 @@ def test_mode_context() -> None:
     with mode_context(t, to_train=True):
         assert t.training
     assert not t.training
+
+
+# ---- reference tests/test_toolkit.py parity sweep --------------------------
+
+
+def test_to_2d_variants() -> None:
+    """reference `tests/test_toolkit.py:472-521`."""
+    from cflearn_tpu.toolkit import to_2d
+
+    assert to_2d(None) is None
+    assert to_2d("labels.csv") is None
+    assert np.asarray(to_2d(np.arange(3))).shape == (3, 1)
+    a2 = np.zeros((3, 2))
+    assert to_2d(a2) is a2
+    assert to_2d([1, 2, 3]) == [[1], [2], [3]]
+    assert to_2d([[1], [2]]) == [[1], [2]]
+
+
+def test_weights_strategy_decays(tmp_path) -> None:
+    """reference `tests/test_toolkit.py:170-203` — decay families +
+    visualize export."""
+    from cflearn_tpu.toolkit import WeightsStrategy
+
+    n = 10
+    for name in ("linear_decay", "radius_decay", "log_decay", "sigmoid_decay"):
+        w = WeightsStrategy(name)(n)
+        assert w is not None and len(w) == n
+        assert (np.diff(w) >= -1e-9).all(), name  # non-decreasing
+        assert (w > 0).all(), name
+    assert WeightsStrategy(None)(n) is None
+    path = str(tmp_path / "ws.png")
+    WeightsStrategy("linear_decay").visualize(path)
+    assert os.path.isfile(path)
+
+
+def test_initializer_builtin_methods() -> None:
+    """reference `tests/test_toolkit.py:371-439` — every named init produces
+    the right distribution family."""
+    import jax
+
+    from cflearn_tpu.toolkit import Initializer
+
+    class _M(nnx.Module):
+        def __init__(self) -> None:
+            self.w = nnx.Param(jnp.zeros((64, 64)))
+
+    for method in ("xavier_uniform", "xavier_normal", "normal", "truncated_normal"):
+        m = _M()
+        Initializer().initialize(m, method, key=jax.random.PRNGKey(1))
+        w = np.asarray(m.w.value)
+        assert w.std() > 0.0, method
+        assert abs(float(w.mean())) < 0.1, method
+    m = _M()
+    Initializer().initialize(m, "truncated_normal", key=jax.random.PRNGKey(1))
+    assert np.abs(np.asarray(m.w.value)).max() <= 2.0 * 0.02 + 1e-6
+    m = _M()
+    Initializer().initialize(m, "orthogonal", key=jax.random.PRNGKey(1))
+    w = np.asarray(m.w.value)
+    assert np.allclose(w.T @ w, np.eye(64), atol=1e-4)
+    m = _M()
+    Initializer().initialize(m, "zeros")
+    assert (np.asarray(m.w.value) == 0).all()
+
+
+def test_mean_std_and_adain() -> None:
+    """reference `tests/test_toolkit.py:533-566` — AdaIN moves source stats
+    onto the target's."""
+    import jax
+
+    from cflearn_tpu.toolkit import adain_with_params, adain_with_tgt, mean_std
+
+    key = jax.random.PRNGKey(0)
+    src = jax.random.normal(key, (2, 8, 8, 4)) * 3.0 + 1.0
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4)) * 0.5 - 2.0
+    out = adain_with_tgt(src, tgt)
+    om, os_ = mean_std(out)
+    tm, ts = mean_std(tgt)
+    assert np.allclose(np.asarray(om), np.asarray(tm), atol=1e-3)
+    assert np.allclose(np.asarray(os_), np.asarray(ts), atol=1e-2)
+    m, s = mean_std(tgt)
+    out2 = adain_with_params(src, m, s)
+    assert np.allclose(np.asarray(out2), np.asarray(out), atol=1e-5)
+
+
+def test_sha_file_info_and_tensor_loading(tmp_path) -> None:
+    """reference `tests/test_toolkit.py:97-151, 262-321` — file info, sha
+    verification, and get_tensors across container formats."""
+    import hashlib
+
+    from cflearn_tpu.toolkit import check_sha_with, get_file_info, get_tensors
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"cflearn_tpu")
+    info = get_file_info(p)
+    assert info.st_size == len(b"cflearn_tpu")
+    sha = hashlib.sha256(b"cflearn_tpu").hexdigest()
+    assert info.sha == sha
+    assert check_sha_with(str(p), sha)
+    assert not check_sha_with(str(p), "0" * 64)
+
+    # torch .pt state dict
+    import torch
+
+    pt = str(tmp_path / "sd.pt")
+    torch.save({"state_dict": {"w": torch.ones(3)}}, pt)
+    t = get_tensors(pt)
+    assert set(t) == {"w"} and t["w"].shape == (3,)
+    # raw dict with nested state_dict
+    t2 = get_tensors({"state_dict": {"a": np.zeros((2, 2))}})
+    assert t2["a"].shape == (2, 2)
+    # safetensors
+    from safetensors.numpy import save_file
+
+    st = str(tmp_path / "sd.safetensors")
+    save_file({"k": np.arange(4, dtype=np.float32)}, st)
+    t3 = get_tensors(st)
+    assert np.allclose(t3["k"], np.arange(4))
+
+
+def test_has_batch_norms() -> None:
+    """reference `tests/test_toolkit.py:337-350`."""
+    from cflearn_tpu.toolkit import has_batch_norms
+
+    class _WithBN(nnx.Module):
+        def __init__(self) -> None:
+            self.bn = nnx.BatchNorm(3, rngs=nnx.Rngs(0))
+
+    assert has_batch_norms(_WithBN())
+    assert not has_batch_norms(nnx.Linear(2, 2, rngs=nnx.Rngs(0)))
+
+
+def test_auto_num_layers() -> None:
+    """reference `tests/test_toolkit.py:17-25`."""
+    from cflearn_tpu.toolkit import auto_num_layers
+
+    assert auto_num_layers(32) == 3
+    assert auto_num_layers(64) == 4
+    assert auto_num_layers(64, max_layers=2) == 2
+    assert auto_num_layers(4) == 1
+
+
+def test_show_or_return() -> None:
+    """reference `tests/test_toolkit.py:152-169`."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from cflearn_tpu.toolkit import show_or_return
+
+    plt.figure()
+    plt.plot([0, 1], [0, 1])
+    canvas = show_or_return(True)
+    assert canvas is not None and canvas.ndim == 3 and canvas.shape[-1] == 4
