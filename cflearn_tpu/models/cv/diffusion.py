@@ -24,6 +24,17 @@ from ...schema.model import IDLModel, TrainStep
 from ...toolkit.misc import tensor_dict_type
 
 
+def _to_diffusion_space(ddpm: DDPM, x0: jax.Array) -> jax.Array:
+    """LDMs diffuse in the (frozen) first-stage latent space (reference
+    `modules/multimodal/diffusion/ldm.py:40` encodes inputs before
+    q-sampling); plain DDPMs diffuse in pixel space."""
+    from ...modules.multimodal.diffusion.ldm import LDM
+
+    if isinstance(ddpm, LDM) and ddpm.first_stage is not None:
+        return jax.lax.stop_gradient(ddpm.encode_first_stage(x0))
+    return x0
+
+
 class DDPMStep(TrainStep):
     def loss_fn(
         self,
@@ -33,7 +44,7 @@ class DDPMStep(TrainStep):
         **kwargs: Any,
     ) -> loss_dict_type:
         ddpm: DDPM = m.m
-        x0 = batch[INPUT_KEY]
+        x0 = _to_diffusion_space(ddpm, batch[INPUT_KEY])
         b = x0.shape[0]
         t = jax.random.randint(ddpm.rngs.default(), (b,), 0, ddpm.num_timesteps)
         noise = jax.random.normal(ddpm.rngs.default(), x0.shape, x0.dtype)
@@ -72,8 +83,14 @@ class DDPMModel(IDLModel):
         return [DDPMStep("all")]
 
     def params_filter(self, scope: str) -> Any:
-        # train the UNet (+condition model) but not EMA shadows
-        return nnx.All(nnx.Param, nnx.Not(nnx.PathContains("ema")))
+        # train the UNet (+condition model) but not EMA shadows, and keep the
+        # LDM first stage frozen (reference trains latent diffusion against a
+        # pretrained autoencoder — `examples/cv/diffusion/mnist_ldm.py`)
+        return nnx.All(
+            nnx.Param,
+            nnx.Not(nnx.PathContains("ema")),
+            nnx.Not(nnx.PathContains("first_stage")),
+        )
 
     def post_step_update(self) -> None:
         if self.ema is not None:
@@ -82,9 +99,9 @@ class DDPMModel(IDLModel):
     def run(self, batch: tensor_dict_type, *, training: bool = False, **kwargs: Any) -> tensor_dict_type:
         self.set_mode(training)
         # forward for monitoring: one-step denoise error on a fixed timestep
-        x0 = batch[INPUT_KEY]
-        b = x0.shape[0]
         ddpm: DDPM = self.m
+        x0 = _to_diffusion_space(ddpm, batch[INPUT_KEY])
+        b = x0.shape[0]
         t = jnp.full((b,), ddpm.num_timesteps // 2, dtype=jnp.int32)
         noise = jax.random.normal(ddpm.rngs.default(), x0.shape, x0.dtype)
         x_t = ddpm.q_sample(x0, t, noise)

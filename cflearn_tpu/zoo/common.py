@@ -218,6 +218,31 @@ def load_sd(version: str = "v1", *, pretrained: bool = False, rngs: Optional[nnx
     return m
 
 
+def load_control_net(
+    hint: str,
+    *,
+    pretrained: bool = False,
+    rngs: Optional[nnx.Rngs] = None,
+) -> Any:
+    """SD-1.5-scale ControlNet for a v1.1 hint type (reference
+    `api/multimodal/diffusion.py:1760` pulls these from its zoo by tag).
+    Hints with indexed checkpoints: canny/depth/mlsd/softedge/pose."""
+    from ..modules.multimodal.diffusion.ldm import sd_unet_config
+    from ..modules.multimodal.diffusion.unet import ControlNet
+
+    cfg = dict(sd_unet_config("v1"))
+    cfg.pop("out_channels", None)  # the control branch has no output head
+    m = ControlNet(hint_channels=3, rngs=rngs or nnx.Rngs(0), **cfg)
+    if pretrained:
+        entry = f"controlnet_v11_{hint}"
+        if entry not in get_available().get("checkpoints", {}):
+            raise ValueError(f"no pretrained ControlNet registered for hint '{hint}'")
+        npd = load_states(entry, "controlnet")
+        state = nnx.state(m)
+        nnx.update(m, npd_to_tree(npd, state, strict=False))
+    return m
+
+
 # named constructors (reference `zoo/__init__.py:17-205`)
 
 def esr(pretrained: bool = False, **kwargs: Any) -> nnx.Module:

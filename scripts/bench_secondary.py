@@ -5,6 +5,8 @@ latency. Run on the real chip: `python scripts/bench_secondary.py`.
 the additional metrics BASELINE.json names.)
 """
 
+from functools import partial
+
 import json
 import os
 import sys
@@ -152,9 +154,12 @@ def main() -> None:
     ]
     nnx.update(unet, jax.tree_util.tree_unflatten(tdef, leaves))
     gd_u, uparams, urest = nnx.split(unet, nnx.Param, ...)
-    tx = optax.adamw(1e-5)
+    # bf16 first moment: the 860M-param UNet's f32 AdamW state does not fit
+    # a 16GB chip alongside grads + activations (m in bf16 is the standard
+    # memory-reduced Adam; v stays f32 for scale stability)
+    tx = optax.adamw(1e-5, mu_dtype=jnp.bfloat16)
     opt_state = tx.init(uparams)
-    TB = 8
+    TB = 4
     T = 1000
     betas = np.linspace(1e-4, 2e-2, T, dtype=np.float64)
     acp = jnp.asarray(np.cumprod(1.0 - betas), jnp.float32)
@@ -167,7 +172,8 @@ def main() -> None:
             tree,
         )
 
-    @jax.jit
+    # donate params + optimizer state so XLA updates them in place
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(uparams, opt_state, latents, ctx, key):
         t_key, n_key = jax.random.split(key)
         t = jax.random.randint(t_key, (TB,), 0, T)

@@ -34,13 +34,19 @@ def _run(path: str) -> None:
         "ml/titanic.py",
         "ml/ddr.py",
         "ml/operations.py",
+        "ml/run_multiple.py",
         "cv/digits_clf.py",
         "cv/vae.py",
         "cv/vq_vae.py",
         "cv/ae_kl.py",
         "cv/gan.py",
         "cv/ddpm.py",
+        "cv/ldm.py",
         "multimodal/sd_txt2img.py",
+        "multimodal/sd_img2img.py",
+        "multimodal/sd_controlnet.py",
+        "multimodal/sd_style_reference.py",
+        "multimodal/sd_lora.py",
         "multimodal/clip_zero_shot.py",
     ],
 )

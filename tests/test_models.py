@@ -553,3 +553,64 @@ def test_ddpm_reconstruct_fidelity_semantics() -> None:
     a = ddpm.sample(1, size=(8, 8), num_steps=3, key=jax.random.PRNGKey(2))
     b = ddpm.sample(1, size=(8, 8), num_steps=3, key=jax.random.PRNGKey(3))
     assert not bool(jnp.allclose(a, b))
+
+
+def test_ldm_training_diffuses_in_latent_space(image_data, tmp_path) -> None:
+    """LDM training (reference `examples/cv/diffusion/mnist_ldm.py`): the
+    train step must encode pixels through the (frozen) first stage and
+    diffuse in latent space — and the first stage must not move."""
+    config = DLConfig(
+        model="ddpm",
+        module_name="ldm",
+        module_config={
+            "img_size": 8,  # 16px images, one downsample -> 8x8 latents
+            "in_channels": 4,
+            "out_channels": 4,
+            "num_timesteps": 50,
+            "unet_config": {
+                "start_channels": 32,
+                "num_res_blocks": 1,
+                "channel_multipliers": (1, 2),
+                "attention_downsample_rates": (2,),
+                "num_heads": 4,
+                "context_dim": None,
+                "use_spatial_transformer": False,
+            },
+            "first_stage_config": {
+                "img_size": 16,
+                "in_channels": 3,
+                "out_channels": 3,
+                "inner_channels": 32,
+                "z_channels": 4,
+                "embedding_channels": 4,
+                "channel_multipliers": [1, 2],
+                "num_res_blocks": 1,
+            },
+        },
+    )
+    from cflearn_tpu.schema.model import IDLModel as _IDLModel
+
+    model = _IDLModel.from_config(config)
+    import jax as _jax
+
+    fs_before = _jax.tree_util.tree_map(
+        np.asarray, _jax.tree_util.tree_leaves(nnx.state(model.m.first_stage, nnx.Param))
+    )
+    unet_before = np.asarray(model.m.unet.conv_in.kernel.value)
+    trainer = Trainer(
+        TrainerConfig(workspace=str(tmp_path), fixed_steps=2, callback_names=[]),
+        monitors=[LazyMonitor()],
+    )
+    trainer.fit(image_data, model)
+    model2 = trainer.model
+    fs_after = _jax.tree_util.tree_map(
+        np.asarray, _jax.tree_util.tree_leaves(nnx.state(model2.m.first_stage, nnx.Param))
+    )
+    for b, a in zip(fs_before, fs_after):
+        np.testing.assert_array_equal(b, a)  # first stage frozen
+    assert not np.array_equal(unet_before, np.asarray(model2.m.unet.conv_in.kernel.value))
+    # sampled latents decode back to pixel space
+    latents = model2.m.sample(2, num_steps=2)
+    decoded = model2.m.decode(latents)
+    assert latents.shape == (2, 8, 8, 4)
+    assert decoded.shape == (2, 16, 16, 3)
