@@ -1,1 +1,2 @@
 from .translator import TranslatorAPI
+from .vq_vae import VQVAEInference

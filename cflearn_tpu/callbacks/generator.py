@@ -12,7 +12,7 @@ from typing import Any, Optional
 
 import numpy as np
 
-from ..constants import INPUT_KEY, PREDICTIONS_KEY
+from ..constants import INPUT_KEY, LABEL_KEY, PREDICTIONS_KEY
 from ..schema.train_schema import TrainerCallback
 from .general import ArtifactCallback
 
@@ -92,11 +92,17 @@ class GeneratorCallback(ArtifactCallback):
 
 @TrainerCallback.register("vq_vae")
 class VQVAECallback(ArtifactCallback):
-    """originals + reconstructions + codebook indices, all from the SAME
-    batch so the dumped indices match the images (reference `vq_vae.py:19`)."""
+    """originals + reconstructions + codebook visualizations, all from the
+    SAME batch so the dumped indices match the images (reference
+    `callbacks/vq_vae.py:19` — incl. the per-class `codes/conditional/`
+    grids when `num_classes` is configured)."""
 
     key = "images"
     num_samples = 4
+
+    def __init__(self, *args: Any, num_classes: Optional[int] = None, **kwargs: Any) -> None:
+        super().__init__(*args, **kwargs)
+        self.num_classes = num_classes
 
     def log_artifacts(self, trainer: Any) -> None:
         if not self.is_local_rank_0:
@@ -106,14 +112,38 @@ class VQVAECallback(ArtifactCallback):
             return
         batch = trainer.train_loader.get_one_batch()
         original = np.asarray(batch[INPUT_KEY])[: self.num_samples]
+        run_batch = dict(batch)
+        run_batch[INPUT_KEY] = original
+        labels = run_batch.get(LABEL_KEY)
+        if labels is not None:
+            run_batch[LABEL_KEY] = np.asarray(labels)[: self.num_samples]
         save_image_grid(original, os.path.join(folder, "original.png"))
-        outputs = trainer.model.run({INPUT_KEY: original}, training=False)
+        outputs = trainer.model.run(run_batch, training=False)
         recon = outputs.get(PREDICTIONS_KEY)
         if recon is not None and np.asarray(recon).shape == original.shape:
             save_image_grid(np.asarray(recon), os.path.join(folder, "reconstructed.png"))
         indices = outputs.get("indices")
         if indices is not None:
             np.save(os.path.join(folder, "code_indices.npy"), np.asarray(indices))
+        m = getattr(trainer.model, "m", None)
+        if m is None or not hasattr(m, "sample_codebook"):
+            return
+        from ..toolkit.misc import make_indices_visualization_map
+
+        code_folder = os.path.join(folder, "codes")
+        os.makedirs(code_folder, exist_ok=True)
+        codes, sampled_indices = m.sample_codebook(num_samples=len(original))
+        save_image_grid(np.asarray(codes), os.path.join(code_folder, "codes.png"))
+        indices_map = make_indices_visualization_map(sampled_indices)
+        save_image_grid(indices_map, os.path.join(code_folder, "code_indices.png"))
+        if self.num_classes is not None:
+            for i in range(self.num_classes):
+                i_folder = os.path.join(code_folder, "conditional", str(i))
+                os.makedirs(i_folder, exist_ok=True)
+                codes, ci = m.sample_codebook(num_samples=len(original), class_idx=i)
+                save_image_grid(np.asarray(codes), os.path.join(i_folder, "codes.png"))
+                ci_map = make_indices_visualization_map(ci)
+                save_image_grid(ci_map, os.path.join(i_folder, "code_indices.png"))
 
 
 @TrainerCallback.register("image_classification")

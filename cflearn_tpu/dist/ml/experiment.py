@@ -38,16 +38,19 @@ class Task:
         config: Optional[Dict[str, Any]] = None,
         run_command: Optional[str] = None,
         data_folder: Optional[str] = None,
+        model: Optional[str] = None,
     ) -> None:
         self.config = config or {}
         self.run_command = run_command
         self.data_folder = data_folder
+        self.model = model
 
     def to_info(self) -> Dict[str, Any]:
         return {
             "config": self.config,
             "run_command": self.run_command,
             "data_folder": self.data_folder,
+            "model": self.model,
         }
 
     @classmethod
@@ -112,7 +115,7 @@ class Experiment:
         if index is None:
             indices = [idx for (m, idx) in self.tasks if m == model]
             index = max(indices) + 1 if indices else 0
-        task = Task(config=config or {}, run_command=run_command, data_folder=data_folder)
+        task = Task(config=config or {}, run_command=run_command, data_folder=data_folder, model=model)
         self.tasks[(model, index)] = task
         return model, index
 

@@ -83,14 +83,18 @@ class DDPMModel(IDLModel):
         return [DDPMStep("all")]
 
     def params_filter(self, scope: str) -> Any:
-        # train the UNet (+condition model) but not EMA shadows, and keep the
-        # LDM first stage frozen (reference trains latent diffusion against a
-        # pretrained autoencoder — `examples/cv/diffusion/mnist_ldm.py`)
-        return nnx.All(
+        # train the UNet but not EMA shadows; keep the LDM first stage frozen
+        # (reference trains latent diffusion against a pretrained autoencoder —
+        # `examples/cv/diffusion/mnist_ldm.py`) and the condition model frozen
+        # unless `condition_learnable` (reference `ddpm.py:341-356`)
+        filters = [
             nnx.Param,
             nnx.Not(nnx.PathContains("ema")),
             nnx.Not(nnx.PathContains("first_stage")),
-        )
+        ]
+        if not getattr(self.m, "condition_learnable", True):
+            filters.append(nnx.Not(nnx.PathContains("condition_model")))
+        return nnx.All(*filters)
 
     def post_step_update(self) -> None:
         if self.ema is not None:

@@ -51,12 +51,21 @@ class VQVAELoss(ILoss):
         return {LOSS_KEY: total, "recon": recon, "codebook": codebook, "commit": commit}
 
 
+def _with_labels(batch: tensor_dict_type) -> Any:
+    """Conditional generators consume the label column when present
+    (reference `models/cv/vae.py:23-42` `get_forward_args`)."""
+    return batch[INPUT_KEY], batch.get(LABEL_KEY)
+
+
 @IDLModel.register("vae")
 class VAEModel(CommonDLModel):
     def build(self, config: DLConfig) -> None:
         if config.loss_name is None:
             config.loss_name = "vae"
         super().build(config)
+
+    def get_forward_args(self, batch: tensor_dict_type, **kwargs: Any) -> Any:
+        return _with_labels(batch)
 
 
 @IDLModel.register("vq_vae")
@@ -65,6 +74,9 @@ class VQVAEModel(CommonDLModel):
         if config.loss_name is None:
             config.loss_name = "vq_vae"
         super().build(config)
+
+    def get_forward_args(self, batch: tensor_dict_type, **kwargs: Any) -> Any:
+        return _with_labels(batch)
 
 
 @ILoss.register("ar")
@@ -88,3 +100,6 @@ class AutoRegressorModel(CommonDLModel):
         if config.loss_name is None:
             config.loss_name = "ar"
         super().build(config)
+
+    def get_forward_args(self, batch: tensor_dict_type, **kwargs: Any) -> Any:
+        return _with_labels(batch)

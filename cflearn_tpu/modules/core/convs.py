@@ -330,10 +330,16 @@ class ResidualBlockWithTimeEmbedding(nnx.Module):
         num_groups: int = 32,
         eps: float = 1e-5,
         use_scale_shift_norm: bool = False,
+        up: bool = False,
+        down: bool = False,
         rngs: nnx.Rngs,
     ) -> None:
         out_channels = out_channels or in_channels
         self.use_scale_shift_norm = use_scale_shift_norm
+        # reference openaimodel ResBlock up/down: resample BOTH the hidden
+        # branch (after norm+act) and the skip, conv-free (avg-pool / nearest)
+        self.up = up
+        self.down = down
         self.norm1 = nnx.GroupNorm(in_channels, num_groups=num_groups, epsilon=eps, rngs=rngs)
         self.conv1 = nnx.Conv(in_channels, out_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
         embed_out = 2 * out_channels if use_scale_shift_norm else out_channels
@@ -350,8 +356,23 @@ class ResidualBlockWithTimeEmbedding(nnx.Module):
         else:
             self.shortcut = None
 
+    @staticmethod
+    def _down2(net: jax.Array) -> jax.Array:
+        return jax.lax.reduce_window(
+            net, jnp.zeros((), net.dtype), jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        ) * jnp.asarray(0.25, net.dtype)
+
+    @staticmethod
+    def _up2(net: jax.Array) -> jax.Array:
+        b, h, w, c = net.shape
+        return jax.image.resize(net, (b, h * 2, w * 2, c), "nearest")
+
     def __call__(self, x: jax.Array, time_embed: jax.Array) -> jax.Array:
         net = gn_call(self.norm1, x, silu=True)
+        if self.down:
+            net, x = self._down2(net), self._down2(x)
+        elif self.up:
+            net, x = self._up2(net), self._up2(x)
         net = conv_call(self.conv1, net)
         emb = self.time_proj(jax.nn.silu(time_embed))[:, None, None, :]
         if self.use_scale_shift_norm:

@@ -24,41 +24,65 @@ class PreNorm(nnx.Module):
 
 
 class ChannelPadding(nnx.Module):
-    """Append a learned (optionally condition-selected) channel map
-    (reference `high_level.py:59`)."""
+    """Concat a learned (optionally condition-selected) channel map, then
+    project back to `in_channels` with a bias-free 1x1 mapping (reference
+    `high_level.py:59` — output width equals input width). NHWC here."""
 
     def __init__(
         self,
-        dim: int,
-        latent_dim: int,
+        in_channels: int,
+        latent_channels: int,
         map_dim: Optional[int] = None,
         *,
+        is_1d: bool = False,
         num_classes: Optional[int] = None,
         rngs: nnx.Rngs,
     ) -> None:
-        self.latent_dim = latent_dim
+        self.in_channels = in_channels
+        self.latent_channels = latent_channels
+        # backward-compat alias (pre-round-2 name)
+        self.latent_dim = latent_channels
         self.map_dim = map_dim
+        self.is_global = map_dim is None
+        self.is_1d = is_1d
         self.num_classes = num_classes
-        token_shape = (num_classes or 1, map_dim or 1, map_dim or 1, latent_dim)
+        token_shape = (num_classes or 1, map_dim or 1, map_dim or 1, latent_channels)
         key = rngs.params()
-        self.latent_map = nnx.Param(jax.random.normal(key, token_shape) * 0.02)
+        self.latent_map = nnx.Param(jax.random.normal(key, token_shape))
+        in_nc = in_channels + latent_channels
+        if is_1d:
+            self.mapping = nnx.Linear(in_nc, in_channels, use_bias=False, rngs=rngs)
+        else:
+            self.mapping = nnx.Conv(in_nc, in_channels, kernel_size=(1, 1), use_bias=False, rngs=rngs)
+
+    @property
+    def is_conditional(self) -> bool:
+        return self.num_classes is not None
 
     def __call__(self, x: jax.Array, labels: Optional[jax.Array] = None) -> jax.Array:
         if self.num_classes is None:
             latent = self.latent_map[0]
             latent = jnp.broadcast_to(latent, (x.shape[0],) + latent.shape)
         else:
-            assert labels is not None
-            latent = self.latent_map[labels.ravel()]
-        if self.map_dim is None:
+            if labels is None:
+                raise ValueError("`labels` should be provided in conditional `ChannelPadding`")
+            latent = self.latent_map[labels.ravel().astype(jnp.int32)]
+        if x.ndim == 2:
             # 1d case: x is (B, D)
             latent_flat = latent.reshape(x.shape[0], -1)
-            return jnp.concatenate([x, latent_flat], axis=-1)
-        if latent.shape[1] != x.shape[1]:
-            latent = jax.image.resize(
-                latent, (x.shape[0], x.shape[1], x.shape[2], self.latent_dim), "nearest"
-            )
-        return jnp.concatenate([x, latent], axis=-1)
+            net = jnp.concatenate([x, latent_flat], axis=-1)
+        else:
+            if self.is_global:
+                latent = jnp.broadcast_to(
+                    latent.reshape(x.shape[0], 1, 1, self.latent_channels),
+                    (x.shape[0], x.shape[1], x.shape[2], self.latent_channels),
+                )
+            elif latent.shape[1] != x.shape[1]:
+                latent = jax.image.resize(
+                    latent, (x.shape[0], x.shape[1], x.shape[2], self.latent_channels), "nearest"
+                )
+            net = jnp.concatenate([x, latent], axis=-1)
+        return self.mapping(net)
 
 
 class VanillaPatchEmbed(nnx.Module):

@@ -34,10 +34,15 @@ class AttnEncoder(nnx.Module):
         attention_resolutions: Optional[List[int]] = None,
         dropout: float = 0.0,
         double_z: bool = True,
+        attention_type: str = "spatial",
         rngs: nnx.Rngs,
     ) -> None:
         channel_multipliers = channel_multipliers or [1, 2, 4, 4]
         attention_resolutions = attention_resolutions or []
+        if attention_type == "none":
+            # reference `ae/common.py` attention_type="none" (vq.f4_no_attn /
+            # the LDM-inpainting first stage): attention-free mid block
+            attention_resolutions = []
         self.conv_in = nnx.Conv(in_channels, inner_channels, kernel_size=(3, 3), padding="SAME", rngs=rngs)
         blocks: List[Any] = []
         ch = inner_channels
@@ -54,7 +59,7 @@ class AttnEncoder(nnx.Module):
                 resolution //= 2
         self.blocks = nnx.List(blocks)
         self.mid_res1 = ResidualBlock(ch, ch, dropout=dropout, rngs=rngs)
-        self.mid_attn = SpatialAttention(ch, rngs=rngs)
+        self.mid_attn = SpatialAttention(ch, rngs=rngs) if attention_type != "none" else None
         self.mid_res2 = ResidualBlock(ch, ch, dropout=dropout, rngs=rngs)
         self.norm_out = nnx.GroupNorm(ch, num_groups=32, epsilon=1e-6, rngs=rngs)
         out_z = 2 * z_channels if double_z else z_channels
@@ -64,7 +69,10 @@ class AttnEncoder(nnx.Module):
         net = self.conv_in(x.astype(self.conv_in.kernel[...].dtype))
         for block in self.blocks:
             net = block(net)
-        net = self.mid_res2(self.mid_attn(self.mid_res1(net)))
+        net = self.mid_res1(net)
+        if self.mid_attn is not None:
+            net = self.mid_attn(net)
+        net = self.mid_res2(net)
         net = jax.nn.silu(self.norm_out(net))
         return self.conv_out(net)
 
@@ -83,14 +91,17 @@ class AttnDecoder(nnx.Module):
         num_res_blocks: int = 2,
         attention_resolutions: Optional[List[int]] = None,
         dropout: float = 0.0,
+        attention_type: str = "spatial",
         rngs: nnx.Rngs,
     ) -> None:
         channel_multipliers = channel_multipliers or [1, 2, 4, 4]
         attention_resolutions = attention_resolutions or []
+        if attention_type == "none":
+            attention_resolutions = []
         ch = inner_channels * channel_multipliers[-1]
         self.conv_in = nnx.Conv(z_channels, ch, kernel_size=(3, 3), padding="SAME", rngs=rngs)
         self.mid_res1 = ResidualBlock(ch, ch, dropout=dropout, rngs=rngs)
-        self.mid_attn = SpatialAttention(ch, rngs=rngs)
+        self.mid_attn = SpatialAttention(ch, rngs=rngs) if attention_type != "none" else None
         self.mid_res2 = ResidualBlock(ch, ch, dropout=dropout, rngs=rngs)
         blocks: List[Any] = []
         resolution = img_size // (2 ** (len(channel_multipliers) - 1))
@@ -110,7 +121,10 @@ class AttnDecoder(nnx.Module):
 
     def __call__(self, z: jax.Array) -> jax.Array:
         net = self.conv_in(z.astype(self.conv_in.kernel[...].dtype))
-        net = self.mid_res2(self.mid_attn(self.mid_res1(net)))
+        net = self.mid_res1(net)
+        if self.mid_attn is not None:
+            net = self.mid_attn(net)
+        net = self.mid_res2(net)
         for block in self.blocks:
             net = block(net)
         net = jax.nn.silu(self.norm_out(net))
@@ -136,6 +150,7 @@ class AutoEncoderKL(nnx.Module):
         num_res_blocks: int = 2,
         attention_resolutions: Optional[List[int]] = None,
         dropout: float = 0.0,
+        attention_type: str = "spatial",
         rngs: nnx.Rngs,
     ) -> None:
         self.z_channels = z_channels
@@ -150,6 +165,7 @@ class AutoEncoderKL(nnx.Module):
             attention_resolutions=attention_resolutions,
             dropout=dropout,
             double_z=True,
+            attention_type=attention_type,
             rngs=rngs,
         )
         self.decoder = AttnDecoder(
@@ -161,6 +177,7 @@ class AutoEncoderKL(nnx.Module):
             num_res_blocks=num_res_blocks,
             attention_resolutions=attention_resolutions,
             dropout=dropout,
+            attention_type=attention_type,
             rngs=rngs,
         )
         self.to_embedding = nnx.Conv(2 * z_channels, 2 * embedding_channels, kernel_size=(1, 1), rngs=rngs)
@@ -199,6 +216,7 @@ class AutoEncoderVQ(nnx.Module):
         num_res_blocks: int = 2,
         attention_resolutions: Optional[List[int]] = None,
         dropout: float = 0.0,
+        attention_type: str = "spatial",
         rngs: nnx.Rngs,
     ) -> None:
         self.encoder = AttnEncoder(
@@ -211,6 +229,7 @@ class AutoEncoderVQ(nnx.Module):
             attention_resolutions=attention_resolutions,
             dropout=dropout,
             double_z=False,
+            attention_type=attention_type,
             rngs=rngs,
         )
         self.decoder = AttnDecoder(
@@ -222,6 +241,7 @@ class AutoEncoderVQ(nnx.Module):
             num_res_blocks=num_res_blocks,
             attention_resolutions=attention_resolutions,
             dropout=dropout,
+            attention_type=attention_type,
             rngs=rngs,
         )
         self.to_embedding = nnx.Conv(z_channels, embedding_channels, kernel_size=(1, 1), rngs=rngs)

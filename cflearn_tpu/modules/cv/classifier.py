@@ -137,13 +137,30 @@ class PixelCNN(nnx.Module):
         in_channels: int = 1,
         latent_channels: int = 128,
         num_layers: int = 6,
+        channel_padding: Optional[int] = 16,
+        num_classes: Optional[int] = None,
         rngs: nnx.Rngs,
     ) -> None:
         self.num_codes = num_codes
         self.img_size = img_size
+        self.num_classes = num_classes
         convs = []
         norms = []
         ch = num_codes * in_channels
+        # reference `ar/pixel_cnn.py:118-128` — conditional modeling rides a
+        # (global) ChannelPadding over the input planes
+        if channel_padding is not None:
+            from ..core.high_level import ChannelPadding
+
+            self.channel_padding = ChannelPadding(
+                ch, channel_padding, num_classes=num_classes, rngs=rngs
+            )
+        elif num_classes is not None:
+            raise ValueError(
+                "`channel_padding` should be provided when `num_classes` is provided"
+            )
+        else:
+            self.channel_padding = None
         for i in range(num_layers):
             mask_type = "A" if i == 0 else "B"
             convs.append(_MaskedConv(ch if i == 0 else latent_channels, latent_channels, mask_type, rngs=rngs))
@@ -154,27 +171,56 @@ class PixelCNN(nnx.Module):
         self.in_channels = in_channels
         self.rngs = rngs
 
-    def __call__(self, x: jax.Array) -> jax.Array:
+    @property
+    def is_conditional(self) -> bool:
+        return self.num_classes is not None
+
+    def get_sample_labels(self, num_samples: int, class_idx: Optional[int] = None) -> Optional[jax.Array]:
+        if self.num_classes is None:
+            return None
+        if class_idx is not None:
+            return jnp.full((num_samples,), class_idx, dtype=jnp.int32)
+        return jax.random.randint(self.rngs.default(), (num_samples,), 0, self.num_classes)
+
+    def __call__(self, x: jax.Array, labels: Optional[jax.Array] = None) -> jax.Array:
         """x: integer codes (B, H, W[, C]) → logits (B, H, W, num_codes)."""
         if x.ndim == 3:
             x = x[..., None]
         onehot = jax.nn.one_hot(x.astype(jnp.int32), self.num_codes, dtype=jnp.float32)
         b, h, w, c, k = onehot.shape
         net = onehot.reshape(b, h, w, c * k)
+        if self.channel_padding is not None:
+            if self.num_classes is None:
+                labels = None
+            elif labels is None:
+                labels = self.get_sample_labels(b)
+            net = self.channel_padding(net, labels)
         for conv, norm in zip(self.convs, self.norms):
             net = jax.nn.relu(norm(conv(net)))
         return self.conv_out(net)
 
-    def sample(self, num_samples: int, *, key: Optional[jax.Array] = None) -> jax.Array:
+    def sample(
+        self,
+        num_samples: int,
+        *,
+        img_size: Optional[int] = None,
+        labels: Optional[jax.Array] = None,
+        class_idx: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+    ) -> jax.Array:
         if key is None:
             key = self.rngs.default()
-        h = w = self.img_size
+        h = w = img_size or self.img_size
+        if not self.is_conditional:
+            labels = None
+        elif labels is None:
+            labels = self.get_sample_labels(num_samples, class_idx)
         x = jnp.zeros((num_samples, h, w, self.in_channels), dtype=jnp.int32)
         # sequential ancestral sampling (host loop — sampling quality tool,
         # not a hot path)
         for i in range(h):
             for j in range(w):
-                logits = self(x)
+                logits = self(x, labels)
                 key, sub = jax.random.split(key)
                 sampled = jax.random.categorical(sub, logits[:, i, j])
                 x = x.at[:, i, j, 0].set(sampled)

@@ -50,6 +50,7 @@ class DecoderInputs:
     z: jax.Array
     labels: Optional[jax.Array] = None
     deterministic: bool = False
+    apply_tanh: Optional[bool] = None
     kwargs: Optional[Dict[str, Any]] = None
 
 

@@ -73,14 +73,49 @@ class CLIPTextConditionModel(nnx.Module):
 
 @specialized_condition_models.register("rescaler")
 class Rescaler(nnx.Module):
-    """Downsample a spatial condition by factor 2**n (reference
-    `cond_models/rescaler.py`)."""
+    """Downsample a spatial condition by `multiplier` per stage, optionally
+    remapping channels with a 1x1 conv (reference `cond_models/rescaler.py:13`
+    `SpatialRescaler` — used by the semantic LDM with
+    `in_channels=182, out_channels=3`)."""
 
-    def __init__(self, num_stages: int = 1, *, rngs: Optional[nnx.Rngs] = None) -> None:
+    def __init__(
+        self,
+        *,
+        in_channels: int = 3,
+        out_channels: Optional[int] = None,
+        num_stages: int = 1,
+        multiplier: float = 0.5,
+        method: str = "bilinear",
+        bias: bool = False,
+        rngs: Optional[nnx.Rngs] = None,
+    ) -> None:
+        supported = {"nearest", "linear", "bilinear", "trilinear", "bicubic"}
+        if method not in supported:
+            raise ValueError(f"`method` should be one of {supported}")
+        self.in_channels = in_channels
         self.num_stages = num_stages
+        self.multiplier = multiplier
+        self.method = method
+        if out_channels is None:
+            self.channel_mapper = None
+        else:
+            from flax import nnx as _nnx
+
+            self.channel_mapper = _nnx.Conv(
+                in_channels, out_channels, kernel_size=(1, 1), use_bias=bias,
+                rngs=rngs or _nnx.Rngs(0),
+            )
 
     def __call__(self, x: jax.Array) -> jax.Array:
         for _ in range(self.num_stages):
             b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, h // 2, w // 2, c), "bilinear")
+            nh = max(1, int(round(h * self.multiplier)))
+            nw = max(1, int(round(w * self.multiplier)))
+            x = jax.image.resize(x, (b, nh, nw, c), self.method)
+        if self.channel_mapper is not None:
+            x = self.channel_mapper(x)
         return x
+
+
+# reference class name (`cond_models/rescaler.py:13`)
+SpatialRescaler = Rescaler

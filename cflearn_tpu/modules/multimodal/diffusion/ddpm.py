@@ -24,6 +24,23 @@ from .unet import ControlNet, UNetDiffuser
 from .utils import ADM_TYPE, CONCAT_TYPE, CROSS_ATTN_TYPE, HYBRID_TYPE
 
 
+def make_condition_model(
+    key: str, config: Optional[Dict[str, Any]] = None, *, rngs: Optional[nnx.Rngs] = None
+) -> nnx.Module:
+    """Build a condition model from its registered name (reference
+    `ddpm.py:87` — specialized models like "rescaler" win over generic
+    encoders like "clip_text")."""
+    from .cond_models import condition_models, specialized_condition_models
+
+    cfg = dict(config or {})
+    registry = (
+        specialized_condition_models
+        if specialized_condition_models.has(key)
+        else condition_models
+    )
+    return registry.build(key, rngs=rngs or nnx.Rngs(0), **cfg)
+
+
 def make_beta_schedule(
     schedule: str,
     num_timesteps: int,
@@ -69,7 +86,9 @@ class DDPM(nnx.Module):
         linear_end: float = 2e-2,
         parameterization: str = "eps",
         condition_type: str = CROSS_ATTN_TYPE,
-        condition_model: Optional[nnx.Module] = None,
+        condition_model: Optional[Any] = None,
+        condition_config: Optional[Dict[str, Any]] = None,
+        condition_learnable: bool = False,
         unet_config: Optional[Dict[str, Any]] = None,
         v_posterior: float = 0.0,
         rngs: nnx.Rngs,
@@ -80,6 +99,11 @@ class DDPM(nnx.Module):
         self.num_timesteps = num_timesteps
         self.parameterization = parameterization
         self.condition_type = condition_type
+        self.condition_learnable = condition_learnable
+        if isinstance(condition_model, str):
+            condition_model = make_condition_model(
+                condition_model, condition_config, rngs=rngs
+            )
         self.condition_model = nnx.data(condition_model)
         # DeepCache (Ma et al. 2023) — trace-time static config; samplers
         # alternate full/shallow UNet passes when `deepcache_interval` is set

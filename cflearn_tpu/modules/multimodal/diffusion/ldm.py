@@ -25,20 +25,48 @@ from .utils import CROSS_ATTN_TYPE
 
 @register_module("ldm")
 class LDM(DDPM):
-    """Latent diffusion: DDPM over first-stage latents (reference `ldm.py:49`)."""
+    """Latent diffusion: DDPM over first-stage latents (reference `ldm.py:49`).
+
+    `first_stage` may be a module OR a zoo config name (reference passes
+    registry names like "ae/kl.f8" / "ae/vq.f4", `ldm.py:154-157`); VQ first
+    stages are handled by taking the quantized `z_q` from the codebook output
+    (reference `ldm.py:185-191` `preprocess`). `use_first_stage_as_condition`
+    routes raw conditions through the (frozen) first-stage encoder (reference
+    `ldm.py:105-112, 160-162` — the semantic/super-resolution LDMs)."""
 
     def __init__(
         self,
         *,
-        first_stage: Optional[nnx.Module] = None,
+        first_stage: Optional[Any] = None,
         first_stage_config: Optional[Dict[str, Any]] = None,
+        first_stage_scale_factor: Optional[float] = None,
         latent_scale: float = 0.18215,
+        use_first_stage_as_condition: bool = False,
         rngs: nnx.Rngs,
         **kwargs: Any,
     ) -> None:
+        if use_first_stage_as_condition and kwargs.get("condition_learnable"):
+            raise ValueError(
+                "should not set `condition_learnable` to True when "
+                "`use_first_stage_as_condition` is True"
+            )
         super().__init__(rngs=rngs, **kwargs)
+        if first_stage_scale_factor is not None:
+            latent_scale = first_stage_scale_factor
         self.latent_scale = latent_scale
-        if first_stage is None and first_stage_config is not None:
+        self.use_first_stage_as_condition = use_first_stage_as_condition
+        if isinstance(first_stage, str):
+            from ...cv.common import generators
+            from ....zoo.common import load_module
+
+            cfg = dict(first_stage_config or {})
+            cfg.pop("prefix_module", None)
+            pretrained = cfg.pop("pretrained", False)
+            if generators.has(first_stage):
+                first_stage = generators.build(first_stage, rngs=rngs, **cfg)
+            else:
+                first_stage = load_module(first_stage, pretrained=pretrained, rngs=rngs, **cfg)
+        elif first_stage is None and first_stage_config is not None:
             from ...cv.ae import AutoEncoderKL
 
             first_stage = AutoEncoderKL(rngs=rngs, **first_stage_config)
@@ -48,8 +76,18 @@ class LDM(DDPM):
 
     def encode_first_stage(self, images: jax.Array, *, key: Optional[jax.Array] = None, deterministic: bool = True) -> jax.Array:
         assert self.first_stage is not None
-        dist = self.first_stage.encode(images, deterministic=deterministic)
-        z = dist.mode() if deterministic else dist.sample(key if key is not None else self.rngs.default())
+        from ...cv.common import GaussianDistribution
+
+        try:
+            out = self.first_stage.encode(images, deterministic=deterministic)
+        except TypeError:
+            out = self.first_stage.encode(images)
+        if isinstance(out, GaussianDistribution):
+            z = out.mode() if deterministic else out.sample(key if key is not None else self.rngs.default())
+        elif hasattr(out, "z_q"):
+            z = out.z_q
+        else:
+            z = out
         return z * self.latent_scale
 
     def decode_first_stage(self, z: jax.Array) -> jax.Array:
@@ -61,6 +99,13 @@ class LDM(DDPM):
         if clip_output:
             out = jnp.clip(out, -1.0, 1.0)
         return out
+
+    # condition ---------------------------------------------------------------
+
+    def get_cond(self, cond: Any) -> Any:
+        if self.use_first_stage_as_condition:
+            return jax.lax.stop_gradient(self.encode_first_stage(cond))
+        return super().get_cond(cond)
 
 
 def sd_unet_config(version: str = "v1") -> Dict[str, Any]:

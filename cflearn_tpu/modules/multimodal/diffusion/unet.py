@@ -112,6 +112,8 @@ class UNetDiffuser(nnx.Module):
         num_classes: Optional[int] = None,
         dropout: float = 0.0,
         use_checkpoint: bool = False,
+        resample_with_conv: bool = True,
+        resample_with_resblock: bool = False,
         hint_channels: Optional[int] = None,  # set on ControlNet
         rngs: nnx.Rngs,
     ) -> None:
@@ -173,9 +175,17 @@ class UNetDiffuser(nnx.Module):
                 input_blocks.append(_InBlock(mods))
                 input_chans.append(ch)
             if level != len(channel_multipliers) - 1:
-                input_blocks.append(
-                    _InBlock([Downsample(ch, use_conv=True, symmetric=True, rngs=rngs)])
-                )
+                # reference `unet.py` resample options: a time-embedded
+                # ResBlock with built-in downsampling (`resample_with_resblock`,
+                # LDM-inpainting arch) or a strided/pooled Downsample
+                if resample_with_resblock:
+                    down_mod: nnx.Module = ResidualBlockWithTimeEmbedding(
+                        ch, ch, time_embed_dim=time_embed_dim, dropout=dropout,
+                        use_scale_shift_norm=use_scale_shift_norm, down=True, rngs=rngs,
+                    )
+                else:
+                    down_mod = Downsample(ch, use_conv=resample_with_conv, symmetric=True, rngs=rngs)
+                input_blocks.append(_InBlock([down_mod]))
                 input_chans.append(ch)
                 ds *= 2
         self.input_blocks = nnx.List(input_blocks)
@@ -217,7 +227,15 @@ class UNetDiffuser(nnx.Module):
                 if ds in attention_downsample_rates:
                     mods.append(make_attn(ch))
                 if level != 0 and i == num_res_blocks:
-                    mods.append(UpsampleConv2d(ch, ch, factor=2.0, rngs=rngs))
+                    if resample_with_resblock:
+                        mods.append(
+                            ResidualBlockWithTimeEmbedding(
+                                ch, ch, time_embed_dim=time_embed_dim, dropout=dropout,
+                                use_scale_shift_norm=use_scale_shift_norm, up=True, rngs=rngs,
+                            )
+                        )
+                    else:
+                        mods.append(UpsampleConv2d(ch, ch, factor=2.0, rngs=rngs))
                     ds //= 2
                 output_blocks.append(_InBlock(mods))
         self.output_blocks = nnx.List(output_blocks)

@@ -12,7 +12,10 @@ from .misc import (
     download_json,
     fix_denormal_states,
     get_file_info,
+    get_latest_workspace,
     get_num_params,
+    make_indices_visualization_map,
+    random_hash,
     get_seed,
     get_tensors,
     has_batch_norms,

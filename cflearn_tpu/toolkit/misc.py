@@ -70,6 +70,26 @@ def new_rng_key(seed: Optional[int] = None) -> jax.Array:
 # hashing / files / download cache
 # ----------------------------------------------------------------------------
 
+def random_hash() -> str:
+    """Short unique id (reference `cftool.misc.random_hash` — used for temp
+    registrations, e.g. `api/cv/vq_vae.py:30`)."""
+    import uuid
+
+    return uuid.uuid4().hex
+
+
+def get_latest_workspace(root: Union[str, Path]) -> Optional[Path]:
+    """Most recent run folder under a workspace root (reference
+    `cftool.misc.get_latest_workspace` — run folders are timestamp-named)."""
+    root = Path(root)
+    if not root.is_dir():
+        return None
+    candidates = [p for p in root.iterdir() if p.is_dir()]
+    if not candidates:
+        return None
+    return max(candidates, key=lambda p: p.stat().st_mtime)
+
+
 def hash_code(code: str) -> str:
     return hashlib.md5(code.encode()).hexdigest()[:8]
 

@@ -83,6 +83,12 @@ class WithRegister:
         return name in cls.d
 
     @classmethod
+    def remove(cls, name: str) -> Optional[type]:
+        """Drop a registration (reference `cftool` WithRegister.remove —
+        used for temp callbacks, e.g. `api/cv/vq_vae.py:115`)."""
+        return cls.d.pop(name, None)
+
+    @classmethod
     def get(cls, name: str) -> type:
         if name not in cls.d:
             raise ValueError(f"'{name}' is not registered for {cls.__name__} (available: {sorted(cls.d)})")

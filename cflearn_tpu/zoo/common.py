@@ -43,8 +43,15 @@ def parse_config(config: str) -> Dict[str, Any]:
     tags = preset.get("tags", {})
     if tag != "default" and tag not in tags:
         raise ValueError(f"tag '{tag}' not found in preset '{path_part}' (available: {sorted(tags)})")
-    base.update(tags.get(tag, {}))
-    base["__module__"] = preset["module"]
+    tag_cfg = dict(tags.get(tag, {}))
+    # a tag may replace the base entirely and/or select a different module
+    # (reference keeps per-tag json files, e.g. `diffusion/ldm/{sd,vq}.json`;
+    # here tags live in one file so these two escape hatches cover the same)
+    if tag_cfg.pop("__replace__", False):
+        base = {}
+    module_override = tag_cfg.pop("__module__", None)
+    base.update(tag_cfg)
+    base["__module__"] = module_override or preset["module"]
     base["__converter__"] = preset.get("converter")
     base["__download__"] = preset.get("download", {}).get(tag) or preset.get("download", {}).get("default")
     return base
@@ -164,14 +171,19 @@ def load_module(
     config: str,
     *,
     pretrained: bool = False,
+    tag: Optional[str] = None,
     rngs: Optional[nnx.Rngs] = None,
     **kwargs: Any,
 ) -> nnx.Module:
-    """Build (and optionally load pretrained states into) a zoo module."""
+    """Build (and optionally load pretrained states into) a zoo module.
+    `tag` overrides the checkpoint-index entry the preset would use
+    (reference `zoo/common.py` load_module's `tag` argument)."""
     parsed = parse_config(config)
     module_name = parsed.pop("__module__")
     converter = parsed.pop("__converter__", None)
     download_info = parsed.pop("__download__", None)
+    if tag is not None:
+        download_info = tag
     parsed.update(kwargs)
     module = build_module(module_name, config=parsed, rngs=rngs or nnx.Rngs(0))
     if pretrained:
@@ -304,8 +316,86 @@ def ae_vq_f4(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
     return load_module("ae/vq.f4", pretrained=pretrained, **kwargs)
 
 
+def ae_vq_f4_no_attn(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    return load_module("ae/vq.f4_no_attn", pretrained=pretrained, **kwargs)
+
+
 def ae_vq_f8(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
     return load_module("ae/vq.f8", pretrained=pretrained, **kwargs)
+
+
+# generic latent diffusion (reference `zoo/__init__.py:159-205`)
+
+def ldm_vq(
+    latent_size: int = 64,
+    latent_in_channels: int = 3,
+    latent_out_channels: int = 3,
+    *,
+    pretrained: bool = False,
+    tag: Optional[str] = None,
+    **kwargs: Any,
+) -> nnx.Module:
+    """VQ-first-stage LDM (reference `zoo/__init__.py:159`)."""
+    kwargs["img_size"] = latent_size
+    kwargs["in_channels"] = latent_in_channels
+    kwargs["out_channels"] = latent_out_channels
+    return load_module("diffusion/ldm.vq", pretrained=pretrained, tag=tag, **kwargs)
+
+
+def ldm_inpainting(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    """LDM inpainting (reference `zoo/__init__.py:174` — concat conditioning
+    over 7 latent channels, resblock resampling, attention-free first stage)."""
+    kwargs.setdefault("condition_type", "concat")
+    kwargs.setdefault(
+        "first_stage_config", {"img_size": 256, "attention_type": "none"}
+    )
+    kwargs.setdefault(
+        "unet_config",
+        {
+            "start_channels": 256,
+            "num_res_blocks": 2,
+            "channel_multipliers": [1, 2, 3, 4],
+            "attention_downsample_rates": [2, 4, 8],
+            "num_heads": 8,
+            "use_spatial_transformer": False,
+            "resample_with_resblock": True,
+        },
+    )
+    return ldm_vq(
+        pretrained=pretrained,
+        latent_in_channels=7,
+        tag="cflearn_ldm_inpainting",
+        **kwargs,
+    )
+
+
+def ldm_semantic(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
+    """Semantic-map-to-image LDM (reference `zoo/__init__.py:189` — concat
+    conditioning through a SpatialRescaler over 182 semantic channels)."""
+    kwargs.setdefault("condition_type", "concat")
+    kwargs.setdefault("condition_model", "rescaler")
+    kwargs.setdefault(
+        "condition_config", {"num_stages": 2, "in_channels": 182, "out_channels": 3}
+    )
+    kwargs.setdefault("first_stage_config", {"img_size": 256})
+    kwargs.setdefault(
+        "unet_config",
+        {
+            "start_channels": 128,
+            "num_res_blocks": 2,
+            "channel_multipliers": [1, 4, 8],
+            "attention_downsample_rates": [8, 16, 32],
+            "num_heads": 8,
+            "use_spatial_transformer": False,
+        },
+    )
+    return ldm_vq(
+        pretrained=pretrained,
+        latent_size=128,
+        latent_in_channels=6,
+        tag="cflearn_ldm_semantic",
+        **kwargs,
+    )
 
 
 def ldm_sd(pretrained: bool = False, **kwargs: Any) -> Any:

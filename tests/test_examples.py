@@ -35,13 +35,17 @@ def _run(path: str) -> None:
         "ml/ddr.py",
         "ml/operations.py",
         "ml/run_multiple.py",
+        "ml/iris_sklearn.py",
         "cv/digits_clf.py",
         "cv/vae.py",
+        "cv/cvae.py",
         "cv/vq_vae.py",
+        "cv/vq_vae_inference.py",
         "cv/ae_kl.py",
         "cv/gan.py",
         "cv/ddpm.py",
         "cv/ldm.py",
+        "cv/ldm_vq.py",
         "multimodal/sd_txt2img.py",
         "multimodal/sd_img2img.py",
         "multimodal/sd_controlnet.py",

@@ -102,6 +102,91 @@ def test_vq_vae_training(image_data, tmp_path) -> None:
     _train(config, image_data, tmp_path)
 
 
+def test_conditional_vae_family(tmp_path) -> None:
+    """Class-conditional decoding (reference `examples/cv/vae/mnist_cvae.py` /
+    `mnist_vq_vae.py` — num_classes + apply_tanh), incl. training through the
+    label column and class-swap sensitivity."""
+    import jax.numpy as jnp
+
+    np.random.seed(1)
+    x = np.random.rand(32, 16, 16, 1).astype(np.float32) * 2 - 1
+    y = np.random.randint(0, 4, (32, 1)).astype(np.int64)
+    data = ArrayData.init().fit(x, y)
+
+    config = DLConfig(
+        model="vae",
+        module_name="vae",
+        module_config={
+            "img_size": 16,
+            "in_channels": 1,
+            "latent_dim": 8,
+            "num_downsample": 2,
+            "num_classes": 4,
+            "apply_tanh": True,
+        },
+    )
+    trainer = _train(config, data, tmp_path / "cvae")
+    m = trainer.model.m
+    # tanh bound respected + per-class sampling changes the output
+    z = jnp.ones((2, 8))
+    img0 = m.decode(z, labels=jnp.array([0, 0]))
+    img1 = m.decode(z, labels=jnp.array([1, 1]))
+    assert float(jnp.abs(img0).max()) <= 1.0
+    assert float(jnp.abs(img0 - img1).max()) > 0.0
+
+    config = DLConfig(
+        model="vq_vae",
+        module_name="vq_vae",
+        module_config={
+            "img_size": 16,
+            "in_channels": 1,
+            "code_dimension": 16,
+            "num_codes": 32,
+            "num_downsample": 2,
+            "num_classes": 4,
+            "apply_tanh": True,
+        },
+    )
+    trainer = _train(config, data, tmp_path / "cvq")
+    vq = trainer.model.m
+    codes, indices = vq.sample_codebook(num_samples=3, class_idx=2)
+    assert codes.shape == (3, 16, 16, 1) and indices.shape == (3,)
+    assert float(jnp.abs(codes).max()) <= 1.0
+    idx = vq.get_code_indices(jnp.asarray(x[:2]))
+    rec0 = vq.reconstruct_from(idx, labels=jnp.array([0, 0]))
+    rec1 = vq.reconstruct_from(idx, labels=jnp.array([3, 3]))
+    assert rec0.shape == (2, 16, 16, 1)
+    assert float(jnp.abs(rec0 - rec1).max()) > 0.0
+
+
+def test_conditional_pixel_cnn_training(tmp_path) -> None:
+    """Conditional AR prior over code indices (reference
+    `examples/cv/vae/mnist_vq_vae_inference.py`)."""
+    import jax.numpy as jnp
+
+    np.random.seed(2)
+    codes = np.random.randint(0, 8, (32, 4, 4)).astype(np.int64)
+    y = np.random.randint(0, 4, (32, 1)).astype(np.int64)
+    data = ArrayData.init().fit(codes, y)
+    config = DLConfig(
+        model="ar",
+        module_name="pixel_cnn",
+        module_config={
+            "num_codes": 8,
+            "img_size": 4,
+            "in_channels": 1,
+            "latent_channels": 16,
+            "num_layers": 2,
+            "num_classes": 4,
+        },
+    )
+    trainer = _train(config, data, tmp_path)
+    m = trainer.model.m
+    sampled = m.sample(2, img_size=4, class_idx=1)
+    assert sampled.shape == (2, 4, 4, 1)
+    assert int(sampled.max()) < 8 and int(sampled.min()) >= 0
+
+
 def test_ddpm_training_with_ema(image_data, tmp_path) -> None:
     config = DLConfig(
         model="ddpm",
@@ -613,4 +698,63 @@ def test_ldm_training_diffuses_in_latent_space(image_data, tmp_path) -> None:
     latents = model2.m.sample(2, num_steps=2)
     decoded = model2.m.decode(latents)
     assert latents.shape == (2, 8, 8, 4)
+    assert decoded.shape == (2, 16, 16, 3)
+
+
+def test_ldm_vq_first_stage(image_data, tmp_path) -> None:
+    """VQ-first-stage LDM (reference `examples/cv/diffusion/mnist_ldm_vq.py`
+    + `ldm.py:185-191`): `first_stage` given as a zoo/registry name, training
+    diffuses over the quantized z_q, the codebook stays frozen."""
+    import jax as _jax
+
+    config = DLConfig(
+        model="ddpm",
+        module_name="ldm",
+        module_config={
+            "img_size": 8,
+            "in_channels": 3,
+            "out_channels": 3,
+            "num_timesteps": 50,
+            "latent_scale": 1.0,
+            "first_stage": "ae_vq",  # registry name (reference passes "ae/vq.f4")
+            "first_stage_config": {
+                "img_size": 16,
+                "in_channels": 3,
+                "out_channels": 3,
+                "inner_channels": 32,
+                "z_channels": 3,
+                "embedding_channels": 3,
+                "num_code": 32,
+                "channel_multipliers": [1, 2],
+                "num_res_blocks": 1,
+            },
+            "unet_config": {
+                "start_channels": 32,
+                "num_res_blocks": 1,
+                "channel_multipliers": (1, 2),
+                "attention_downsample_rates": (2,),
+                "num_heads": 4,
+                "context_dim": None,
+                "use_spatial_transformer": False,
+            },
+        },
+    )
+    from cflearn_tpu.schema.model import IDLModel as _IDLModel
+
+    model = _IDLModel.from_config(config)
+    from cflearn_tpu.modules.cv.ae import AutoEncoderVQ
+
+    assert isinstance(model.m.first_stage, AutoEncoderVQ)
+    codebook_before = np.asarray(model.m.first_stage.codebook.embedding.value)
+    trainer = Trainer(
+        TrainerConfig(workspace=str(tmp_path), fixed_steps=2, callback_names=[]),
+        monitors=[LazyMonitor()],
+    )
+    trainer.fit(image_data, model)
+    codebook_after = np.asarray(trainer.model.m.first_stage.codebook.embedding.value)
+    np.testing.assert_array_equal(codebook_before, codebook_after)
+    # encode goes through quantization (z_q), decode returns pixels
+    z = trainer.model.m.encode_first_stage(np.zeros((2, 16, 16, 3), np.float32))
+    assert z.shape == (2, 8, 8, 3)
+    decoded = trainer.model.m.decode(z)
     assert decoded.shape == (2, 16, 16, 3)
