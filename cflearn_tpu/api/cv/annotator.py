@@ -15,6 +15,18 @@ import numpy as np
 from ...toolkit.registry import WithRegister
 
 
+
+def _resolve_annotator_ckpt(ckpt: Any, pretrained: bool, tag: str) -> Any:
+    """`pretrained=True` with no explicit ckpt pulls the indexed checkpoint
+    (reference downloads via `download_checkpoint`, e.g. `mlsd/api.py:19`;
+    sha-verified here)."""
+    if ckpt is None and pretrained:
+        from ...toolkit.misc import download_checkpoint
+
+        ckpt = str(download_checkpoint(tag, check_sha=True))
+    return ckpt
+
+
 class Annotator(WithRegister):
     d: Dict[str, type] = {}
 
@@ -66,8 +78,9 @@ class SoftEdgeAnnotator(Annotator):
     """Soft edges: the HED net when a checkpoint is available (reference
     vendored `third_party/hed.py`), else sobel magnitude."""
 
-    def __init__(self, hed_ckpt: Any = None) -> None:
+    def __init__(self, hed_ckpt: Any = None, *, pretrained: bool = False) -> None:
         self._hed = None
+        hed_ckpt = _resolve_annotator_ckpt(hed_ckpt, pretrained, "hed")
         if hed_ckpt:
             from .third_party.hed import load_hed
 
@@ -112,8 +125,11 @@ class DepthAnnotator(Annotator):
     {"ckpt": path})`); without one it falls back to a blur proxy (same
     policy as softedge's sobel fallback — the learned net is the real path)."""
 
-    def __init__(self, ckpt: Any = None, model_type: str = "dpt_large") -> None:
+    def __init__(self, ckpt: Any = None, model_type: str = "dpt_large", *, pretrained: bool = False) -> None:
         self._net = None
+        ckpt = _resolve_annotator_ckpt(
+            ckpt, pretrained, "midas_dpt_large" if model_type == "dpt_large" else "midas_dpt_hybrid"
+        )
         if ckpt:
             from .third_party.midas import load_midas
 
@@ -163,8 +179,9 @@ class PoseAnnotator(Annotator):
     `third_party/openpose/`); requires a converted `body_pose_model`
     checkpoint — raises a clear error otherwise."""
 
-    def __init__(self, ckpt: Any = None) -> None:
+    def __init__(self, ckpt: Any = None, *, pretrained: bool = False) -> None:
         self._net = None
+        ckpt = _resolve_annotator_ckpt(ckpt, pretrained, "body_pose")
         if ckpt:
             from .third_party.openpose import load_openpose
 
@@ -224,10 +241,11 @@ class MLSDAnnotator(Annotator):
     `third_party/mlsd/api.py:15-66`): resize to 512, detect segments, draw
     white 1px lines on black."""
 
-    def __init__(self, ckpt: Any = None, value_threshold: float = 0.1, distance_threshold: float = 0.1) -> None:
+    def __init__(self, ckpt: Any = None, value_threshold: float = 0.1, distance_threshold: float = 0.1, *, pretrained: bool = False) -> None:
         self.value_threshold = value_threshold
         self.distance_threshold = distance_threshold
         self._net = None
+        ckpt = _resolve_annotator_ckpt(ckpt, pretrained, "mlsd")
         if ckpt:
             from .third_party.mlsd import load_mlsd
 

@@ -1,2 +1,2 @@
 from .ddr import DDRPredictor, DDRVisualizer
-from .interpreter import Interpreter
+from .interpreter import IntegratedGradients, Interpreter, integrated_gradients

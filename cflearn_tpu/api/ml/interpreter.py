@@ -56,6 +56,31 @@ def integrated_gradients(
     return (x - baseline) * jnp.mean(grads, axis=0)
 
 
+class IntegratedGradients:
+    """captum-shaped attribution surface (the reference `Interpreter`
+    delegates to `captum.attr.IntegratedGradients`; this is the in-repo
+    equivalent over `integrated_gradients`)."""
+
+    def __init__(self, model_fn: Any) -> None:
+        self.model_fn = model_fn
+
+    def attribute(
+        self,
+        x: Any,
+        *,
+        baselines: Optional[Any] = None,
+        n_steps: int = 32,
+        target: Optional[int] = None,
+    ) -> jax.Array:
+        return integrated_gradients(
+            self.model_fn,
+            jnp.asarray(x),
+            baseline=None if baselines is None else jnp.asarray(baselines),
+            steps=n_steps,
+            target=target,
+        )
+
+
 class Interpreter:
     """Average feature importances of a fitted ML pipeline (reference
     `interpreter.py:24-55`)."""

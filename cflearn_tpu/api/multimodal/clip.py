@@ -25,10 +25,13 @@ class CLIPExtractor(IAPI):
         super().__init__(m, use_bf16=use_bf16)
         self.m: CLIP = m
         if tokenizer is None:
-            # ChineseCLIP's text tower is BERT (context_length 512) — the
-            # English BPE tokenizer's ids would silently index garbage
-            # (reference selects 'clip.chinese' by context_length)
-            if getattr(m, "context_length", 77) == 512:
+            # ChineseCLIP's text tower is BERT — the English BPE tokenizer's
+            # ids would silently index garbage (reference selects
+            # 'clip.chinese' by context_length; the class check also covers
+            # down-scaled test/CI geometries)
+            from ...modules.multimodal.clip import ChineseCLIP
+
+            if isinstance(m, ChineseCLIP) or getattr(m, "context_length", 77) == 512:
                 from ...modules.nlp.tokenizers import ChineseCLIPTokenizer
 
                 tokenizer = ChineseCLIPTokenizer()

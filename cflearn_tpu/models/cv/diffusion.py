@@ -36,6 +36,13 @@ def _to_diffusion_space(ddpm: DDPM, x0: jax.Array) -> jax.Array:
 
 
 class DDPMStep(TrainStep):
+    """p-losses (reference `models/cv/diffusion.py:33-94`): per-sample simple
+    loss reweighted by the (optionally learned) per-timestep log-variance,
+    plus an optional VLB term (`original_elbo_weight`)."""
+
+    l_simple_weight: float = 1.0
+    original_elbo_weight: float = 0.0
+
     def loss_fn(
         self,
         m: "DDPMModel",
@@ -59,8 +66,20 @@ class DDPMStep(TrainStep):
             target = x0
         else:  # v
             target = ddpm.get_v(x0, noise, t)
-        loss = jnp.mean(jnp.square(model_out - target))
-        return {LOSS_KEY: loss}
+        per_sample = jnp.mean(jnp.square(model_out - target), axis=tuple(range(1, x0.ndim)))
+        losses: loss_dict_type = {"simple": jnp.mean(per_sample)}
+        log_var_t = ddpm.log_var[...][t]
+        loss_simple = per_sample / jnp.exp(log_var_t) + log_var_t
+        if ddpm.learn_log_var:
+            losses["gamma"] = jnp.mean(loss_simple)
+            losses["log_var"] = jnp.mean(ddpm.log_var[...])
+        loss = self.l_simple_weight * jnp.mean(loss_simple)
+        if self.original_elbo_weight > 0:
+            loss_vlb = jnp.mean(ddpm.lvlb_weights[...][t] * per_sample)
+            losses["vlb"] = loss_vlb
+            loss = loss + self.original_elbo_weight * loss_vlb
+        losses[LOSS_KEY] = loss
+        return losses
 
 
 @IDLModel.register("ddpm")
@@ -73,6 +92,10 @@ class DDPMModel(IDLModel):
         ema_decay = module_config.pop("ema_decay", None)
         self.m = build_module(config.module_name or "ddpm", config=module_config, rngs=rngs)
         self.loss = nnx.data(None)
+        # reference DDPMStep weights, configurable via loss_config
+        loss_config = dict(config.loss_config or {})
+        self._l_simple_weight = float(loss_config.get("l_simple_weight", 1.0))
+        self._original_elbo_weight = float(loss_config.get("original_elbo_weight", 0.0))
         if ema_decay is not None:
             self.ema = EMA(ema_decay, self.m)
         else:
@@ -80,7 +103,10 @@ class DDPMModel(IDLModel):
 
     @property
     def train_steps(self) -> List[TrainStep]:
-        return [DDPMStep("all")]
+        step = DDPMStep("all")
+        step.l_simple_weight = getattr(self, "_l_simple_weight", 1.0)
+        step.original_elbo_weight = getattr(self, "_original_elbo_weight", 0.0)
+        return [step]
 
     def params_filter(self, scope: str) -> Any:
         # train the UNet but not EMA shadows; keep the LDM first stage frozen

@@ -151,8 +151,10 @@ class AutoEncoderKL(nnx.Module):
         attention_resolutions: Optional[List[int]] = None,
         dropout: float = 0.0,
         attention_type: str = "spatial",
+        apply_tanh: bool = False,
         rngs: nnx.Rngs,
     ) -> None:
+        self.apply_tanh = apply_tanh
         self.z_channels = z_channels
         self.embedding_channels = embedding_channels
         self.encoder = AttnEncoder(
@@ -188,8 +190,11 @@ class AutoEncoderKL(nnx.Module):
         params = self.to_embedding(self.encoder(x))
         return GaussianDistribution(params, deterministic=deterministic)
 
-    def decode(self, z: jax.Array) -> jax.Array:
-        return self.decoder(self.from_embedding(z))
+    def decode(self, z: jax.Array, *, apply_tanh: Optional[bool] = None) -> jax.Array:
+        net = self.decoder(self.from_embedding(z))
+        if apply_tanh if apply_tanh is not None else self.apply_tanh:
+            net = jnp.tanh(net)
+        return net
 
     def __call__(self, x: jax.Array, *, sample: bool = True) -> Any:
         dist = self.encode(x)
@@ -217,8 +222,10 @@ class AutoEncoderVQ(nnx.Module):
         attention_resolutions: Optional[List[int]] = None,
         dropout: float = 0.0,
         attention_type: str = "spatial",
+        apply_tanh: bool = False,
         rngs: nnx.Rngs,
     ) -> None:
+        self.apply_tanh = apply_tanh
         self.encoder = AttnEncoder(
             img_size=img_size,
             in_channels=in_channels,
@@ -252,8 +259,11 @@ class AutoEncoderVQ(nnx.Module):
         z = self.to_embedding(self.encoder(x))
         return self.codebook(z)
 
-    def decode(self, z_q: jax.Array) -> jax.Array:
-        return self.decoder(self.from_embedding(z_q))
+    def decode(self, z_q: jax.Array, *, apply_tanh: Optional[bool] = None) -> jax.Array:
+        net = self.decoder(self.from_embedding(z_q))
+        if apply_tanh if apply_tanh is not None else self.apply_tanh:
+            net = jnp.tanh(net)
+        return net
 
     def __call__(self, x: jax.Array) -> Any:
         out = self.encode(x)

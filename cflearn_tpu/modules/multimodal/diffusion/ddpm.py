@@ -84,6 +84,10 @@ class DDPM(nnx.Module):
         beta_schedule: str = "linear",
         linear_start: float = 1e-4,
         linear_end: float = 2e-2,
+        cosine_s: float = 8e-3,
+        given_betas: Optional[Any] = None,
+        learn_log_var: bool = False,
+        log_var_init: float = 0.0,
         parameterization: str = "eps",
         condition_type: str = CROSS_ATTN_TYPE,
         condition_model: Optional[Any] = None,
@@ -117,18 +121,37 @@ class DDPM(nnx.Module):
         self.unet = UNetDiffuser(rngs=rngs, **unet_config)
         self.v_posterior = v_posterior
         self._register_noise_schedule(
-            beta_schedule, num_timesteps, linear_start=linear_start, linear_end=linear_end
+            beta_schedule, num_timesteps, linear_start=linear_start, linear_end=linear_end,
+            cosine_s=cosine_s, given_betas=given_betas,
         )
+        # reference `ddpm.py:236-241`: per-timestep log-variance of the simple
+        # loss — a learnable Param when `learn_log_var` (the "gamma" objective)
+        self.learn_log_var = learn_log_var
+        log_var = jnp.full((num_timesteps,), float(log_var_init), jnp.float32)
+        self.log_var = nnx.Param(log_var) if learn_log_var else nnx.Variable(log_var)
         self.rngs = rngs
 
     # ------------------------------------------------------------- schedule
 
     def _register_noise_schedule(
-        self, schedule: str, num_timesteps: int, *, linear_start: float, linear_end: float
+        self,
+        schedule: str,
+        num_timesteps: int,
+        *,
+        linear_start: float,
+        linear_end: float,
+        cosine_s: float = 8e-3,
+        given_betas: Optional[Any] = None,
     ) -> None:
-        betas = make_beta_schedule(
-            schedule, num_timesteps, linear_start=linear_start, linear_end=linear_end
-        )
+        if given_betas is not None:
+            betas = np.asarray(given_betas, np.float64)
+            num_timesteps = len(betas)
+            self.num_timesteps = num_timesteps
+        else:
+            betas = make_beta_schedule(
+                schedule, num_timesteps, linear_start=linear_start, linear_end=linear_end,
+                cosine_s=cosine_s,
+            )
         # static (host-side) schedule spec: samplers precompute their per-step
         # schedules from this on the host, so sampling works when the module
         # state is a traced jit argument
@@ -163,6 +186,16 @@ class DDPM(nnx.Module):
         self.posterior_mean_coef2 = buf(
             (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
         )
+        # VLB per-timestep weights (reference `ddpm.py:652-668`)
+        if self.parameterization == "eps":
+            with np.errstate(divide="ignore"):
+                lvlb = 0.5 * betas**2 / (posterior_variance * alphas * (1.0 - alphas_cumprod))
+        elif self.parameterization == "x0":
+            lvlb = 0.25 * np.sqrt(alphas_cumprod) / (1.0 - alphas_cumprod)
+        else:  # v
+            lvlb = np.ones_like(betas)
+        lvlb[0] = lvlb[1]
+        self.lvlb_weights = buf(lvlb)
 
     # ----------------------------------------------------------------- core
 

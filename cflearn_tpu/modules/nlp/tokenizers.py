@@ -224,12 +224,17 @@ class ChineseCLIPTokenizer(ITokenizer):
         self._tok = None
 
     def tokenize(self, texts: Any, **kwargs: Any) -> np.ndarray:
-        if self._tok is None:
-            from transformers import AutoTokenizer  # type: ignore
-
-            self._tok = AutoTokenizer.from_pretrained(self.name, local_files_only=True)
         if isinstance(texts, str):
             texts = [texts]
+        if self._tok is None:
+            try:
+                from transformers import AutoTokenizer  # type: ignore
+
+                self._tok = AutoTokenizer.from_pretrained(self.name, local_files_only=True)
+            except Exception:  # noqa: BLE001 — offline / no cached vocab
+                self._tok = "char"
+        if self._tok == "char":
+            return self._char_tokenize(texts)
         out = self._tok(
             texts,
             padding="max_length",
@@ -238,6 +243,21 @@ class ChineseCLIPTokenizer(ITokenizer):
             return_tensors="np",
         )
         return out["input_ids"].astype(np.int32)
+
+    def _char_tokenize(self, texts: List[str]) -> np.ndarray:
+        """Deterministic zero-egress fallback when the HF vocab is not cached:
+        BERT-style [CLS] chars [SEP] with per-char ids hashed into the
+        wordpiece-id range. NOT compatible with pretrained ChineseCLIP text
+        towers — it only keeps random-weight pipelines runnable offline."""
+        cls_id, sep_id, vocab = 101, 102, 21128
+        out = np.zeros((len(texts), self.context_length), np.int32)
+        for i, text in enumerate(texts):
+            ids = [cls_id]
+            for ch in text[: self.context_length - 2]:
+                ids.append(1000 + (ord(ch) % (vocab - 1106)))
+            ids.append(sep_id)
+            out[i, : len(ids)] = ids
+        return out
 
 
 # reference base name (`nlp/tokenizers.py` ICLIPTokenizer)

@@ -51,6 +51,12 @@ def main(ci: bool) -> None:
     assert np.array_equal(
         loaded.predict(csv_path, return_classes=True)["predictions"], preds
     )
+    # feature attribution (reference `run_titanic_interpret.py`)
+    interpreter = cf.ml.Interpreter(p.data, p.model)
+    importances = interpreter.interpret(
+        csv_path, export_path=os.path.join(workspace, "titanic_interpret.png")
+    )
+    print("feature importances:", np.round(importances, 4))
 
 
 if __name__ == "__main__":

@@ -552,3 +552,24 @@ def test_iharm_conv_transpose_matches_torch() -> None:
         mod.bias[...] = jnp.asarray(b)
         got = np.asarray(mod(jnp.asarray(x)))
         np.testing.assert_allclose(got, tref, atol=1e-4)
+
+
+def test_reference_wrapper_apis() -> None:
+    """Reference-named wrapper surfaces (`HedAPI`/`PiDiAPI`/`MLSDDetector`,
+    reference `api/cv/third_party/hed.py:91`, `pidi.py:509`,
+    `mlsd/api.py:15`) — delegate to the annotators with the reference call
+    signatures and output conventions."""
+    import numpy as np
+
+    from cflearn_tpu.api.cv.third_party import HedAPI, MLSDDetector, PiDiAPI
+
+    img = (np.random.RandomState(0).rand(32, 32, 3) * 255).astype(np.uint8)
+    edge = HedAPI()(img)
+    assert edge.shape == (32, 32) and edge.dtype == np.uint8
+    pidi = PiDiAPI()
+    soft = pidi(img)
+    hard = pidi(img, threshold=0.5)
+    assert soft.shape == hard.shape == (32, 32)
+    assert set(np.unique(hard)) <= {0, 255}
+    lines = MLSDDetector()(img, 0.1, 0.1)
+    assert lines.shape == (32, 32, 3) and lines.dtype == np.uint8

@@ -52,6 +52,8 @@ def _run(path: str) -> None:
         "multimodal/sd_style_reference.py",
         "multimodal/sd_lora.py",
         "multimodal/clip_zero_shot.py",
+        "multimodal/clip_chinese.py",
+        "cv/third_party_inference.py",
     ],
 )
 def test_example(path: str) -> None:

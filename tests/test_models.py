@@ -701,6 +701,80 @@ def test_ldm_training_diffuses_in_latent_space(image_data, tmp_path) -> None:
     assert decoded.shape == (2, 16, 16, 3)
 
 
+def test_ddpm_log_var_and_elbo_options(tmp_path) -> None:
+    """learn_log_var (per-timestep learned gamma reweighting) + original
+    elbo weight + given_betas + string condition models (reference
+    `ddpm.py:166-241, 87`, `models/cv/diffusion.py:74-94`)."""
+    import jax as _jax
+    import jax.numpy as jnp
+
+    from cflearn_tpu.modules.multimodal.diffusion.ddpm import DDPM, make_condition_model
+
+    unet = {
+        "start_channels": 32,
+        "num_res_blocks": 1,
+        "channel_multipliers": (1, 2),
+        "attention_downsample_rates": (2,),
+        "num_heads": 4,
+        "context_dim": None,
+        "use_spatial_transformer": False,
+    }
+    config = DLConfig(
+        model="ddpm",
+        module_name="ddpm",
+        module_config={
+            "img_size": 8,
+            "in_channels": 1,
+            "out_channels": 1,
+            "num_timesteps": 20,
+            "learn_log_var": True,
+            "unet_config": unet,
+        },
+        loss_config={"original_elbo_weight": 0.01},
+    )
+    model = IDLModel.from_config(config)
+    batch = {"input": jnp.asarray(np.random.rand(2, 8, 8, 1).astype(np.float32))}
+    losses = model.train_steps[0].loss_fn(model, batch, {})
+    for key in ("simple", "gamma", "log_var", "vlb", "loss"):
+        assert key in losses and np.isfinite(float(losses[key])), key
+    # log_var is a trainable Param when learn_log_var
+    assert isinstance(model.m.log_var, nnx.Param)
+
+    # given_betas overrides the schedule length
+    betas = np.linspace(1e-4, 2e-2, 10)
+    d = DDPM(img_size=8, in_channels=1, out_channels=1, given_betas=betas,
+             unet_config=unet, rngs=nnx.Rngs(0))
+    assert d.num_timesteps == 10 and d.betas[...].shape == (10,)
+    assert bool(np.isfinite(np.asarray(d.lvlb_weights[...])).all())
+
+    # string condition model → registry build ("rescaler" w/ channel mapper)
+    m = make_condition_model("rescaler", {"num_stages": 2, "in_channels": 6, "out_channels": 3})
+    out = m(jnp.zeros((1, 16, 16, 6)))
+    assert out.shape == (1, 4, 4, 3)
+
+    # condition model frozen by default (condition_learnable=False)
+    from cflearn_tpu.modules.multimodal.diffusion.cond_models import Rescaler
+
+    config = DLConfig(
+        model="ddpm",
+        module_name="ddpm",
+        module_config={
+            "img_size": 8,
+            "in_channels": 1,
+            "out_channels": 1,
+            "num_timesteps": 20,
+            "condition_type": "concat",
+            "condition_model": "rescaler",
+            "condition_config": {"num_stages": 0, "in_channels": 4, "out_channels": 1},
+            "unet_config": dict(unet, in_channels=2),
+        },
+    )
+    model = IDLModel.from_config(config)
+    mask = nnx.state(model, model.params_filter("all"))
+    frozen = [p for p in _jax.tree_util.tree_leaves_with_path(mask) if "condition_model" in str(p[0])]
+    assert not frozen
+
+
 def test_ldm_vq_first_stage(image_data, tmp_path) -> None:
     """VQ-first-stage LDM (reference `examples/cv/diffusion/mnist_ldm_vq.py`
     + `ldm.py:185-191`): `first_stage` given as a zoo/registry name, training
