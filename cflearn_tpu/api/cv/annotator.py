@@ -145,7 +145,9 @@ class DepthAnnotator(Annotator):
             out = self._blur_proxy(batch)
         return out[0] if squeeze else out
 
-    def _detect(self, batch: np.ndarray) -> np.ndarray:
+    def raw_depth(self, batch: np.ndarray) -> np.ndarray:
+        """uint8 NHWC → raw (un-normalized) DPT depth (B, H, W); the shared
+        pre/post-processing for `annotate` and `MiDaSAPI.detect_normal`."""
         import jax.numpy as jnp
 
         h, w = batch.shape[1:3]
@@ -153,7 +155,10 @@ class DepthAnnotator(Annotator):
         x = batch.astype(np.float32) / 127.5 - 1.0
         if ph or pw:
             x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        depth = np.asarray(self._net(jnp.asarray(x)))[:, :h, :w]
+        return np.asarray(self._net(jnp.asarray(x)))[:, :h, :w]
+
+    def _detect(self, batch: np.ndarray) -> np.ndarray:
+        depth = self.raw_depth(batch)
         lo = depth.min(axis=(1, 2), keepdims=True)
         hi = depth.max(axis=(1, 2), keepdims=True)
         depth = (depth - lo) / np.maximum(hi - lo, 1e-6)

@@ -84,9 +84,10 @@ def register_callback(vqvae: Any, num_classes: Optional[int]) -> str:
 
 
 class VQVAEInference:
-    """Reference `api/cv/vq_vae.py:91`."""
-
-    tmp_callback_name: Optional[str] = None
+    """Reference `api/cv/vq_vae.py:91`. Unlike the reference (class-level
+    `tmp_callback_name` — a second instance deregisters the first's callback
+    and breaks its later `fit`), the temp callback registration is
+    per-instance here."""
 
     def __init__(
         self,
@@ -105,15 +106,16 @@ class VQVAEInference:
         pack(str(vqvae_log_folder), packed_path)
         self.vqvae = load_inference(packed_path).model.m
         self.code_export_folder = os.path.join(workspace, "codes")
-        if VQVAEInference.tmp_callback_name is not None:
-            TrainerCallback.remove(VQVAEInference.tmp_callback_name)
-        VQVAEInference.tmp_callback_name = register_callback(self.vqvae, num_classes)
+        self.tmp_callback_name = register_callback(self.vqvae, num_classes)
         callback_names = config.callback_names or []
         if not isinstance(callback_names, list):
             callback_names = [callback_names]
-        callback_names.append(VQVAEInference.tmp_callback_name)
-        config.callback_names = callback_names
+        # copy — never mutate the caller's list in place
+        config.callback_names = list(callback_names) + [self.tmp_callback_name]
         self.pipeline: Any = None
+        # NOTE: the temp registration is intentionally NOT removed on
+        # garbage collection — reloading the fitted workspace later rebuilds
+        # callbacks by name and must still resolve it
 
     # code export -------------------------------------------------------------
 

@@ -192,8 +192,8 @@ class PixelCNN(nnx.Module):
         if self.channel_padding is not None:
             if self.num_classes is None:
                 labels = None
-            elif labels is None:
-                labels = self.get_sample_labels(b)
+            # conditional + missing labels raises inside ChannelPadding
+            # (reference `high_level.py:90` — no silent random fallback)
             net = self.channel_padding(net, labels)
         for conv, norm in zip(self.convs, self.norms):
             net = jax.nn.relu(norm(conv(net)))

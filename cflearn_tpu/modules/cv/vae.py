@@ -194,10 +194,18 @@ class VQVAE(IConditional):
         return self.codebook(self.encoder(net)).indices
 
     def get_code(self, code_indices: jax.Array) -> jax.Array:
-        """Indices (B, H, W) or (B, 1, H, W) → z_q (B, H, W, C) (reference
-        `vector_quantized.py:139`, NHWC here)."""
+        """Indices (B, H, W), (B, H, W, 1) or (B, 1, H, W) → z_q (B, H, W, C)
+        (reference `vector_quantized.py:139` squeezes the torch channel dim;
+        NHWC puts the singleton last — both layouts accepted)."""
         if code_indices.ndim == 4:
-            code_indices = code_indices[:, 0]
+            if code_indices.shape[-1] == 1:
+                code_indices = code_indices[..., 0]
+            elif code_indices.shape[1] == 1:
+                code_indices = code_indices[:, 0]
+            else:
+                raise ValueError(
+                    f"4-D code indices need a singleton channel axis, got {code_indices.shape}"
+                )
         return self.codebook.lookup(code_indices.astype(jnp.int32))
 
     # decoding ----------------------------------------------------------------

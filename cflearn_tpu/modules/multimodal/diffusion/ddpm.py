@@ -127,7 +127,10 @@ class DDPM(nnx.Module):
         # reference `ddpm.py:236-241`: per-timestep log-variance of the simple
         # loss — a learnable Param when `learn_log_var` (the "gamma" objective)
         self.learn_log_var = learn_log_var
-        log_var = jnp.full((num_timesteps,), float(log_var_init), jnp.float32)
+        # sized from the REGISTERED schedule (given_betas may override the
+        # `num_timesteps` argument — reference sizes it after registration,
+        # `ddpm.py:237`)
+        log_var = jnp.full((self.num_timesteps,), float(log_var_init), jnp.float32)
         self.log_var = nnx.Param(log_var) if learn_log_var else nnx.Variable(log_var)
         self.rngs = rngs
 

@@ -832,3 +832,34 @@ def test_ldm_vq_first_stage(image_data, tmp_path) -> None:
     assert z.shape == (2, 8, 8, 3)
     decoded = trainer.model.m.decode(z)
     assert decoded.shape == (2, 16, 16, 3)
+
+
+def test_review_fixes_conditional_generation() -> None:
+    """Regressions from the round-2 review: NHWC code-index squeeze in
+    `VQVAE.get_code`, `log_var` sized from the registered schedule under
+    `given_betas`, and conditional PixelCNN refusing silent random labels."""
+    import jax.numpy as jnp
+
+    from cflearn_tpu.modules.cv.classifier import PixelCNN
+    from cflearn_tpu.modules.cv.vae import VQVAE
+    from cflearn_tpu.modules.multimodal.diffusion.ddpm import DDPM
+
+    vq = VQVAE(img_size=16, in_channels=1, num_codes=8, code_dimension=16,
+               num_downsample=1, rngs=nnx.Rngs(0))
+    assert vq.decode_indices(jnp.zeros((2, 8, 8, 1), jnp.int32)).shape == (2, 16, 16, 1)
+    assert vq.decode_indices(jnp.zeros((2, 1, 8, 8), jnp.int32)).shape == (2, 16, 16, 1)
+    with pytest.raises(ValueError, match="singleton"):
+        vq.get_code(jnp.zeros((2, 2, 8, 8), jnp.int32))
+
+    unet = {"start_channels": 32, "num_res_blocks": 1, "channel_multipliers": (1, 2),
+            "attention_downsample_rates": (2,), "num_heads": 4,
+            "context_dim": None, "use_spatial_transformer": False}
+    d = DDPM(img_size=8, in_channels=1, out_channels=1,
+             given_betas=np.linspace(1e-4, 2e-2, 10), learn_log_var=True,
+             unet_config=unet, rngs=nnx.Rngs(0))
+    assert d.log_var[...].shape == (10,)
+
+    pc = PixelCNN(num_codes=8, img_size=4, in_channels=1, latent_channels=16,
+                  num_layers=2, num_classes=4, rngs=nnx.Rngs(0))
+    with pytest.raises(ValueError, match="labels"):
+        pc(jnp.zeros((2, 4, 4), jnp.int32))
