@@ -1016,7 +1016,15 @@ class DiffusionAPI(IAPI):
     # ---------------------------------------------------------------- utils
 
     @staticmethod
-    def _norm_image(image: np.ndarray) -> np.ndarray:
+    def _norm_image(image: Any) -> np.ndarray:
+        # paths / PIL images load through `read_image` (reference accepts
+        # them everywhere via `cftool.cv.read_image`); [0,1] → [-1,1]
+        if isinstance(image, str) or (
+            not isinstance(image, np.ndarray) and hasattr(image, "getbands")
+        ):
+            from .utils import read_image
+
+            return (read_image(image, None).image * 2.0 - 1.0).astype(np.float32)
         image = np.asarray(image)
         if image.ndim == 3:
             image = image[None]

@@ -643,3 +643,21 @@ def test_deepcache_with_guidance_interval(tiny_api) -> None:
     finally:
         tiny_api.set_deepcache(None)
         tiny_api.switch_sampler("ddim")
+
+
+def test_img2img_accepts_pil_and_path(tiny_api, tmp_path) -> None:
+    """Paths / PIL images load through `read_image` (reference feeds
+    everything through `cftool.cv.read_image`); output matches the
+    equivalent ndarray call exactly."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    pil = Image.fromarray(arr)
+    path = str(tmp_path / "img.png")
+    pil.save(path)
+    base = tiny_api.img2img(arr, num_steps=2, seed=3)
+    from_pil = tiny_api.img2img(pil, num_steps=2, seed=3)
+    from_path = tiny_api.img2img(path, num_steps=2, seed=3)
+    np.testing.assert_array_equal(base, from_pil)
+    np.testing.assert_array_equal(base, from_path)
