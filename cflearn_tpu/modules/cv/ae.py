@@ -35,6 +35,7 @@ class AttnEncoder(nnx.Module):
         dropout: float = 0.0,
         double_z: bool = True,
         attention_type: str = "spatial",
+        resample_with_conv: bool = True,
         rngs: nnx.Rngs,
     ) -> None:
         channel_multipliers = channel_multipliers or [1, 2, 4, 4]
@@ -55,7 +56,7 @@ class AttnEncoder(nnx.Module):
                 if resolution in attention_resolutions:
                     blocks.append(SpatialAttention(ch, rngs=rngs))
             if i != len(channel_multipliers) - 1:
-                blocks.append(Downsample(ch, use_conv=True, rngs=rngs))
+                blocks.append(Downsample(ch, use_conv=resample_with_conv, rngs=rngs))
                 resolution //= 2
         self.blocks = nnx.List(blocks)
         self.mid_res1 = ResidualBlock(ch, ch, dropout=dropout, rngs=rngs)
@@ -92,6 +93,7 @@ class AttnDecoder(nnx.Module):
         attention_resolutions: Optional[List[int]] = None,
         dropout: float = 0.0,
         attention_type: str = "spatial",
+        resample_with_conv: bool = True,
         rngs: nnx.Rngs,
     ) -> None:
         channel_multipliers = channel_multipliers or [1, 2, 4, 4]
@@ -113,7 +115,10 @@ class AttnDecoder(nnx.Module):
                 if resolution in attention_resolutions:
                     blocks.append(SpatialAttention(ch, rngs=rngs))
             if i != 0:
-                blocks.append(UpsampleConv2d(ch, ch, factor=2.0, rngs=rngs))
+                if resample_with_conv:
+                    blocks.append(UpsampleConv2d(ch, ch, factor=2.0, rngs=rngs))
+                else:
+                    blocks.append(Upsample2x())
                 resolution *= 2
         self.blocks = nnx.List(blocks)
         self.norm_out = nnx.GroupNorm(ch, num_groups=32, epsilon=1e-6, rngs=rngs)
@@ -152,6 +157,7 @@ class AutoEncoderKL(nnx.Module):
         dropout: float = 0.0,
         attention_type: str = "spatial",
         apply_tanh: bool = False,
+        resample_with_conv: bool = True,
         rngs: nnx.Rngs,
     ) -> None:
         self.apply_tanh = apply_tanh
@@ -168,6 +174,7 @@ class AutoEncoderKL(nnx.Module):
             dropout=dropout,
             double_z=True,
             attention_type=attention_type,
+            resample_with_conv=resample_with_conv,
             rngs=rngs,
         )
         self.decoder = AttnDecoder(
@@ -180,6 +187,7 @@ class AutoEncoderKL(nnx.Module):
             attention_resolutions=attention_resolutions,
             dropout=dropout,
             attention_type=attention_type,
+            resample_with_conv=resample_with_conv,
             rngs=rngs,
         )
         self.to_embedding = nnx.Conv(2 * z_channels, 2 * embedding_channels, kernel_size=(1, 1), rngs=rngs)
@@ -223,6 +231,7 @@ class AutoEncoderVQ(nnx.Module):
         dropout: float = 0.0,
         attention_type: str = "spatial",
         apply_tanh: bool = False,
+        resample_with_conv: bool = True,
         rngs: nnx.Rngs,
     ) -> None:
         self.apply_tanh = apply_tanh
@@ -237,6 +246,7 @@ class AutoEncoderVQ(nnx.Module):
             dropout=dropout,
             double_z=False,
             attention_type=attention_type,
+            resample_with_conv=resample_with_conv,
             rngs=rngs,
         )
         self.decoder = AttnDecoder(
@@ -249,6 +259,7 @@ class AutoEncoderVQ(nnx.Module):
             attention_resolutions=attention_resolutions,
             dropout=dropout,
             attention_type=attention_type,
+            resample_with_conv=resample_with_conv,
             rngs=rngs,
         )
         self.to_embedding = nnx.Conv(z_channels, embedding_channels, kernel_size=(1, 1), rngs=rngs)
@@ -273,6 +284,14 @@ class AutoEncoderVQ(nnx.Module):
             "commitment_loss": out.commitment_loss,
             "indices": out.indices,
         }
+
+
+class Upsample2x(nnx.Module):
+    """Conv-free nearest 2x upsample (reference `resample_with_conv=False`)."""
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        return jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
 
 
 # reference class names (`modules/cv/encoder/attn.py:32`,

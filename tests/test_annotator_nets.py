@@ -573,3 +573,81 @@ def test_reference_wrapper_apis() -> None:
     assert set(np.unique(hard)) <= {0, 255}
     lines = MLSDDetector()(img, 0.1, 0.1)
     assert lines.shape == (32, 32, 3) and lines.dtype == np.uint8
+
+
+def test_openpose_hand_and_flat_caffe_keys() -> None:
+    """The hosted OpenPose checkpoints use FLAT caffe layer names (the
+    reference strips module prefixes via `util.transfer`); conversion must
+    cover them, and the hand branch (reference `openpose/hand.py` +
+    `handpose_model`) must be fully convertible too."""
+    import jax.numpy as jnp
+
+    from cflearn_tpu.api.cv.third_party.openpose import (
+        OpenPoseBody,
+        OpenPoseHand,
+        convert_hand,
+        convert_openpose,
+        detect_hand_peaks,
+        hand_boxes_from_keypoints,
+    )
+    from cflearn_tpu.toolkit.tree import tree_to_npd
+
+    rng = np.random.RandomState(0)
+
+    def flat_sd_for(npd, name_of):
+        sd = {}
+        for key in npd:
+            nm = name_of(key)
+            k = npd[key.replace("/bias/", "/kernel/")]
+            kh, kw, ci, co = k.shape
+            if key.endswith("kernel/value"):
+                sd[f"{nm}.weight"] = rng.randn(co, ci, kh, kw).astype(np.float32)
+            else:
+                sd[f"{nm}.bias"] = rng.randn(co).astype(np.float32)
+        return sd
+
+    body = OpenPoseBody(rngs=nnx.Rngs(0))
+    body_npd = tree_to_npd(nnx.state(body, nnx.Param))
+    stem_names = ["conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2",
+                  "conv3_3", "conv3_4", "conv4_1", "conv4_2", "conv4_3_CPM", "conv4_4_CPM"]
+
+    def body_name(key):
+        parts = key.split("/")
+        if parts[0] == "stem":
+            return stem_names[int(parts[1])]
+        s = int(parts[1]) + 1
+        b = 1 if parts[0] == "stages_l1" else 2
+        j = int(parts[3]) + 1
+        return f"conv5_{j}_CPM_L{b}" if s == 1 else f"Mconv{j}_stage{s}_L{b}"
+
+    back = convert_openpose(flat_sd_for(body_npd, body_name))
+    assert set(back) == set(body_npd), (sorted(set(body_npd) - set(back))[:5],
+                                        sorted(set(back) - set(body_npd))[:5])
+
+    hand = OpenPoseHand(rngs=nnx.Rngs(0))
+    hand_npd = tree_to_npd(nnx.state(hand, nnx.Param))
+    hand_stem = ["conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2",
+                 "conv3_3", "conv3_4", "conv4_1", "conv4_2", "conv4_3", "conv4_4",
+                 "conv5_1", "conv5_2", "conv5_3_CPM"]
+
+    def hand_name(key):
+        parts = key.split("/")
+        if parts[0] == "stem":
+            return hand_stem[int(parts[1])]
+        if parts[0] == "head":
+            return ["conv6_1_CPM", "conv6_2_CPM"][int(parts[2])]
+        s = int(parts[1]) + 2
+        j = int(parts[3]) + 1
+        return f"Mconv{j}_stage{s}"
+
+    back = convert_hand(flat_sd_for(hand_npd, hand_name))
+    assert set(back) == set(hand_npd)
+
+    # hand forward + peak extraction + box geometry
+    out = hand(jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 8, 8, 22)
+    peaks = detect_hand_peaks(hand, (rng.rand(48, 48, 3) * 255).astype(np.uint8), boxsize=64)
+    assert peaks.shape == (21, 2)
+    kp = {2: (40, 30), 3: (50, 60), 4: (60, 90), 5: (80, 30), 6: (82, 60), 7: (85, 95)}
+    boxes = hand_boxes_from_keypoints(kp, (128, 128))
+    assert len(boxes) == 2 and all(b[2] >= 20 for b in boxes)
