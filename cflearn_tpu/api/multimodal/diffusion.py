@@ -618,22 +618,30 @@ class DiffusionAPI(IAPI):
                     )
 
                 if uses_inpaint_unet:
-                    # hybrid conditioning: mask + masked latents concat to the
-                    # UNet input, text through cross-attention. The sampler's
-                    # CFG batching concatenates conds, so pack concat+context
-                    # channels into one context tensor is not possible —
-                    # instead run with condition_type hybrid via dict cond.
-                    concat = jnp.concatenate([latent_mask, zm], axis=-1)
-                    cond = {CONCAT_TYPE: concat, CROSS_ATTN_TYPE: text}
-                    uncond = (
-                        {CONCAT_TYPE: concat, CROSS_ATTN_TYPE: text_u}
-                        if text_u is not None
-                        else None
-                    )
-                    backup = m.condition_type
-                    m.condition_type = "hybrid"
-                    latents = run_sampler(cond, uncond)
-                    m.condition_type = backup
+                    if m.condition_type == CONCAT_TYPE:
+                        # concat-only LDM inpainting (reference :1079,
+                        # `from_inpainting`): cond = cat([masked latents,
+                        # mask]) — image FIRST — no text / no CFG
+                        cond = jnp.concatenate([zm, latent_mask], axis=-1)
+                        latents = run_sampler(cond, None)
+                    else:
+                        # hybrid conditioning (SD 9-channel, reference :935):
+                        # cat([mask, masked latents]) to the UNet input, text
+                        # through cross-attention. The sampler's CFG batching
+                        # concatenates conds, so pack concat+context channels
+                        # into one context tensor is not possible — instead
+                        # run with condition_type hybrid via dict cond.
+                        concat = jnp.concatenate([latent_mask, zm], axis=-1)
+                        cond = {CONCAT_TYPE: concat, CROSS_ATTN_TYPE: text}
+                        uncond = (
+                            {CONCAT_TYPE: concat, CROSS_ATTN_TYPE: text_u}
+                            if text_u is not None
+                            else None
+                        )
+                        backup = m.condition_type
+                        m.condition_type = "hybrid"
+                        latents = run_sampler(cond, uncond)
+                        m.condition_type = backup
                 else:
                     latents = run_sampler(text, text_u)
                     # repaint blend: keep unmasked regions from the original
@@ -964,10 +972,15 @@ class DiffusionAPI(IAPI):
             return m.decode(latents)
 
         key = jax.random.PRNGKey(seed or 0)
-        # downscale the semantic map to latent resolution for concat
-        sem_lat = jax.image.resize(
-            jnp.asarray(semantic), (b, h // 8, w // 8, semantic.shape[-1]), "nearest"
-        )
+        if self.m.condition_model is not None:
+            # a condition model (SpatialRescaler in the reference semantic
+            # LDM) owns the map→latent-resolution scaling — feed it full-res
+            sem_lat = jnp.asarray(semantic)
+        else:
+            # rescaler-less concat models: downscale to latent resolution
+            sem_lat = jax.image.resize(
+                jnp.asarray(semantic), (b, h // 8, w // 8, semantic.shape[-1]), "nearest"
+            )
         return _to_uint8(_run(nnx.state(self.m), sem_lat, key))
 
     def sr(
@@ -1068,6 +1081,25 @@ class DiffusionAPI(IAPI):
         from ...zoo.common import load_sd
 
         m = load_sd("v1_inpainting", pretrained=pretrained)
+        return cls(m, use_bf16=use_bf16, **kwargs)
+
+    @classmethod
+    def from_inpainting(cls, *, pretrained: bool = False, use_bf16: bool = True, ldm_kwargs: Optional[Dict[str, Any]] = None, **kwargs: Any) -> "DiffusionAPI":
+        """reference :1419 — the concat-conditioned LDM inpainting model
+        (`zoo.ldm_inpainting`: 7 latent channels, attention-free VQ first
+        stage, resblock resampling)."""
+        from ...zoo.common import ldm_inpainting
+
+        m = ldm_inpainting(pretrained=pretrained, **(ldm_kwargs or {}))
+        return cls(m, use_bf16=use_bf16, **kwargs)
+
+    @classmethod
+    def from_semantic(cls, *, pretrained: bool = False, use_bf16: bool = True, ldm_kwargs: Optional[Dict[str, Any]] = None, **kwargs: Any) -> "DiffusionAPI":
+        """reference :1436 — the semantic-map LDM (`zoo.ldm_semantic`:
+        182-channel one-hot maps through a SpatialRescaler, concat cond)."""
+        from ...zoo.common import ldm_semantic
+
+        m = ldm_semantic(pretrained=pretrained, **(ldm_kwargs or {}))
         return cls(m, use_bf16=use_bf16, **kwargs)
 
 

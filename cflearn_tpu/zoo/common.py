@@ -389,10 +389,10 @@ def ldm_semantic(pretrained: bool = False, **kwargs: Any) -> nnx.Module:
             "use_spatial_transformer": False,
         },
     )
+    kwargs.setdefault("latent_size", 128)
+    kwargs.setdefault("latent_in_channels", 6)
     return ldm_vq(
         pretrained=pretrained,
-        latent_size=128,
-        latent_in_channels=6,
         tag="cflearn_ldm_semantic",
         **kwargs,
     )

@@ -661,3 +661,63 @@ def test_img2img_accepts_pil_and_path(tiny_api, tmp_path) -> None:
     from_path = tiny_api.img2img(path, num_steps=2, seed=3)
     np.testing.assert_array_equal(base, from_pil)
     np.testing.assert_array_equal(base, from_path)
+
+
+def test_concat_ldm_inpainting() -> None:
+    """`from_inpainting` (reference :1419): concat-conditioned LDM — cond is
+    cat([masked latents, mask]) fed straight to the UNet input, no text/CFG."""
+    api = DiffusionAPI.from_inpainting(
+        use_bf16=False,
+        ldm_kwargs=dict(
+            latent_size=16,
+            first_stage_config=dict(img_size=64, inner_channels=32, num_res_blocks=1),
+            unet_config=dict(
+                start_channels=32,
+                num_res_blocks=1,
+                channel_multipliers=[1, 2],
+                attention_downsample_rates=[2],
+                num_heads=4,
+                use_spatial_transformer=False,
+                resample_with_resblock=True,
+            ),
+        ),
+    )
+    assert api.m.condition_type == "concat"
+    assert api.m.unet.in_channels == 7 and api.m.out_channels == 3
+    rng = np.random.RandomState(0)
+    image = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    mask = np.zeros((64, 64))
+    mask[16:48, 16:48] = 1
+    out = api.inpainting(image, mask, num_steps=2, seed=1)
+    assert out.shape == (1, 64, 64, 3) and out.dtype == np.uint8
+    again = api.inpainting(image, mask, num_steps=2, seed=1)
+    np.testing.assert_array_equal(out, again)
+
+
+def test_semantic_ldm() -> None:
+    """`from_semantic` (reference :1436): one-hot semantic maps through a
+    SpatialRescaler condition model (which owns the map→latent scaling)."""
+    api = DiffusionAPI.from_semantic(
+        use_bf16=False,
+        ldm_kwargs=dict(
+            latent_size=16,
+            latent_in_channels=6,
+            condition_config=dict(num_stages=2, in_channels=8, out_channels=3),
+            first_stage_config=dict(img_size=64, inner_channels=32, num_res_blocks=1),
+            unet_config=dict(
+                start_channels=32,
+                num_res_blocks=1,
+                channel_multipliers=[1, 2],
+                attention_downsample_rates=[2],
+                num_heads=4,
+                use_spatial_transformer=False,
+            ),
+        ),
+    )
+    assert api.m.condition_type == "concat"
+    assert api.m.condition_model is not None
+    rng = np.random.RandomState(1)
+    labels = rng.randint(0, 8, size=(64, 64))
+    semantic = np.eye(8, dtype=np.float32)[labels][None]
+    out = api.semantic2img(semantic, num_steps=2, seed=0)
+    assert out.shape == (1, 64, 64, 3) and out.dtype == np.uint8
