@@ -113,6 +113,38 @@ def get_download_cache_dir() -> Path:
     return folder
 
 
+def compute_sha(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _tofu_sha_file(dst_folder: Path) -> Path:
+    return dst_folder / ".sha256.json"
+
+
+def _tofu_get(dst_folder: Path, fname: str) -> Optional[str]:
+    f = _tofu_sha_file(dst_folder)
+    if not f.is_file():
+        return None
+    try:
+        return json.loads(f.read_text()).get(fname)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _tofu_put(dst_folder: Path, fname: str, sha: str) -> None:
+    f = _tofu_sha_file(dst_folder)
+    try:
+        d = json.loads(f.read_text()) if f.is_file() else {}
+    except Exception:  # noqa: BLE001
+        d = {}
+    d[fname] = sha
+    f.write_text(json.dumps(d, indent=2, sort_keys=True))
+
+
 def download(
     url: str,
     *,
@@ -121,7 +153,15 @@ def download(
     sha: Optional[str] = None,
     retries: int = 2,
 ) -> Path:
-    """Download + cache + optional sha verification (reference `toolkit.py:450-567`).
+    """Download + cache + sha verification (reference `toolkit.py:450-567`).
+
+    When `sha` is recorded in the checkpoint index it is enforced on every
+    cache hit and fresh download. When the index has no sha (upstream-hosted
+    files whose digests cannot be computed without egress), verification is
+    trust-on-first-use: the sha256 of the first successful download is
+    recorded in a `.sha256.json` sidecar next to the cache, and later cache
+    hits must still match it — so post-download corruption or tampering is
+    caught either way.
 
     In zero-egress environments this raises a clear error when the file is not
     already cached; callers (the zoo) treat pretrained weights as optional.
@@ -132,14 +172,23 @@ def download(
     dst_folder.mkdir(parents=True, exist_ok=True)
     fname = name or url.split("/")[-1]
     path = dst_folder / fname
-    if path.is_file() and (sha is None or check_sha_with(str(path), sha)):
-        return path
+    if path.is_file():
+        pinned = sha or _tofu_get(dst_folder, fname)
+        if pinned is None:
+            _tofu_put(dst_folder, fname, compute_sha(str(path)))
+            return path
+        if check_sha_with(str(path), pinned):
+            return path
+        # fall through to re-download the corrupted file
     err: Optional[Exception] = None
+    pinned = sha or _tofu_get(dst_folder, fname)
     for _ in range(max(1, retries)):
         try:
             urllib.request.urlretrieve(url, str(path))
-            if sha is not None and not check_sha_with(str(path), sha):
+            got = compute_sha(str(path))
+            if pinned is not None and got != pinned:
                 raise IOError(f"sha mismatch for {fname}")
+            _tofu_put(dst_folder, fname, got)
             return path
         except Exception as e:  # noqa: BLE001
             err = e

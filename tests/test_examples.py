@@ -30,8 +30,10 @@ def _run(path: str) -> None:
     "path",
     [
         "ml/iris.py",
+        "ml/toy.py",
         "ml/california.py",
         "ml/titanic.py",
+        "ml/titanic_interpret.py",
         "ml/ddr.py",
         "ml/operations.py",
         "ml/run_multiple.py",
@@ -42,6 +44,7 @@ def _run(path: str) -> None:
         "cv/vq_vae.py",
         "cv/vq_vae_inference.py",
         "cv/ae_kl.py",
+        "cv/ae_vq.py",
         "cv/gan.py",
         "cv/ddpm.py",
         "cv/ldm.py",

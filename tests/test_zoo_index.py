@@ -184,3 +184,28 @@ def test_clip_variant_ctors() -> None:
     assert m.encode_text(jnp.zeros((1, 8), jnp.int32)).shape == (1, 8)
     with pytest.raises(ValueError):
         zoo.chinese_clip(pretrained=True)
+
+
+def test_download_trust_on_first_use(tmp_path) -> None:
+    """Index entries without a recorded sha (upstream-hosted, zero-egress)
+    still get verified: the first successful download pins the sha256 in a
+    `.sha256.json` sidecar, and later cache hits must match it."""
+    blob = tmp_path / "weights.bin"
+    blob.write_bytes(b"first download")
+    cache = tmp_path / "cache"
+    path = download(f"file://{blob}", folder=str(cache), sha=None)
+    sidecar = json.loads((cache / ".sha256.json").read_text())
+    import hashlib
+
+    assert sidecar["weights.bin"] == hashlib.sha256(b"first download").hexdigest()
+    # unchanged cache hit passes
+    assert download(f"file://{blob}", folder=str(cache), sha=None) == path
+    # corrupt the cached file -> re-download restores + passes; but if the
+    # source itself changed, the pinned sha rejects it
+    path.write_bytes(b"corrupted")
+    restored = download(f"file://{blob}", folder=str(cache), sha=None)
+    assert restored.read_bytes() == b"first download"
+    blob.write_bytes(b"upstream changed")
+    path.write_bytes(b"corrupted again")
+    with pytest.raises(IOError):
+        download(f"file://{blob}", folder=str(cache), sha=None)
