@@ -952,12 +952,35 @@ class DiffusionAPI(IAPI):
         **kwargs: Any,
     ) -> np.ndarray:
         """Segmentation-map → image via CONCAT conditioning (reference :1111;
-        requires an LDM trained with concat semantic conditioning)."""
+        requires an LDM trained with concat semantic conditioning).
+
+        Accepts either a class-index map (integer (H, W) / (B, H, W) array,
+        path, or grayscale PIL image — one-hotted to the condition model's
+        `in_channels`, the reference's behavior) or an already-one-hot float
+        (B, H, W, C) array. Values stay {0, 1}: the reference feeds raw
+        one-hot maps, NOT [-1, 1]-normalized images (reference :1134-1144,
+        `read_image(..., normalize=False)` + `F.one_hot`)."""
         from ...modules.multimodal.diffusion.utils import CONCAT_TYPE
 
         if self.m.condition_type != CONCAT_TYPE:
             raise ValueError("`semantic2img` requires a concat-conditioned LDM")
-        semantic = self._norm_image(semantic)
+        if isinstance(semantic, str) or (
+            not isinstance(semantic, np.ndarray) and hasattr(semantic, "getbands")
+        ):
+            from .utils import read_image
+            from PIL import Image  # type: ignore
+
+            img = semantic if not isinstance(semantic, str) else Image.open(semantic)
+            semantic = np.asarray(img.convert("L"))
+        semantic = np.asarray(semantic)
+        if np.issubdtype(semantic.dtype, np.integer):
+            num_classes = getattr(self.m.condition_model, "in_channels", None)
+            if num_classes is None:
+                num_classes = int(semantic.max()) + 1
+            semantic = np.eye(num_classes, dtype=np.float32)[semantic]
+        if semantic.ndim == 3:
+            semantic = semantic[None]
+        semantic = semantic.astype(np.float32)
         b, h, w, _ = semantic.shape
         graphdef, state = nnx.split(self.m)
         sampler_name, sampler_config = self.sampler_name, dict(self.sampler_config)

@@ -721,3 +721,7 @@ def test_semantic_ldm() -> None:
     semantic = np.eye(8, dtype=np.float32)[labels][None]
     out = api.semantic2img(semantic, num_steps=2, seed=0)
     assert out.shape == (1, 64, 64, 3) and out.dtype == np.uint8
+    # class-index input (the reference's semantic2img signature) one-hots to
+    # the condition model's in_channels and matches the explicit one-hot call
+    from_indices = api.semantic2img(labels, num_steps=2, seed=0)
+    np.testing.assert_array_equal(out, from_indices)
