@@ -619,11 +619,22 @@ class DiffusionAPI(IAPI):
 
                 if uses_inpaint_unet:
                     if m.condition_type == CONCAT_TYPE:
-                        # concat-only LDM inpainting (reference :1079,
+                        # concat-only LDM inpainting (reference :1066-1079,
                         # `from_inpainting`): cond = cat([masked latents,
-                        # mask]) — image FIRST — no text / no CFG
-                        cond = jnp.concatenate([zm, latent_mask], axis=-1)
+                        # mask]) — image FIRST — no text / no CFG. The
+                        # reference masks in [0,1] space with 0-fill
+                        # (→ -1 after its 2x-1) and uses a ±1 mask cond
+                        # (`mask_cond_fn` at :1077).
+                        masked_black = image * (1.0 - mask) - mask
+                        zmb = m.encode_first_stage(masked_black)
+                        cond = jnp.concatenate(
+                            [zmb, latent_mask * 2.0 - 1.0], axis=-1
+                        )
                         latents = run_sampler(cond, None)
+                        # pixel-space paste-back (reference `callback`
+                        # :1066-1069): unmasked pixels come from the input
+                        decoded = m.decode(latents)
+                        return image * (1.0 - mask) + decoded * mask
                     else:
                         # hybrid conditioning (SD 9-channel, reference :935):
                         # cat([mask, masked latents]) to the UNet input, text

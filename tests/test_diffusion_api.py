@@ -692,6 +692,16 @@ def test_concat_ldm_inpainting() -> None:
     assert out.shape == (1, 64, 64, 3) and out.dtype == np.uint8
     again = api.inpainting(image, mask, num_steps=2, seed=1)
     np.testing.assert_array_equal(out, again)
+    # pixel paste-back (reference `callback` :1066): unmasked pixels come
+    # from the input image (uint8 round-trip tolerance)
+    untouched = out[0][mask == 0]
+    np.testing.assert_allclose(
+        untouched.astype(np.int32), image[mask == 0].astype(np.int32), atol=1
+    )
+    # ...and the masked region was actually generated, not copied
+    assert np.abs(
+        out[0][mask == 1].astype(np.int32) - image[mask == 1].astype(np.int32)
+    ).mean() > 2
 
 
 def test_semantic_ldm() -> None:
