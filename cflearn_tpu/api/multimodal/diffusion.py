@@ -863,7 +863,14 @@ class DiffusionAPI(IAPI):
         a 9-channel inpainting UNet; `use_background_guidance` (:804) starts
         sampling from the q-sampled original latents at `reference_fidelity`;
         `keep_original` (:813-838) pastes the original unmasked pixels over
-        the result with a `keep_original_fade`-pixel feather band."""
+        the result with a `keep_original_fade`-pixel feather band.
+        `refine_fidelity` (reference :1059) is accepted as an alias for the
+        background-guidance start: both mean "start from the q-sampled
+        original latents at this fidelity" (reference `_img2img` refine)."""
+        refine_fidelity = kwargs.pop("refine_fidelity", None)
+        if refine_fidelity is not None:
+            use_background_guidance = True
+            reference_fidelity = float(refine_fidelity)
         raw = np.asarray(image)
         if raw.ndim == 3:
             raw = raw[None]
