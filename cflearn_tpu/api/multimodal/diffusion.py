@@ -809,9 +809,22 @@ class DiffusionAPI(IAPI):
         export_path: Optional[str] = None,
         **kwargs: Any,
     ) -> np.ndarray:
-        """reference :~900-1050. `image`: uint8 or [-1,1] float NHWC."""
+        """reference :~900-1050. `image`: uint8 or [-1,1] float NHWC.
+
+        Inputs whose sides are not multiples of the UNet's 64px grid are
+        resized up to the rounded size for sampling and the output is
+        resized back (reference `read_image(anchor=…)` + `original_size`
+        restore in `sample`)."""
         image = self._norm_image(image)
         b = image.shape[0]
+        original_hw = (image.shape[1], image.shape[2])
+        rounded_hw = (_round64(original_hw[0]), _round64(original_hw[1]))
+        if rounded_hw != original_hw:
+            image = np.asarray(
+                jax.image.resize(
+                    jnp.asarray(image), (b, *rounded_hw, image.shape[-1]), "bilinear"
+                )
+            )
         prompts = cond if cond is not None else [""] * b
         if isinstance(prompts, str):
             prompts = [prompts] * b
@@ -831,6 +844,20 @@ class DiffusionAPI(IAPI):
                 key,
             )
         )
+        if rounded_hw != original_hw:
+            out = np.asarray(
+                jnp.clip(
+                    jnp.round(
+                        jax.image.resize(
+                            jnp.asarray(out, jnp.float32),
+                            (b, *original_hw, out.shape[-1]),
+                            "bilinear",
+                        )
+                    ),
+                    0,
+                    255,
+                )
+            ).astype(np.uint8)
         if export_path is not None:
             self._export(out, export_path)
         return out

@@ -735,3 +735,13 @@ def test_semantic_ldm() -> None:
     # the condition model's in_channels and matches the explicit one-hot call
     from_indices = api.semantic2img(labels, num_steps=2, seed=0)
     np.testing.assert_array_equal(out, from_indices)
+
+
+def test_img2img_odd_size_rounds_and_restores(tiny_api) -> None:
+    """Inputs off the 64px grid are sampled at the rounded size and the
+    output is restored to the input's dims (reference anchor rounding +
+    `original_size` restore)."""
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(72, 72, 3) * 255).astype(np.uint8)
+    out = tiny_api.img2img(arr, num_steps=2, seed=3)
+    assert out.shape == (1, 72, 72, 3) and out.dtype == np.uint8
