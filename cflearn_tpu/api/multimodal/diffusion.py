@@ -814,12 +814,23 @@ class DiffusionAPI(IAPI):
         Inputs whose sides are not multiples of the UNet's 64px grid are
         resized up to the rounded size for sampling and the output is
         resized back (reference `read_image(anchor=…)` + `original_size`
-        restore in `sample`)."""
-        image = self._norm_image(image)
+        restore in `sample`) — for paths/PIL inputs the pre-snap PIL size
+        is the restore target."""
+        if isinstance(image, str) or (
+            not isinstance(image, np.ndarray) and hasattr(image, "getbands")
+        ):
+            from .utils import read_image
+
+            res = read_image(image, None, anchor=64)
+            image = (res.image * 2.0 - 1.0).astype(np.float32)
+            # read_image reports (w, h); arrays here are (h, w)
+            original_hw = (res.original_size[1], res.original_size[0])
+        else:
+            image = self._norm_image(image)
+            original_hw = (image.shape[1], image.shape[2])
         b = image.shape[0]
-        original_hw = (image.shape[1], image.shape[2])
         rounded_hw = (_round64(original_hw[0]), _round64(original_hw[1]))
-        if rounded_hw != original_hw:
+        if (image.shape[1], image.shape[2]) != rounded_hw:
             image = np.asarray(
                 jax.image.resize(
                     jnp.asarray(image), (b, *rounded_hw, image.shape[-1]), "bilinear"
@@ -898,12 +909,22 @@ class DiffusionAPI(IAPI):
         if refine_fidelity is not None:
             use_background_guidance = True
             reference_fidelity = float(refine_fidelity)
+        if isinstance(image, str) or (
+            not isinstance(image, np.ndarray) and hasattr(image, "getbands")
+        ):
+            image = self._norm_image(image)
         raw = np.asarray(image)
         if raw.ndim == 3:
             raw = raw[None]
         original_u8 = raw if raw.dtype == np.uint8 else None
         image = self._norm_image(raw)
         b = image.shape[0]
+        if isinstance(mask, str) or (
+            not isinstance(mask, np.ndarray) and hasattr(mask, "getbands")
+        ):
+            from .utils import read_image
+
+            mask = read_image(mask, None, anchor=None, to_mask=True).image[..., 0]
         mask = np.asarray(mask).astype(np.float32)
         if mask.ndim == 2:
             mask = mask[None, :, :, None]
@@ -1012,14 +1033,20 @@ class DiffusionAPI(IAPI):
         if isinstance(semantic, str) or (
             not isinstance(semantic, np.ndarray) and hasattr(semantic, "getbands")
         ):
-            from .utils import read_image
             from PIL import Image  # type: ignore
 
             img = semantic if not isinstance(semantic, str) else Image.open(semantic)
             semantic = np.asarray(img.convert("L"))
         semantic = np.asarray(semantic)
-        if np.issubdtype(semantic.dtype, np.integer):
-            num_classes = getattr(self.m.condition_model, "in_channels", None)
+        # class-index maps have no channel axis: (H, W) or (B, H, W).
+        # Integer (…, C) arrays are already-one-hot (dtype alone cannot
+        # distinguish a uint8 one-hot from an index map).
+        num_classes = getattr(self.m.condition_model, "in_channels", None)
+        is_index_map = np.issubdtype(semantic.dtype, np.integer) and (
+            semantic.ndim <= 2
+            or (semantic.ndim == 3 and semantic.shape[-1] != (num_classes or -1))
+        )
+        if is_index_map:
             if num_classes is None:
                 num_classes = int(semantic.max()) + 1
             semantic = np.eye(num_classes, dtype=np.float32)[semantic]

@@ -57,12 +57,10 @@ def read_image(
     to_gray: bool = False,
     resample: str = "lanczos",
     normalize: bool = True,
-    padding_mode: Optional[str] = None,
 ) -> ReadImageResponse:
     """Load a path / PIL image / ndarray into a diffusion-ready batch array:
     restrict to `max_wh`, snap each side to a multiple of `anchor`, optional
-    mask/grayscale conversion. RGBA inputs are flattened against white (or
-    `padding_mode="circular"`-style edge content is left to the caller)."""
+    mask/grayscale conversion. RGBA inputs are flattened against white."""
     from PIL import Image
 
     if isinstance(image, str):

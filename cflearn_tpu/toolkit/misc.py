@@ -100,17 +100,16 @@ def get_file_size(path: str) -> int:
 
 def check_sha_with(path: str, tgt_sha: str) -> bool:
     """Reference `toolkit.py:304` — sha256 check of a file."""
-    h = hashlib.sha256()
-    with open(path, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return h.hexdigest() == tgt_sha
+    return compute_sha(path) == tgt_sha
 
 
 def get_download_cache_dir() -> Path:
     folder = Path(OPT.cache_dir) / "download"
     folder.mkdir(parents=True, exist_ok=True)
     return folder
+
+
+_verified_downloads: set = set()
 
 
 def compute_sha(path: str) -> str:
@@ -173,11 +172,18 @@ def download(
     fname = name or url.split("/")[-1]
     path = dst_folder / fname
     if path.is_file():
+        # hash multi-GB checkpoints at most once per process — later cache
+        # hits are a stat() away, like before TOFU pinning existed
+        verify_key = (str(path), sha)
+        if verify_key in _verified_downloads:
+            return path
         pinned = sha or _tofu_get(dst_folder, fname)
         if pinned is None:
             _tofu_put(dst_folder, fname, compute_sha(str(path)))
+            _verified_downloads.add(verify_key)
             return path
         if check_sha_with(str(path), pinned):
+            _verified_downloads.add(verify_key)
             return path
         # fall through to re-download the corrupted file
     err: Optional[Exception] = None

@@ -651,3 +651,17 @@ def test_openpose_hand_and_flat_caffe_keys() -> None:
     kp = {2: (40, 30), 3: (50, 60), 4: (60, 90), 5: (80, 30), 6: (82, 60), 7: (85, 95)}
     boxes = hand_boxes_from_keypoints(kp, (128, 128))
     assert len(boxes) == 2 and all(b[2] >= 20 for b in boxes)
+
+
+def test_openpose_detector_hand_requires_ckpt() -> None:
+    """`hand=True` without a hand checkpoint must raise instead of silently
+    drawing random-weight hand skeletons; plain construction must not pay
+    for the hand net (review regression)."""
+    import pytest as _pytest
+
+    from cflearn_tpu.api.cv.third_party import OpenposeDetector
+
+    det = OpenposeDetector()
+    assert det._hand_estimation is None
+    with _pytest.raises(ValueError, match="hand_ckpt"):
+        _ = det.hand_estimation

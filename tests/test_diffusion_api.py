@@ -745,3 +745,64 @@ def test_img2img_odd_size_rounds_and_restores(tiny_api) -> None:
     arr = (rng.rand(72, 72, 3) * 255).astype(np.uint8)
     out = tiny_api.img2img(arr, num_steps=2, seed=3)
     assert out.shape == (1, 72, 72, 3) and out.dtype == np.uint8
+
+
+def test_inpainting_accepts_paths_and_pil(tiny_api, tmp_path) -> None:
+    """Path/PIL image + mask inputs to `inpainting` match the ndarray call
+    (review regression: strings used to hit np.asarray and crash)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    mask = np.zeros((64, 64), np.uint8)
+    mask[16:48, 16:48] = 255
+    img_path = str(tmp_path / "img.png")
+    mask_path = str(tmp_path / "mask.png")
+    Image.fromarray(arr).save(img_path)
+    Image.fromarray(mask, mode="L").save(mask_path)
+    base = tiny_api.inpainting(arr, (mask > 127).astype(np.float32), cond="z", num_steps=2, seed=2)
+    from_path = tiny_api.inpainting(img_path, mask_path, cond="z", num_steps=2, seed=2)
+    from_pil = tiny_api.inpainting(Image.fromarray(arr), Image.fromarray(mask, mode="L"), cond="z", num_steps=2, seed=2)
+    np.testing.assert_array_equal(base, from_path)
+    np.testing.assert_array_equal(base, from_pil)
+
+
+def test_semantic_uint8_one_hot_not_misdetected() -> None:
+    """An integer-dtype (B, H, W, C) one-hot map must be treated as one-hot,
+    not class indices (review regression: dtype-only detection 5-D crash)."""
+    from cflearn_tpu.api.multimodal.diffusion import DiffusionAPI as _API
+
+    api = _API.from_semantic(
+        use_bf16=False,
+        ldm_kwargs=dict(
+            latent_size=16,
+            latent_in_channels=6,
+            condition_config=dict(num_stages=2, in_channels=8, out_channels=3),
+            first_stage_config=dict(img_size=64, inner_channels=32, num_res_blocks=1),
+            unet_config=dict(
+                start_channels=32,
+                num_res_blocks=1,
+                channel_multipliers=[1, 2],
+                attention_downsample_rates=[2],
+                num_heads=4,
+                use_spatial_transformer=False,
+            ),
+        ),
+    )
+    labels = np.random.RandomState(1).randint(0, 8, size=(64, 64))
+    float_oh = np.eye(8, dtype=np.float32)[labels][None]
+    uint8_oh = float_oh.astype(np.uint8)
+    a = api.semantic2img(float_oh, num_steps=2, seed=0)
+    b = api.semantic2img(uint8_oh, num_steps=2, seed=0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_img2img_pil_odd_size_restores(tiny_api) -> None:
+    """PIL/path inputs off the 64px grid restore to the PIL's original size
+    (review regression: read_image's snap used to hide the original dims)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    pil = Image.fromarray((rng.rand(72, 72, 3) * 255).astype(np.uint8))
+    out = tiny_api.img2img(pil, num_steps=2, seed=3)
+    assert out.shape == (1, 72, 72, 3) and out.dtype == np.uint8

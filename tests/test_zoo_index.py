@@ -200,12 +200,18 @@ def test_download_trust_on_first_use(tmp_path) -> None:
     assert sidecar["weights.bin"] == hashlib.sha256(b"first download").hexdigest()
     # unchanged cache hit passes
     assert download(f"file://{blob}", folder=str(cache), sha=None) == path
+    # verification runs once per process (multi-GB files are not re-hashed on
+    # every hit); clearing the in-process cache simulates a fresh process
+    from cflearn_tpu.toolkit import misc as _misc
+
     # corrupt the cached file -> re-download restores + passes; but if the
     # source itself changed, the pinned sha rejects it
     path.write_bytes(b"corrupted")
+    _misc._verified_downloads.clear()
     restored = download(f"file://{blob}", folder=str(cache), sha=None)
     assert restored.read_bytes() == b"first download"
     blob.write_bytes(b"upstream changed")
     path.write_bytes(b"corrupted again")
+    _misc._verified_downloads.clear()
     with pytest.raises(IOError):
         download(f"file://{blob}", folder=str(cache), sha=None)
