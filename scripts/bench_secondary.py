@@ -42,21 +42,27 @@ def main() -> None:
     )
     nnx.update(clip, params)
     gd, st = nnx.split(clip)
-    B = 64
+    B = 256
     images = jax.random.normal(jax.random.PRNGKey(0), (B, 224, 224, 3), jnp.bfloat16)
 
-    @jax.jit
-    def embed(st, images):
-        m = nnx.merge(gd, st)
-        return m.encode_image(images)
+    # scan the iterations inside ONE jit: the axon tunnel adds ~2.1 ms per
+    # dispatch, which at ~7 ms/batch would tax the measurement ~30%
+    iters = 10
 
-    _sync(embed(st, images))
+    @jax.jit
+    def embed_scan(st, images):
+        m = nnx.merge(gd, st)
+
+        def body(carry, _):
+            e = m.encode_image(images + carry.astype(images.dtype))
+            return e.mean(), e
+
+        last, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return last
+
+    _sync(embed_scan(st, images))
     t0 = time.time()
-    iters = 20
-    out = None
-    for _ in range(iters):
-        out = embed(st, images)
-    _sync(out)
+    _sync(embed_scan(st, images))
     dt = time.time() - t0
     results["clip_vit_b32_image_embeds_per_sec"] = round(B * iters / dt, 1)
 
