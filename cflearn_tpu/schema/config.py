@@ -118,6 +118,13 @@ class TrainerConfig(DataClassBase):
     # never blocks on host-side compression/disk IO (SURVEY §5.4 async plan);
     # restore/rollback paths drain pending writes first
     async_checkpointing: bool = True
+    # preemption safety (SURVEY §5.3 — TPU preemption is routine): on
+    # SIGTERM the trainer finishes the in-flight step, dumps model +
+    # optimizer states + counters to `<workspace root>/preemption/`, and a
+    # later `fit` against the same workspace root resumes from that dump
+    # (the folder is removed once a fit completes normally)
+    save_on_preemption: bool = True
+    resume_from_preemption: bool = True
 
     @property
     def is_debug(self) -> bool:

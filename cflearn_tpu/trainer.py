@@ -134,6 +134,12 @@ class Trainer(ITrainer):
         return os.path.join(self.workspace, CHECKPOINTS_FOLDER)
 
     @property
+    def preemption_folder(self) -> str:
+        # the workspace ROOT (not the timestamped sub-workspace): a re-run
+        # against the same root must find the dump
+        return os.path.join(self.config.workspace, "preemption")
+
+    @property
     def metrics_log_path(self) -> str:
         return os.path.join(self.workspace, "metrics.txt")
 
@@ -356,6 +362,24 @@ class Trainer(ITrainer):
         self.model = model
         self._prepare_workspace()
 
+        # preemption resume (SURVEY §5.3): a previous fit against this
+        # workspace root that caught SIGTERM left model + optimizer states +
+        # counters under `<root>/preemption/` — pick up where it stopped
+        self._resume_meta: Optional[Dict[str, Any]] = None
+        pre_folder = self.preemption_folder
+        if self.config.resume_from_preemption and os.path.isfile(
+            os.path.join(pre_folder, "model.npz")
+        ):
+            with np.load(os.path.join(pre_folder, "model.npz"), allow_pickle=False) as z:
+                model.load_state_dict({k: z[k] for k in z.files if k != "__meta__"})
+            opt_path = os.path.join(pre_folder, "optimizers.npz")
+            if self._preloaded_opt_npd is None and os.path.isfile(opt_path):
+                with np.load(opt_path, allow_pickle=False) as z:
+                    self._preloaded_opt_npd = {k: z[k] for k in z.files}
+            with open(os.path.join(pre_folder, "meta.json"), "r") as f:
+                self._resume_meta = json.load(f)
+            print(f"> resuming from preemption dump at step {self._resume_meta['step']}")
+
         # sanitizer analogue (SURVEY §5.2): NaN debugging + transfer guard
         if self.config.debug_nans:
             jax.config.update("jax_debug_nans", True)
@@ -375,6 +399,9 @@ class Trainer(ITrainer):
             num_step_per_epoch=len(train_loader),
             batch_size=train_loader.batch_size,
         )
+        if self._resume_meta is not None:
+            state.step = int(self._resume_meta.get("step", 0))
+            state.epoch = int(self._resume_meta.get("epoch", 0))
         self.state = state
 
         # graphdefs for train/eval modes -------------------------------------
@@ -457,6 +484,23 @@ class Trainer(ITrainer):
         has_ckpt = False
         self._has_ckpt = False  # mirrors has_ckpt; survives KeyboardInterrupt
 
+        # preemption safety: TPU preemption delivers SIGTERM — finish the
+        # in-flight step, dump a resumable snapshot, stop cleanly
+        self._preempted = False
+        prev_sigterm: Any = None
+        if self.config.save_on_preemption:
+            import signal
+            import threading
+
+            if threading.current_thread() is threading.main_thread():
+                def _on_sigterm(signum: int, frame: Any) -> None:
+                    self._preempted = True
+
+                try:
+                    prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+                except ValueError:  # pragma: no cover - non-main interpreter
+                    prev_sigterm = None
+
         try:
             terminate, has_ckpt = self._loop(state, batcher, model, terminate, has_ckpt)
         except KeyboardInterrupt:
@@ -466,23 +510,36 @@ class Trainer(ITrainer):
                 raise
             print("> keyboard interrupt — terminating gracefully")
             has_ckpt = self._has_ckpt  # keep the best-ckpt rollback contract
+        finally:
+            if prev_sigterm is not None:
+                import signal
+
+                try:
+                    signal.signal(signal.SIGTERM, prev_sigterm)
+                except ValueError:  # pragma: no cover
+                    pass
 
         # rollback to best checkpoint (reference `trainer.py:363-366`).
         # All processes restore (reads are safe on every rank) so model state
         # stays consistent across hosts for subsequent collective eval.
         self._sync_state_to_model()
-        if has_ckpt:
+        if has_ckpt and not self._preempted:
             self.restore_checkpoint()
 
-        if not skip_final_evaluation:
+        if not skip_final_evaluation and not self._preempted:
             with state.disable_logging:
                 self.final_results = self._get_metrics(portion=self.config.valid_portion)
         if self.final_results is not None:
             self._log_metrics_msg(self.final_results)
-        if not has_ckpt and is_local_rank_0():
+        if not has_ckpt and not self._preempted and is_local_rank_0():
             score = self.final_results.final_score if self.final_results is not None else 0.0
             self.save_checkpoint(score)
         self._drain_checkpoints()
+        if not self._preempted and is_local_rank_0():
+            # a normally-completed fit invalidates any preemption dump
+            import shutil
+
+            shutil.rmtree(self.preemption_folder, ignore_errors=True)
 
         for callback in self.callbacks:
             callback.finalize(self)
@@ -519,6 +576,13 @@ class Trainer(ITrainer):
                 if profiling:
                     jax.block_until_ready(jax.tree_util.tree_leaves(loss_items))
                     jax.profiler.stop_trace()
+                if self._preempted:
+                    # the step that was in flight when SIGTERM arrived has
+                    # completed — dump a resumable snapshot and stop
+                    self.dump_preemption()
+                    print(f"> SIGTERM — preemption dump written at step {state.step}")
+                    return True, has_ckpt
+
                 for k, v in loss_items.items():
                     window = self._loss_window.setdefault(k, [])
                     window.append(v)
@@ -719,6 +783,33 @@ class Trainer(ITrainer):
         with open(os.path.join(folder, SCORES_FILE), "w") as f:
             json.dump(scores, f, indent=2)
         self.checkpoint_scores = scores
+
+    def dump_preemption(self) -> str:
+        """Resumable snapshot for SIGTERM/preemption (SURVEY §5.3): model
+        states + optimizer states + step/epoch counters, written
+        SYNCHRONOUSLY (the process is about to die) to the workspace root."""
+        folder = self.preemption_folder
+        self._drain_checkpoints()
+        self._sync_state_to_model()
+        if is_local_rank_0():
+            os.makedirs(folder, exist_ok=True)
+            self.model.save(os.path.join(folder, "model.npz"))
+            from .toolkit.tree import tree_to_npd
+
+            npd: Dict[str, Any] = {}
+            for scope, st in (self._opt_states or {}).items():
+                npd.update({f"{scope}::{k}": v for k, v in tree_to_npd(st).items()})
+            np.savez_compressed(os.path.join(folder, "optimizers.npz"), **npd)
+            state = self.state
+            with open(os.path.join(folder, "meta.json"), "w") as f:
+                json.dump(
+                    {
+                        "step": state.step if state is not None else 0,
+                        "epoch": state.epoch if state is not None else 0,
+                    },
+                    f,
+                )
+        return folder
 
     def _drain_checkpoints(self) -> None:
         """Wait for pending async checkpoint writes (re-raises their errors)."""

@@ -230,3 +230,75 @@ def test_artifact_callbacks_write_images(tmp_path) -> None:
 
     for name in ("ldm", "ddpm", "ae_kl", "ae_vq", "vae", "gan", "vq_vae"):
         assert name in TrainerCallback.d, name
+
+
+def test_preemption_dump_and_resume(tmp_path) -> None:
+    """SIGTERM mid-training writes a resumable dump (model + optimizer states
+    + counters) to the workspace root; a later fit against the same root
+    resumes from it and removes it on normal completion (SURVEY §5.3 —
+    preemption-safe checkpointing)."""
+    import json as _json
+    import signal
+
+    from cflearn_tpu.monitors import LazyMonitor
+
+    x, y = _toy_cls_data(64)
+    config = DLConfig(
+        module_name="fcnn",
+        module_config={"input_dim": 8, "output_dim": 2, "hidden_units": [16]},
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    data = ArrayData.init().fit(x, y)
+    trainer = Trainer(
+        TrainerConfig(workspace=str(tmp_path), fixed_steps=6, lr=3.0e-3),
+        monitors=[LazyMonitor()],
+    )
+    orig_get = trainer.get_step_fn
+    calls = {"n": 0}
+
+    def counting_get(actives):
+        fn = orig_get(actives)
+
+        def inner(*args):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                signal.raise_signal(signal.SIGTERM)
+            return fn(*args)
+
+        return inner
+
+    trainer.get_step_fn = counting_get
+    trainer.fit(data, model, skip_final_evaluation=True)
+    pre = trainer.preemption_folder
+    assert os.path.isfile(os.path.join(pre, "model.npz"))
+    assert os.path.isfile(os.path.join(pre, "optimizers.npz"))
+    with open(os.path.join(pre, "meta.json")) as f:
+        meta = _json.load(f)
+    assert meta["step"] == 2
+    assert calls["n"] == 2, "training must stop after the in-flight step"
+
+    # resume: same workspace root → only the remaining 4 steps run
+    model2 = IDLModel.from_config(config)
+    trainer2 = Trainer(
+        TrainerConfig(workspace=str(tmp_path), fixed_steps=6, lr=3.0e-3),
+        monitors=[LazyMonitor()],
+    )
+    orig_get2 = trainer2.get_step_fn
+    calls2 = {"n": 0}
+
+    def counting_get2(actives):
+        fn = orig_get2(actives)
+
+        def inner(*args):
+            calls2["n"] += 1
+            return fn(*args)
+
+        return inner
+
+    trainer2.get_step_fn = counting_get2
+    trainer2.fit(data, model2, skip_final_evaluation=True)
+    assert trainer2.state is not None and trainer2.state.step == 6
+    assert calls2["n"] == 4, "resume must skip the already-run steps"
+    # normal completion invalidates the dump
+    assert not os.path.isdir(pre)
