@@ -1110,8 +1110,32 @@ class DiffusionAPI(IAPI):
         key = jax.random.PRNGKey(seed or 0)
         return _to_uint8(_run(nnx.state(self.m), jnp.asarray(image), key))
 
-    def outpainting(self, image: np.ndarray, anchor: str = "center", **kwargs: Any) -> np.ndarray:
-        """Pad + inpaint the borders (reference outpainting)."""
+    def outpainting(
+        self,
+        image: Any,
+        second: Any = None,
+        *,
+        anchor: str = "center",
+        **kwargs: Any,
+    ) -> np.ndarray:
+        """Outpainting, both calling conventions:
+
+        * reference (:956): `outpainting(txt, rgba_image)` — the RGBA alpha
+          channel IS the mask (transparent = generate), routed through
+          `txt2img_inpainting`;
+        * pad mode: `outpainting(image, cond=...)` — pad the canvas by 25%
+          per side and inpaint the border."""
+        if isinstance(image, str) and second is not None:
+            txt = image
+            from PIL import Image  # type: ignore
+
+            pil = Image.open(second) if isinstance(second, str) else second
+            if not isinstance(pil, np.ndarray) and pil.mode != "RGBA":
+                raise ValueError("`image` should be `RGBA` in outpainting")
+            arr = np.asarray(pil)
+            rgb, alpha = arr[..., :3], arr[..., 3]
+            mask = (255 - alpha.astype(np.int32)).astype(np.uint8)
+            return self.txt2img_inpainting(txt, rgb, (mask > 127).astype(np.float32), **kwargs)
         image = self._norm_image(image)
         b, h, w, c = image.shape
         pad_h, pad_w = h // 4, w // 4

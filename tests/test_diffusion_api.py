@@ -806,3 +806,21 @@ def test_img2img_pil_odd_size_restores(tiny_api) -> None:
     pil = Image.fromarray((rng.rand(72, 72, 3) * 255).astype(np.uint8))
     out = tiny_api.img2img(pil, num_steps=2, seed=3)
     assert out.shape == (1, 72, 72, 3) and out.dtype == np.uint8
+
+
+def test_outpainting_rgba_reference_signature(tiny_api) -> None:
+    """reference :956 — `outpainting(txt, rgba)`: the alpha channel is the
+    mask (transparent = generate); opaque pixels survive via keep_original."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    rgba = (rng.rand(64, 64, 4) * 255).astype(np.uint8)
+    rgba[..., 3] = 255
+    rgba[:, 40:, 3] = 0  # transparent right band -> outpaint
+    out = tiny_api.outpainting(
+        "scenery", Image.fromarray(rgba, mode="RGBA"),
+        num_steps=2, seed=4, keep_original=True, keep_original_fade=0,
+    )
+    assert out.shape == (1, 64, 64, 3) and out.dtype == np.uint8
+    np.testing.assert_array_equal(out[0, :, :40], rgba[:, :40, :3])
+    assert not np.array_equal(out[0, :, 40:], rgba[:, 40:, :3])
