@@ -43,10 +43,19 @@ class CLIPExtractor(IAPI):
         self._img_fn = jax.jit(lambda st, x: nnx.merge(graphdef, st).encode_image(x))
         self._txt_fn = jax.jit(lambda st, t: nnx.merge(graphdef, st).encode_text(t))
 
-    def get_image_latent(self, images: np.ndarray, *, batch_size: int = 64) -> np.ndarray:
+    def get_image_latent(self, images: Any, *, batch_size: int = 64, **kwargs: Any) -> np.ndarray:
         """images: uint8 (or [0,1]/[-1,1] float) NHWC at the model's
-        img_size; normalized with CLIP's per-channel mean/std (the stats the
-        pretrained weights were trained with — reference `get_transform`)."""
+        img_size — or PIL image(s), resized to the model's `img_size`
+        (reference `get_transform`'s Resize+CenterCrop); normalized with
+        CLIP's per-channel mean/std (the stats the pretrained weights were
+        trained with)."""
+        if not isinstance(images, np.ndarray):
+            pils = images if isinstance(images, (list, tuple)) else [images]
+            if pils and hasattr(pils[0], "getbands"):
+                size = getattr(self.m, "img_size", 224)
+                images = np.stack(
+                    [np.asarray(p.convert("RGB").resize((size, size))) for p in pils]
+                )
         images = np.asarray(images)
         if images.ndim == 3:
             images = images[None]
@@ -69,6 +78,27 @@ class CLIPExtractor(IAPI):
         for i in range(0, len(tokens), batch_size):
             outs.append(np.asarray(self._txt_fn(state, jnp.asarray(tokens[i : i + batch_size]))))
         return np.concatenate(outs, axis=0)
+
+    # reference names (`api/multimodal/clip.py:72-131`)
+    def get_texts_latent(self, texts: Union[str, List[str]], *, batch_size: int = 64, **kwargs: Any) -> np.ndarray:
+        return self.get_text_latent(texts, batch_size=batch_size)
+
+    def get_paths_latent(self, image_paths: List[str], *, batch_size: int = 64, **kwargs: Any) -> np.ndarray:
+        from PIL import Image  # type: ignore
+
+        images = [Image.open(p) for p in image_paths]
+        return self.get_image_latent(images, batch_size=batch_size)
+
+    def get_folder_latent(self, image_folder: str, *, batch_size: int = 64, **kwargs: Any) -> np.ndarray:
+        import os
+
+        exts = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
+        paths = sorted(
+            os.path.join(image_folder, f)
+            for f in os.listdir(image_folder)
+            if os.path.splitext(f)[1].lower() in exts
+        )
+        return self.get_paths_latent(paths, batch_size=batch_size)
 
     def zero_shot_classify(self, images: np.ndarray, class_texts: List[str]) -> np.ndarray:
         img = self.get_image_latent(images)

@@ -323,3 +323,36 @@ def test_lora_incremental_pack_loading() -> None:
     mgr.deactivate(m)
     npd = tree_to_npd(nnx.state(m, nnx.Param))
     np.testing.assert_allclose(npd["b/kernel/value"], npd0["b/kernel/value"], rtol=1e-6)
+
+
+def test_clip_extractor_latent_helpers(tmp_path) -> None:
+    """Reference `CLIPExtractor` surface (`api/multimodal/clip.py:72-131`):
+    PIL inputs, `get_texts_latent`, `get_paths_latent`, `get_folder_latent`
+    all resolve to the same embeddings as the ndarray path."""
+    import os
+
+    import numpy as np
+    from flax import nnx
+    from PIL import Image
+
+    import cflearn_tpu as cf
+    from cflearn_tpu.modules.multimodal import CLIP
+
+    m = CLIP(img_size=32, latent_dim=16, vision_latent_dim=32, vision_patch_size=8,
+             vision_num_layers=1, vision_num_heads=2, text_latent_dim=32,
+             text_num_layers=1, text_num_heads=2, rngs=nnx.Rngs(0))
+    ex = cf.CLIPExtractor(m)
+    rng = np.random.RandomState(0)
+    arrs = (rng.rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    base = ex.get_image_latent(arrs)
+    assert base.shape[0] == 2
+    pils = [Image.fromarray(a) for a in arrs]
+    np.testing.assert_allclose(ex.get_image_latent(pils), base, atol=1e-5)
+    paths = []
+    for i, p in enumerate(pils):
+        path = str(tmp_path / f"img_{i}.png")
+        p.save(path)
+        paths.append(path)
+    np.testing.assert_allclose(ex.get_paths_latent(paths), base, atol=1e-5)
+    np.testing.assert_allclose(ex.get_folder_latent(str(tmp_path)), base, atol=1e-5)
+    np.testing.assert_allclose(ex.get_texts_latent("a cat"), ex.get_text_latent("a cat"))
