@@ -22,12 +22,31 @@ class TranslatorAPI(IAPI):
         graphdef, _ = nnx.split(m)
         self._fn = jax.jit(lambda st, x: nnx.merge(graphdef, st)(x))
 
-    def sr(self, image: np.ndarray, *, max_wh: int = 2048) -> np.ndarray:
-        """4x upscale. uint8/float NHWC (or HWC) in, uint8 out. Alpha channels
-        are upscaled separately with bilinear (reference behavior)."""
+    def sr(
+        self,
+        image: Any,
+        export_path: Optional[str] = None,
+        *,
+        max_wh: int = 2048,
+    ) -> np.ndarray:
+        """4x upscale. uint8/float NHWC (or HWC) arrays, paths, or PIL
+        images in; uint8 out. Alpha channels are upscaled separately with
+        bilinear, and `export_path` saves the result (reference
+        `translator.py:20`)."""
+        was_single_pil = False
+        if isinstance(image, str) or (
+            not isinstance(image, np.ndarray) and hasattr(image, "getbands")
+        ):
+            from ..multimodal.utils import read_image
+
+            res = read_image(image, None, anchor=None)
+            image = res.image
+            if res.alpha is not None:
+                image = np.concatenate([image, res.alpha], axis=-1)
+            was_single_pil = True
         image = np.asarray(image)
-        squeeze = image.ndim == 3
-        if squeeze:
+        squeeze = image.ndim == 3 or was_single_pil
+        if image.ndim == 3:
             image = image[None]
         if image.dtype == np.uint8:
             image = image.astype(np.float32) / 255.0
@@ -45,7 +64,12 @@ class TranslatorAPI(IAPI):
             )
             out = np.concatenate([out, np.asarray(up)], axis=-1)
         out = (np.clip(out, 0.0, 1.0) * 255.0).round().astype(np.uint8)
-        return out[0] if squeeze else out
+        out = out[0] if squeeze else out
+        if export_path is not None:
+            from PIL import Image  # type: ignore
+
+            Image.fromarray(out if out.ndim == 3 else out[0]).save(export_path)
+        return out
 
     @classmethod
     def from_esr(cls, *, pretrained: bool = False, **kwargs: Any) -> "TranslatorAPI":

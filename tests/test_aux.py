@@ -356,3 +356,35 @@ def test_clip_extractor_latent_helpers(tmp_path) -> None:
     np.testing.assert_allclose(ex.get_paths_latent(paths), base, atol=1e-5)
     np.testing.assert_allclose(ex.get_folder_latent(str(tmp_path)), base, atol=1e-5)
     np.testing.assert_allclose(ex.get_texts_latent("a cat"), ex.get_text_latent("a cat"))
+
+
+def test_translator_api_paths_and_export(tmp_path) -> None:
+    """TranslatorAPI.sr with path/PIL/ndarray inputs + export_path + RGBA
+    alpha passthrough (reference `translator.py:20-52`)."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from cflearn_tpu.api.cv.translator import TranslatorAPI
+    from cflearn_tpu.modules.common import build_module
+    from flax import nnx
+
+    m = build_module("rrdb", config={"latent_channels": 8, "growth_channels": 4, "num_blocks": 1}, rngs=nnx.Rngs(0))
+    api = TranslatorAPI(m)
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    base = api.sr(arr)
+    assert base.shape == (64, 64, 3) and base.dtype == np.uint8
+    pil = Image.fromarray(arr)
+    path = str(tmp_path / "in.png")
+    pil.save(path)
+    np.testing.assert_array_equal(api.sr(pil), base)
+    np.testing.assert_array_equal(api.sr(path), base)
+    # RGBA: alpha upscaled and appended
+    rgba = np.concatenate([arr, np.full((16, 16, 1), 128, np.uint8)], axis=-1)
+    out_rgba = api.sr(rgba)
+    assert out_rgba.shape == (64, 64, 4)
+    export = str(tmp_path / "out.png")
+    api.sr(arr, export)
+    assert os.path.isfile(export)
