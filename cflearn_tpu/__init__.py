@@ -181,6 +181,7 @@ from .modules.core.mixed_stacks import (
     MLPTokenMixer,
     MixFeedForward,
     MixedStackedEncoder,
+    MoEChannelMixer,
     PoolTokenMixer,
     RWKVChannelMixer,
     RWKVTokenMixer,

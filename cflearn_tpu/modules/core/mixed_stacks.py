@@ -201,6 +201,89 @@ class RWKVChannelMixer(nnx.Module):
         return jax.nn.sigmoid(self.to_r(x)) * self.to_v(k)
 
 
+@channel_mixers.register("moe")
+class MoEChannelMixer(nnx.Module):
+    """Mixture-of-Experts FF channel mixer — new capability beyond the
+    reference, and the carrier of expert parallelism (SURVEY §2.10 EP row).
+
+    Switch/GShard-style top-k routing with capacity-bounded DENSE dispatch:
+    the token→slot assignment is expressed as one-hot einsums (no scatters —
+    everything lands on the MXU), tokens overflowing an expert's capacity
+    contribute zero and fall through to the surrounding residual. Expert
+    tensors carry a leading `num_experts` axis; `parallel.tp`'s placement
+    rules shard that axis over the mesh's `model` axis (EP = leading-axis
+    sharding — GSPMD inserts the dispatch/combine all-to-alls over ICI).
+    Load-balancing auxiliary loss is intentionally omitted v1 (the mixer
+    registry contract returns activations only)."""
+
+    def __init__(
+        self,
+        in_dim: int,
+        latent_dim: int,
+        dropout: float = 0.0,
+        *,
+        num_experts: int = 4,
+        top_k: int = 2,
+        capacity_factor: float = 1.5,
+        rngs: nnx.Rngs,
+    ) -> None:
+        if not 1 <= top_k <= num_experts:
+            raise ValueError(f"top_k={top_k} must be in [1, num_experts={num_experts}]")
+        self.router = nnx.Linear(in_dim, num_experts, use_bias=False, rngs=rngs)
+        k1, k2 = jax.random.split(rngs.params(), 2)
+        self.experts_w1 = nnx.Param(
+            jax.random.normal(k1, (num_experts, in_dim, latent_dim)) / math.sqrt(in_dim)
+        )
+        self.experts_b1 = nnx.Param(jnp.zeros((num_experts, latent_dim)))
+        self.experts_w2 = nnx.Param(
+            jax.random.normal(k2, (num_experts, latent_dim, in_dim)) / math.sqrt(latent_dim)
+        )
+        self.experts_b2 = nnx.Param(jnp.zeros((num_experts, in_dim)))
+        self.num_experts = num_experts
+        self.top_k = top_k
+        self.capacity_factor = capacity_factor
+        self.dropout = nnx.Dropout(dropout, rngs=rngs) if dropout > 0 else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, c = x.shape
+        n = b * t
+        xf = x.reshape(n, c)
+        e = self.num_experts
+        cap = min(n, max(1, int(math.ceil(n * self.capacity_factor * self.top_k / e))))
+        probs = jax.nn.softmax(self.router(xf).astype(jnp.float32), axis=-1)
+
+        dispatch = jnp.zeros((n, e, cap), jnp.float32)
+        combine = jnp.zeros((n, e, cap), jnp.float32)
+        used = jnp.zeros((e,), jnp.int32)  # capacity slots taken so far
+        remaining = probs
+        gate_total = jnp.zeros((n,), jnp.float32)
+        for _ in range(self.top_k):
+            idx = jnp.argmax(remaining, axis=-1)  # (N,)
+            onehot = jax.nn.one_hot(idx, e, dtype=jnp.int32)
+            gate = jnp.sum(remaining * onehot, axis=-1)  # (N,)
+            pos = jnp.sum((jnp.cumsum(onehot, axis=0) - 1 + used[None]) * onehot, axis=-1)
+            keep = (pos < cap).astype(jnp.float32)
+            slot = jax.nn.one_hot(jnp.clip(pos, 0, cap - 1), cap, dtype=jnp.float32)
+            assign = onehot.astype(jnp.float32)[:, :, None] * slot[:, None, :] * keep[:, None, None]
+            dispatch = dispatch + assign
+            combine = combine + gate[:, None, None] * assign
+            gate_total = gate_total + gate * keep
+            used = used + jnp.sum(onehot * keep[:, None].astype(jnp.int32), axis=0)
+            remaining = remaining * (1 - onehot.astype(jnp.float32))
+        # normalize the selected gates to sum to 1 (GShard convention)
+        combine = combine / jnp.maximum(gate_total, 1e-9)[:, None, None]
+
+        ex_in = jnp.einsum("nec,nd->ecd", dispatch, xf.astype(jnp.float32))
+        h = jax.nn.gelu(
+            jnp.einsum("ecd,edh->ech", ex_in, self.experts_w1[...]) + self.experts_b1[...][:, None]
+        )
+        if self.dropout is not None:
+            h = self.dropout(h)
+        out_e = jnp.einsum("ech,ehd->ecd", h, self.experts_w2[...]) + self.experts_b2[...][:, None]
+        y = jnp.einsum("nec,ecd->nd", combine, out_e)
+        return y.astype(x.dtype).reshape(b, t, c)
+
+
 class _Seq(nnx.Module):
     def __init__(self, *mods: nnx.Module) -> None:
         self.mods = nnx.List(list(mods))
@@ -299,6 +382,8 @@ class MixedStackedEncoder(nnx.Module):
         use_head_token: bool = False,
         use_positional_encoding: bool = False,
         head_pooler: Optional[str] = "mean",
+        pipeline_parallel: bool = False,
+        pp_microbatches: Optional[int] = None,
         rngs: nnx.Rngs,
     ) -> None:
         latent_dim = int(round(in_dim * latent_ratio))
@@ -340,6 +425,13 @@ class MixedStackedEncoder(nnx.Module):
 
         self.head_norm = NormFactory(norm_type).make(in_dim, rngs=rngs)
         self.head_pooler = head_pooler
+        # opt-in pipeline parallelism (SURVEY §2.10 PP row): with an ambient
+        # mesh whose `pipe` axis > 1, the block stack runs as a GPipe
+        # microbatch pipeline (`parallel.pp.pipeline_apply`) — stages rotate
+        # activations over ICI via ppermute. Use dropout=0 with PP: the
+        # stacked functional re-merge replays per-block RNG state.
+        self.pipeline_parallel = pipeline_parallel
+        self.pp_microbatches = pp_microbatches
 
     def __call__(self, x: jax.Array, *, return_tokens: bool = False, **kwargs: Any) -> jax.Array:
         b = x.shape[0]
@@ -348,8 +440,29 @@ class MixedStackedEncoder(nnx.Module):
             x = jnp.concatenate([head, x], axis=1)
         if self.pos_encoding is not None:
             x = self.pos_encoding(x)
-        for block in self.blocks:
-            x = block(x, **kwargs)
+        pp_mesh = None
+        if self.pipeline_parallel:
+            from ...parallel.mesh import get_active_pipe_mesh
+
+            pp_mesh = get_active_pipe_mesh()
+        if pp_mesh is not None:
+            from ...parallel.pp import pipeline_apply, stack_module_states
+
+            graphdef, stacked = stack_module_states(list(self.blocks))
+
+            def block_fn(state: Any, h: jax.Array) -> jax.Array:
+                return nnx.merge(graphdef, state)(h, **kwargs)
+
+            x = pipeline_apply(
+                block_fn,
+                stacked,
+                x,
+                mesh=pp_mesh,
+                num_microbatches=self.pp_microbatches,
+            )
+        else:
+            for block in self.blocks:
+                x = block(x, **kwargs)
         x = self.head_norm(x)
         if return_tokens:
             return x

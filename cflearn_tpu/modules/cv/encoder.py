@@ -101,6 +101,8 @@ class ViTEncoder(nnx.Module):
         num_layers: int = 12,
         num_heads: int = 6,
         dropout: float = 0.0,
+        pipeline_parallel: bool = False,
+        pp_microbatches: Optional[int] = None,
         rngs: nnx.Rngs,
     ) -> None:
         self.patch_embed = VanillaPatchEmbed(img_size, patch_size, in_channels, latent_dim, rngs=rngs)
@@ -113,6 +115,8 @@ class ViTEncoder(nnx.Module):
             dropout=dropout,
             use_head_token=True,
             use_positional_encoding=True,
+            pipeline_parallel=pipeline_parallel,
+            pp_microbatches=pp_microbatches,
             rngs=rngs,
         )
         self.latent_dim = latent_dim

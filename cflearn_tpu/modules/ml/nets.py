@@ -114,6 +114,10 @@ class MixedStackedModule(nnx.Module):
         norm_type: str = "layer_norm",
         use_head_token: bool = True,
         token_mixing_config: Optional[Dict[str, Any]] = None,
+        channel_mixing_type: str = "ff",
+        channel_mixing_config: Optional[Dict[str, Any]] = None,
+        pipeline_parallel: bool = False,
+        pp_microbatches: Optional[int] = None,
         rngs: nnx.Rngs,
     ) -> None:
         self.to_token = nnx.Linear(1, latent_dim, rngs=rngs)
@@ -122,10 +126,14 @@ class MixedStackedModule(nnx.Module):
             input_dim,
             token_mixing_type=token_mixing_type,
             token_mixing_config=token_mixing_config,
+            channel_mixing_type=channel_mixing_type,
+            channel_mixing_config=channel_mixing_config,
             num_layers=num_layers,
             dropout=dropout,
             norm_type=norm_type,
             use_head_token=use_head_token,
+            pipeline_parallel=pipeline_parallel,
+            pp_microbatches=pp_microbatches,
             rngs=rngs,
         )
         self.head = nnx.Linear(latent_dim, output_dim, rngs=rngs)

@@ -11,3 +11,4 @@ from .mesh import (
     shard_batch,
     shard_params_fsdp,
 )
+from .pp import pipeline_apply, stack_module_states

@@ -49,6 +49,12 @@ def set_mesh(mesh: Optional[Mesh]) -> None:
     _current_mesh = mesh
 
 
+def get_ambient_mesh() -> Optional[Mesh]:
+    """The raw ambient mesh (no axis filtering) — None if never set. Use to
+    snapshot/restore around scopes that set their own mesh (Trainer.fit)."""
+    return _current_mesh
+
+
 def get_active_context_mesh() -> Optional[Mesh]:
     """The ambient mesh iff it carries a real context-parallel axis —
     the switch `ops.sdp_attn` consults to route self-attention through
@@ -57,6 +63,18 @@ def get_active_context_mesh() -> Optional[Mesh]:
     if _current_mesh is None:
         return None
     if _current_mesh.shape.get("context", 1) <= 1:
+        return None
+    return _current_mesh
+
+
+def get_active_pipe_mesh() -> Optional[Mesh]:
+    """The ambient mesh iff it carries a real pipeline-parallel axis — the
+    switch `MixedStackedEncoder` consults to route its block stack through
+    `parallel.pp.pipeline_apply` (SURVEY §2.10 PP row). Returns None when no
+    mesh was set or the `pipe` axis is trivial."""
+    if _current_mesh is None:
+        return None
+    if _current_mesh.shape.get("pipe", 1) <= 1:
         return None
     return _current_mesh
 

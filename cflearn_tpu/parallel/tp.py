@@ -33,6 +33,10 @@ _DEFAULT_TP_RULES: List[Tuple[str, str]] = [
     # time embedding MLP
     (r".*/time_fc1/kernel.*", "col"),
     (r".*/time_fc2/kernel.*", "row"),
+    # MoE expert tensors (leading num_experts axis): EP = expert-axis
+    # sharding over the `model` axis — GSPMD inserts the dispatch/combine
+    # all-to-alls around `MoEChannelMixer`'s one-hot einsums
+    (r".*/experts_(w1|w2|b1|b2).*", "expert"),
 ]
 
 
@@ -46,6 +50,10 @@ def tp_spec_for(path: str, shape: Sequence[int], tp_size: int, rules: List[Tuple
         return None
     for pattern, kind in rules:
         if pattern.match(path):
+            if kind == "expert" and shape[0] % tp_size == 0:
+                spec = [None] * len(shape)
+                spec[0] = "model"
+                return P(*spec)
             if kind == "col" and shape[-1] % tp_size == 0:
                 spec: List[Any] = [None] * len(shape)
                 spec[-1] = "model"

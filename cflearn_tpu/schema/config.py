@@ -24,13 +24,14 @@ class MeshConfig(DataClassBase):
     fsdp: int = 1
     model: int = 1
     context: int = 1
+    pipe: int = 1
 
     @property
     def axis_names(self) -> List[str]:
-        return ["data", "fsdp", "model", "context"]
+        return ["data", "fsdp", "model", "context", "pipe"]
 
     def axis_sizes(self, num_devices: int) -> List[int]:
-        sizes = [self.data, self.fsdp, self.model, self.context]
+        sizes = [self.data, self.fsdp, self.model, self.context, self.pipe]
         fixed = 1
         for s in sizes:
             if s > 0:

@@ -41,6 +41,7 @@ from .inference import DLInference
 from .optimizers import build_optimizer
 from .parallel.mesh import (
     data_sharding,
+    get_ambient_mesh,
     is_local_rank_0,
     make_mesh,
     replicated_sharding,
@@ -387,6 +388,10 @@ class Trainer(ITrainer):
             jax.config.update("jax_transfer_guard", self.config.transfer_guard)
 
         # mesh + placement ----------------------------------------------------
+        # the ambient mesh gates attention CP / encoder PP routing; it is
+        # restored at the end of fit so a context/pipe-mesh training run does
+        # not leak parallel routing into subsequent unrelated computations
+        prev_ambient_mesh = get_ambient_mesh()
         self.mesh = make_mesh(self.config.get_mesh_config())
         set_mesh(self.mesh)
 
@@ -548,6 +553,7 @@ class Trainer(ITrainer):
             jax.config.update("jax_debug_nans", False)
         if self.config.transfer_guard:
             jax.config.update("jax_transfer_guard", "allow")
+        set_mesh(prev_ambient_mesh)
         return self
 
     def _loop(self, state: TrainerState, batcher: DeviceBatcher, model: IDLModel, terminate: bool, has_ckpt: bool) -> Tuple[bool, bool]:

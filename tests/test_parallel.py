@@ -133,6 +133,177 @@ def test_training_step_on_context_mesh(tmp_path) -> None:
     assert trainer.state is not None and trainer.state.step == 2
 
 
+def test_pipeline_apply_matches_sequential() -> None:
+    """SURVEY §2.10 PP row: GPipe microbatch pipelining over the `pipe` axis
+    is EXACT vs the sequential stack — forward and gradients (the backward
+    pipeline comes from reverse-mode AD through the scan + ppermute)."""
+    from flax import nnx
+
+    from cflearn_tpu.modules.core.mixed_stacks import MixingBlock
+    from cflearn_tpu.parallel.pp import pipeline_apply, stack_module_states
+
+    L, B, T, C = 8, 16, 12, 32
+    rngs = nnx.Rngs(0)
+    blocks = [
+        MixingBlock(C, T, 64, token_mixing_type="attention", rngs=rngs)
+        for _ in range(L)
+    ]
+    graphdef, stacked = stack_module_states(blocks)
+
+    def block_fn(state, h):
+        return nnx.merge(graphdef, state)(h)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C))
+    ref = x
+    for b in blocks:
+        ref = b(ref)
+    mesh = _mesh(data=2, pipe=4)
+
+    out = jax.jit(lambda p, x: pipeline_apply(block_fn, p, x, mesh=mesh))(stacked, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def loss_pp(p, x):
+        return jnp.sum(pipeline_apply(block_fn, p, x, mesh=mesh) ** 2)
+
+    def loss_seq(p, x):
+        def body(h, pi):
+            return block_fn(pi, h), None
+
+        h, _ = jax.lax.scan(body, x, p)
+        return jnp.sum(h**2)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(stacked, x)
+    g_seq = jax.jit(jax.grad(loss_seq))(stacked, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp), jax.tree_util.tree_leaves(g_seq)):
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-12))
+        assert rel < 1e-5, rel
+    # more microbatches than stages (smaller bubble) stays exact
+    out8 = pipeline_apply(block_fn, stacked, x, mesh=mesh, num_microbatches=8)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(ref), atol=2e-5)
+
+
+def test_pipeline_parallel_encoder_and_training(tmp_path) -> None:
+    """`MixedStackedEncoder(pipeline_parallel=True)` routes its block stack
+    through the pipeline when the ambient mesh has a `pipe` axis — identical
+    outputs — and a full Trainer step runs on a data x pipe mesh."""
+    from flax import nnx
+
+    from cflearn_tpu.data import ArrayData
+    from cflearn_tpu.modules.common import build_module
+    from cflearn_tpu.monitors import LazyMonitor
+    from cflearn_tpu.parallel.mesh import get_active_pipe_mesh, set_mesh
+    from cflearn_tpu.schema import DLConfig, TrainerConfig
+    from cflearn_tpu.schema.model import IDLModel
+    from cflearn_tpu.trainer import Trainer
+
+    module_config = {
+        "input_dim": 8,
+        "output_dim": 2,
+        "num_layers": 4,
+        "pipeline_parallel": True,
+    }
+    m = build_module("transformer", config=module_config, rngs=nnx.Rngs(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(16, 8).astype(np.float32))
+    base = np.asarray(m(x))
+    mesh = _mesh(data=2, pipe=4)
+    try:
+        set_mesh(mesh)
+        assert get_active_pipe_mesh() is not None
+        np.testing.assert_allclose(np.asarray(m(x)), base, atol=2e-5)
+    finally:
+        set_mesh(None)
+
+    xs = np.random.RandomState(1).randn(32, 8).astype(np.float32)
+    ys = (xs.sum(1, keepdims=True) > 0).astype(np.int64)
+    config = DLConfig(
+        module_name="transformer",
+        module_config=module_config,
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    trainer = Trainer(
+        TrainerConfig(
+            workspace=str(tmp_path),
+            fixed_steps=2,
+            callback_names=[],
+            mesh={"data": 2, "pipe": 4},
+        ),
+        monitors=[LazyMonitor()],
+    )
+    trainer.fit(ArrayData.init().fit(xs, ys), model, skip_final_evaluation=True)
+    assert trainer.state is not None and trainer.state.step == 2
+
+
+def test_moe_channel_mixer_and_expert_parallel(tmp_path) -> None:
+    """`MoEChannelMixer`: with one expert it IS the plain FF (gates normalize
+    to 1); top-2-of-4 routing is differentiable through the router; and EP =
+    expert-axis sharding over `model` trains end-to-end (SURVEY §2.10 EP)."""
+    from flax import nnx
+
+    from cflearn_tpu.data import ArrayData
+    from cflearn_tpu.modules.core.mixed_stacks import MoEChannelMixer
+    from cflearn_tpu.monitors import LazyMonitor
+    from cflearn_tpu.parallel.tp import compile_rules, tp_spec_for
+    from cflearn_tpu.schema import DLConfig, TrainerConfig
+    from cflearn_tpu.schema.model import IDLModel
+    from cflearn_tpu.trainer import Trainer
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 8).astype(np.float32))
+    m1 = MoEChannelMixer(8, 16, num_experts=1, top_k=1, capacity_factor=1.0, rngs=nnx.Rngs(0))
+    w1, b1 = m1.experts_w1[...][0], m1.experts_b1[...][0]
+    w2, b2 = m1.experts_w2[...][0], m1.experts_b2[...][0]
+    ref = jax.nn.gelu(x @ w1 + b1) @ w2 + b2
+    np.testing.assert_allclose(np.asarray(m1(x)), np.asarray(ref), atol=1e-6)
+
+    m4 = MoEChannelMixer(8, 16, num_experts=4, top_k=2, rngs=nnx.Rngs(1))
+    gd, st = nnx.split(m4)
+
+    def loss(st):
+        return jnp.sum(nnx.merge(gd, st)(x) ** 2)
+
+    g = jax.jit(jax.grad(loss))(st)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    router_grad = g["router"]["kernel"]
+    router_grad = getattr(router_grad, "value", router_grad)
+    assert float(jnp.max(jnp.abs(router_grad))) > 0.0
+    # over-capacity tokens drop to zero (residual passthrough), still finite
+    tiny = MoEChannelMixer(8, 16, num_experts=4, top_k=1, capacity_factor=0.1, rngs=nnx.Rngs(2))
+    assert bool(jnp.all(jnp.isfinite(tiny(x))))
+
+    # EP placement rule: leading expert axis lands on `model`
+    spec = tp_spec_for(
+        "encoder/blocks/0/channel_mixer/experts_w1", (4, 32, 128), 2, compile_rules(None)
+    )
+    assert str(spec) == "PartitionSpec('model', None, None)"
+
+    xs = np.random.RandomState(1).randn(32, 8).astype(np.float32)
+    ys = (xs.sum(1, keepdims=True) > 0).astype(np.int64)
+    config = DLConfig(
+        module_name="transformer",
+        module_config={
+            "input_dim": 8,
+            "output_dim": 2,
+            "num_layers": 2,
+            "channel_mixing_type": "moe",
+            "channel_mixing_config": {"num_experts": 4, "top_k": 2},
+        },
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    trainer = Trainer(
+        TrainerConfig(
+            workspace=str(tmp_path),
+            fixed_steps=2,
+            callback_names=[],
+            mesh={"data": 2, "model": 2},
+        ),
+        monitors=[LazyMonitor()],
+    )
+    trainer.fit(ArrayData.init().fit(xs, ys), model, skip_final_evaluation=True)
+    assert trainer.state is not None and trainer.state.step == 2
+
+
 def test_ulysses_attention_matches_dense() -> None:
     """SURVEY §5.7c: the all-to-all head-scatter variant is exact."""
     mesh = _mesh(data=1, context=8)
