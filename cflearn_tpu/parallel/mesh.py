@@ -179,3 +179,16 @@ def maybe_initialize_distributed() -> None:
         num_processes=int(num) if num else None,
         process_id=int(pid) if pid else None,
     )
+    # Host-side RNG sync: data splitting / loader shuffling run on the
+    # process-global numpy RNG, and replicated device_put asserts identical
+    # arrays on every process — so unless the user already seeded, broadcast
+    # rank 0's seed to all ranks (reference: accelerate syncs seeds in DDP).
+    if jax.process_count() > 1:
+        from ..toolkit import misc as _misc
+
+        if _misc._seed is None:
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            local = _np.int64(_np.random.randint(0, 2**31 - 1))
+            _misc.seed_everything(int(multihost_utils.broadcast_one_to_all(local)))

@@ -38,6 +38,8 @@ def _run(path: str) -> None:
         "ml/operations.py",
         "ml/run_multiple.py",
         "ml/iris_sklearn.py",
+        "ml/california_mlflow.py",
+        "ml/titanic_ddp.py",
         "cv/digits_clf.py",
         "cv/vae.py",
         "cv/cvae.py",
@@ -56,6 +58,7 @@ def _run(path: str) -> None:
         "multimodal/sd_lora.py",
         "multimodal/clip_zero_shot.py",
         "multimodal/clip_chinese.py",
+        "multimodal/clip_open_clip.py",
         "cv/third_party_inference.py",
     ],
 )
