@@ -1,0 +1,3 @@
+from . import launch
+from . import ml
+from .launch import run_distributed
