@@ -9,6 +9,7 @@ INPUT_KEY = "input"
 LABEL_KEY = "labels"
 PREDICTIONS_KEY = "predictions"
 LOSS_KEY = "loss"
+AUX_LOSS_KEY = "aux_loss"
 LATENT_KEY = "latent"
 MU_KEY = "mu"
 LOG_VAR_KEY = "log_var"

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from ..constants import PREDICTIONS_KEY
+from ..constants import AUX_LOSS_KEY, LOSS_KEY, PREDICTIONS_KEY
 from ..modules.common import build_module
 from ..schema.config import DLConfig
 from ..schema.losses_schema import ILoss, build_loss, loss_dict_type
@@ -36,7 +36,14 @@ class CommonTrainStep(TrainStep):
     ) -> loss_dict_type:
         loss = self.loss if self.loss is not None else m.loss
         assert loss is not None, "loss is not built"
-        return loss.run(forward_results, batch, **kwargs)
+        losses = loss.run(forward_results, batch, **kwargs)
+        aux = forward_results.get(AUX_LOSS_KEY)
+        if aux is not None:
+            # sown auxiliary objectives (e.g. MoE load balancing) — logged
+            # under their own key and folded into the optimized scalar
+            losses[AUX_LOSS_KEY] = aux
+            losses[LOSS_KEY] = losses[LOSS_KEY] + aux
+        return losses
 
 
 @IDLModel.register("common")

@@ -213,8 +213,12 @@ class MoEChannelMixer(nnx.Module):
     tensors carry a leading `num_experts` axis; `parallel.tp`'s placement
     rules shard that axis over the mesh's `model` axis (EP = leading-axis
     sharding — GSPMD inserts the dispatch/combine all-to-alls over ICI).
-    Load-balancing auxiliary loss is intentionally omitted v1 (the mixer
-    registry contract returns activations only)."""
+
+    The Switch load-balancing loss `E · Σ_e f_e · P_e` (f = dispatch
+    fraction, P = mean router probability; Fedus et al. 2021 eq. 4) is sown
+    into an `AuxLossVariable` each forward — `IDLModel.run(training=True)`
+    collects it into `forward_results[AUX_LOSS_KEY]` and train steps add
+    `aux_loss_weight ×` it to the objective."""
 
     def __init__(
         self,
@@ -225,6 +229,7 @@ class MoEChannelMixer(nnx.Module):
         num_experts: int = 4,
         top_k: int = 2,
         capacity_factor: float = 1.5,
+        aux_loss_weight: float = 0.01,
         rngs: nnx.Rngs,
     ) -> None:
         if not 1 <= top_k <= num_experts:
@@ -242,7 +247,11 @@ class MoEChannelMixer(nnx.Module):
         self.num_experts = num_experts
         self.top_k = top_k
         self.capacity_factor = capacity_factor
+        self.aux_loss_weight = aux_loss_weight
         self.dropout = nnx.Dropout(dropout, rngs=rngs) if dropout > 0 else None
+        from ...schema.model import AuxLossVariable
+
+        self.aux_loss = AuxLossVariable(jnp.zeros((), jnp.float32))
 
     def __call__(self, x: jax.Array) -> jax.Array:
         b, t, c = x.shape
@@ -251,6 +260,12 @@ class MoEChannelMixer(nnx.Module):
         e = self.num_experts
         cap = min(n, max(1, int(math.ceil(n * self.capacity_factor * self.top_k / e))))
         probs = jax.nn.softmax(self.router(xf).astype(jnp.float32), axis=-1)
+
+        # Switch load-balancing loss (Fedus et al. 2021 eq. 4): E · Σ f_e P_e
+        # over the top-1 assignment — minimized (=1) by a uniform router
+        top1 = jax.nn.one_hot(jnp.argmax(probs, axis=-1), e, dtype=jnp.float32)
+        lb = e * jnp.sum(jnp.mean(top1, axis=0) * jnp.mean(probs, axis=0))
+        self.aux_loss.value = self.aux_loss_weight * lb
 
         dispatch = jnp.zeros((n, e, cap), jnp.float32)
         combine = jnp.zeros((n, e, cap), jnp.float32)

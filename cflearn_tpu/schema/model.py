@@ -23,7 +23,7 @@ import jax
 import numpy as np
 from flax import nnx
 
-from ..constants import INPUT_KEY, PREDICTIONS_KEY
+from ..constants import AUX_LOSS_KEY, INPUT_KEY, PREDICTIONS_KEY
 from ..toolkit.misc import np_dict_type, tensor_dict_type
 from ..toolkit.registry import WithRegister
 from ..toolkit.tree import npd_to_tree, tree_to_npd
@@ -33,6 +33,13 @@ from .losses_schema import ILoss, build_loss, loss_dict_type
 TDLModel = TypeVar("TDLModel", bound="IDLModel")
 
 forward_results_type = tensor_dict_type
+
+
+class AuxLossVariable(nnx.Variable):
+    """Sown auxiliary objective: a submodule writes its regularizer here
+    during forward (e.g. `MoEChannelMixer`'s load-balancing loss) and
+    `IDLModel.run(training=True)` sums every instance into
+    `forward_results[AUX_LOSS_KEY]`, which train steps add to the loss."""
 
 
 class TrainStep:
@@ -167,7 +174,18 @@ class IDLModel(nnx.Module, WithRegister):
     def run(self, batch: tensor_dict_type, *, training: bool = False, **kwargs: Any) -> forward_results_type:
         self.set_mode(training)
         outputs = self.forward(batch, **kwargs)
-        return self.postprocess(outputs, batch, **kwargs)
+        results = self.postprocess(outputs, batch, **kwargs)
+        if training:
+            # sown auxiliary objectives: any AuxLossVariable a submodule wrote
+            # during this forward (e.g. MoE load-balancing loss) surfaces under
+            # AUX_LOSS_KEY; train steps add it to the scalar loss
+            aux_leaves = jax.tree_util.tree_leaves(nnx.state(self.m, AuxLossVariable))
+            if aux_leaves:
+                total = aux_leaves[0]
+                for leaf in aux_leaves[1:]:
+                    total = total + leaf
+                results[AUX_LOSS_KEY] = total
+        return results
 
     def set_mode(self, training: bool) -> None:
         for mod in self.all_modules:

@@ -304,6 +304,63 @@ def test_moe_channel_mixer_and_expert_parallel(tmp_path) -> None:
     assert trainer.state is not None and trainer.state.step == 2
 
 
+def test_moe_load_balancing_aux_loss() -> None:
+    """The Switch load-balancing loss sows into an AuxLossVariable, surfaces
+    under AUX_LOSS_KEY on training runs only, folds into the optimized
+    scalar, and its gradient reaches the router."""
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from cflearn_tpu.constants import AUX_LOSS_KEY, INPUT_KEY, LABEL_KEY, LOSS_KEY
+    from cflearn_tpu.schema import DLConfig
+    from cflearn_tpu.schema.model import IDLModel
+
+    config = DLConfig(
+        module_name="transformer",
+        module_config={
+            "input_dim": 8,
+            "output_dim": 2,
+            "num_layers": 2,
+            "channel_mixing_type": "moe",
+            "channel_mixing_config": {"num_experts": 4, "top_k": 2},
+        },
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    batch = {
+        INPUT_KEY: jnp.asarray(np.random.RandomState(0).randn(4, 8).astype(np.float32)),
+        LABEL_KEY: jnp.zeros((4, 1), jnp.int32),
+    }
+    fwd = model.run(batch, training=True)
+    assert AUX_LOSS_KEY in fwd and fwd[AUX_LOSS_KEY].shape == ()
+    # uniform-router lower bound is weight * 1 per MoE layer (2 layers here)
+    aux = float(fwd[AUX_LOSS_KEY])
+    assert aux >= 2 * 0.01 - 1e-6, aux
+    assert AUX_LOSS_KEY not in model.run(batch, training=False)
+
+    # the train-step objective includes the aux term
+    step = model.train_steps[0]
+    losses = step.loss_fn(model, batch, fwd)
+    assert AUX_LOSS_KEY in losses
+    base = float(losses[LOSS_KEY]) - float(losses[AUX_LOSS_KEY])
+    assert abs(float(losses[LOSS_KEY]) - (base + aux)) < 1e-6
+
+    # gradient reaches the router through the balance term alone: an
+    # objective that is ONLY the aux loss must move the router weights
+    gd, st = nnx.split(model)
+
+    def aux_only(st):
+        m = nnx.merge(gd, st)
+        return m.run(batch, training=True)[AUX_LOSS_KEY]
+
+    g = jax.grad(aux_only)(st)
+    router_leaves = [
+        v for p, v in jax.tree_util.tree_leaves_with_path(g) if "router" in str(p)
+    ]
+    assert router_leaves and any(float(jnp.max(jnp.abs(l))) > 0 for l in router_leaves)
+
+
 def test_ulysses_attention_matches_dense() -> None:
     """SURVEY §5.7c: the all-to-all head-scatter variant is exact."""
     mesh = _mesh(data=1, context=8)
