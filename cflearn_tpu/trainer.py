@@ -360,6 +360,35 @@ class Trainer(ITrainer):
         skip_final_evaluation: bool = False,
         cuda: Any = None,  # kept for API-compat; ignored on TPU
     ) -> "Trainer":
+        # the ambient mesh gates attention CP / encoder PP routing and the
+        # sanitizer flags are process-global: restore BOTH even when fit
+        # raises (a stale pipe/context mesh would route unrelated later code
+        # through shard_map on a dead mesh)
+        prev_ambient_mesh = get_ambient_mesh()
+        try:
+            return self._fit_impl(
+                data,
+                model,
+                config_export_file=config_export_file,
+                skip_final_evaluation=skip_final_evaluation,
+                cuda=cuda,
+            )
+        finally:
+            if self.config.debug_nans:
+                jax.config.update("jax_debug_nans", False)
+            if self.config.transfer_guard:
+                jax.config.update("jax_transfer_guard", "allow")
+            set_mesh(prev_ambient_mesh)
+
+    def _fit_impl(
+        self,
+        data: IData,
+        model: IDLModel,
+        *,
+        config_export_file: Optional[str] = None,
+        skip_final_evaluation: bool = False,
+        cuda: Any = None,
+    ) -> "Trainer":
         self.model = model
         self._prepare_workspace()
 
@@ -368,9 +397,27 @@ class Trainer(ITrainer):
         # counters under `<root>/preemption/` — pick up where it stopped
         self._resume_meta: Optional[Dict[str, Any]] = None
         pre_folder = self.preemption_folder
-        if self.config.resume_from_preemption and os.path.isfile(
+        resume_ok = self.config.resume_from_preemption and os.path.isfile(
             os.path.join(pre_folder, "model.npz")
-        ):
+        )
+        if self.config.resume_from_preemption and jax.process_count() > 1:
+            # the dump is written by process 0 only; every process must make
+            # the SAME resume decision or replicated device_put diverges and
+            # ranks deadlock in collectives at different step counts.
+            # Broadcast process 0's verdict: all ranks must then be able to
+            # read the dump (shared filesystem) or fail loudly.
+            from jax.experimental import multihost_utils
+
+            flag = int(multihost_utils.broadcast_one_to_all(np.int32(int(resume_ok))))
+            if flag and not resume_ok:
+                raise RuntimeError(
+                    "process 0 has a preemption dump at "
+                    f"{pre_folder} but this process cannot read it — "
+                    "multi-process preemption resume requires the workspace "
+                    "on a shared filesystem"
+                )
+            resume_ok = bool(flag)
+        if resume_ok:
             with np.load(os.path.join(pre_folder, "model.npz"), allow_pickle=False) as z:
                 model.load_state_dict({k: z[k] for k in z.files if k != "__meta__"})
             opt_path = os.path.join(pre_folder, "optimizers.npz")
@@ -388,10 +435,6 @@ class Trainer(ITrainer):
             jax.config.update("jax_transfer_guard", self.config.transfer_guard)
 
         # mesh + placement ----------------------------------------------------
-        # the ambient mesh gates attention CP / encoder PP routing; it is
-        # restored at the end of fit so a context/pipe-mesh training run does
-        # not leak parallel routing into subsequent unrelated computations
-        prev_ambient_mesh = get_ambient_mesh()
         self.mesh = make_mesh(self.config.get_mesh_config())
         set_mesh(self.mesh)
 
@@ -492,6 +535,7 @@ class Trainer(ITrainer):
         # preemption safety: TPU preemption delivers SIGTERM — finish the
         # in-flight step, dump a resumable snapshot, stop cleanly
         self._preempted = False
+        self._preemption_dumped = False
         prev_sigterm: Any = None
         if self.config.save_on_preemption:
             import signal
@@ -524,6 +568,14 @@ class Trainer(ITrainer):
                 except ValueError:  # pragma: no cover
                     pass
 
+        # SIGTERM can land OUTSIDE the in-loop check window (during the final
+        # step's monitor/eval, or between the last step and loop exit) — the
+        # flag is set but no dump was written; write it now so a preempted
+        # fit ALWAYS leaves a resumable snapshot
+        if self._preempted and not self._preemption_dumped:
+            self.dump_preemption()
+            print(f"> SIGTERM — preemption dump written at step {state.step}")
+
         # rollback to best checkpoint (reference `trainer.py:363-366`).
         # All processes restore (reads are safe on every rank) so model state
         # stays consistent across hosts for subsequent collective eval.
@@ -549,11 +601,6 @@ class Trainer(ITrainer):
         for callback in self.callbacks:
             callback.finalize(self)
         self._fit_wall_time = time.time() - start_t
-        if self.config.debug_nans:
-            jax.config.update("jax_debug_nans", False)
-        if self.config.transfer_guard:
-            jax.config.update("jax_transfer_guard", "allow")
-        set_mesh(prev_ambient_mesh)
         return self
 
     def _loop(self, state: TrainerState, batcher: DeviceBatcher, model: IDLModel, terminate: bool, has_ckpt: bool) -> Tuple[bool, bool]:
@@ -797,6 +844,7 @@ class Trainer(ITrainer):
         folder = self.preemption_folder
         self._drain_checkpoints()
         self._sync_state_to_model()
+        self._preemption_dumped = True
         if is_local_rank_0():
             os.makedirs(folder, exist_ok=True)
             self.model.save(os.path.join(folder, "model.npz"))
