@@ -365,6 +365,11 @@ class Trainer(ITrainer):
         # raises (a stale pipe/context mesh would route unrelated later code
         # through shard_map on a dead mesh)
         prev_ambient_mesh = get_ambient_mesh()
+        # snapshot the caller's ambient sanitizer flags so `finally` restores
+        # THEIR values, not hardcoded defaults (fit may also raise before the
+        # flags were ever flipped)
+        prev_debug_nans = bool(jax.config.jax_debug_nans)
+        prev_transfer_guard = jax.config.jax_transfer_guard or "allow"
         try:
             return self._fit_impl(
                 data,
@@ -375,9 +380,9 @@ class Trainer(ITrainer):
             )
         finally:
             if self.config.debug_nans:
-                jax.config.update("jax_debug_nans", False)
+                jax.config.update("jax_debug_nans", prev_debug_nans)
             if self.config.transfer_guard:
-                jax.config.update("jax_transfer_guard", "allow")
+                jax.config.update("jax_transfer_guard", prev_transfer_guard)
             set_mesh(prev_ambient_mesh)
 
     def _fit_impl(
@@ -397,26 +402,34 @@ class Trainer(ITrainer):
         # counters under `<root>/preemption/` — pick up where it stopped
         self._resume_meta: Optional[Dict[str, Any]] = None
         pre_folder = self.preemption_folder
-        resume_ok = self.config.resume_from_preemption and os.path.isfile(
-            os.path.join(pre_folder, "model.npz")
+        # meta.json is written LAST (atomically) by dump_preemption, so its
+        # presence marks a COMPLETE dump; a kill mid-dump leaves model.npz
+        # without meta.json and we start fresh instead of crashing later
+        resume_ok = (
+            self.config.resume_from_preemption
+            and os.path.isfile(os.path.join(pre_folder, "model.npz"))
+            and os.path.isfile(os.path.join(pre_folder, "meta.json"))
         )
         if self.config.resume_from_preemption and jax.process_count() > 1:
             # the dump is written by process 0 only; every process must make
             # the SAME resume decision or replicated device_put diverges and
             # ranks deadlock in collectives at different step counts.
-            # Broadcast process 0's verdict: all ranks must then be able to
-            # read the dump (shared filesystem) or fail loudly.
+            # Gather EVERY rank's verdict: if they disagree, raise on ALL
+            # ranks (a broadcast-only scheme would leave the readable ranks
+            # proceeding into collectives and hanging instead of erroring).
             from jax.experimental import multihost_utils
 
-            flag = int(multihost_utils.broadcast_one_to_all(np.int32(int(resume_ok))))
-            if flag and not resume_ok:
+            flags = np.asarray(
+                multihost_utils.process_allgather(np.int32(int(resume_ok)))
+            ).reshape(-1)
+            if int(flags.min()) != int(flags.max()):
                 raise RuntimeError(
-                    "process 0 has a preemption dump at "
-                    f"{pre_folder} but this process cannot read it — "
+                    "preemption-resume disagreement: some processes see a "
+                    f"complete dump at {pre_folder} and some do not — "
                     "multi-process preemption resume requires the workspace "
                     "on a shared filesystem"
                 )
-            resume_ok = bool(flag)
+            resume_ok = bool(int(flags.max()))
         if resume_ok:
             with np.load(os.path.join(pre_folder, "model.npz"), allow_pickle=False) as z:
                 model.load_state_dict({k: z[k] for k in z.files if k != "__meta__"})
@@ -568,6 +581,12 @@ class Trainer(ITrainer):
                 except ValueError:  # pragma: no cover
                     pass
 
+        # SIGTERM delivery is per-process: one rank may have caught it while
+        # the others did not. All-reduce (OR) the flag so EVERY rank takes
+        # the same post-loop path — otherwise the preempted rank skips the
+        # collective final eval/rollback and the rest deadlock inside it.
+        self._sync_preempted()
+
         # SIGTERM can land OUTSIDE the in-loop check window (during the final
         # step's monitor/eval, or between the last step and loop exit) — the
         # flag is set but no dump was written; write it now so a preempted
@@ -629,7 +648,7 @@ class Trainer(ITrainer):
                 if profiling:
                     jax.block_until_ready(jax.tree_util.tree_leaves(loss_items))
                     jax.profiler.stop_trace()
-                if self._preempted:
+                if self._maybe_sync_preempted(state):
                     # the step that was in flight when SIGTERM arrived has
                     # completed — dump a resumable snapshot and stop
                     self.dump_preemption()
@@ -814,7 +833,15 @@ class Trainer(ITrainer):
 
             if self._ckpt_executor is None:
                 self._ckpt_executor = ThreadPoolExecutor(max_workers=1)
-            tree = nnx.state(self.model)  # immutable leaf snapshot
+            # snapshot with a device-side COPY of each leaf: jax arrays are
+            # immutable but not donation-proof — with donate_buffers the next
+            # train step donates these exact buffers and a deferred host pull
+            # would hit "Buffer has been deleted or donated". An HBM copy is
+            # cheap (no host round-trip) and owned by the snapshot alone.
+            tree = jax.tree.map(
+                lambda x: x.copy() if isinstance(x, jax.Array) else x,
+                nnx.state(self.model),
+            )
 
             # bind `path`/`tree` NOW: the retention loop below rebinds locals
             # before the executor thread runs
@@ -837,14 +864,38 @@ class Trainer(ITrainer):
             json.dump(scores, f, indent=2)
         self.checkpoint_scores = scores
 
+    def _sync_preempted(self) -> bool:
+        """All-reduce (OR) the per-process SIGTERM flag so every rank takes
+        the same control-flow path; SIGTERM delivery is per-process."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            any_preempted = np.asarray(
+                multihost_utils.process_allgather(np.int32(int(self._preempted)))
+            ).max()
+            self._preempted = bool(int(any_preempted))
+        return self._preempted
+
+    def _maybe_sync_preempted(self, state: "TrainerState") -> bool:
+        """In-loop preemption check. Multi-process runs must agree on it, and
+        the OR-sync is itself a collective — so the decision to sync must be
+        rank-identical. Sync every step when save_on_preemption is on (a
+        scalar allgather is tiny next to a train step); single-process runs
+        read the local flag directly."""
+        if jax.process_count() > 1 and self.config.save_on_preemption:
+            return self._sync_preempted()
+        return self._preempted
+
     def dump_preemption(self) -> str:
         """Resumable snapshot for SIGTERM/preemption (SURVEY §5.3): model
         states + optimizer states + step/epoch counters, written
-        SYNCHRONOUSLY (the process is about to die) to the workspace root."""
+        SYNCHRONOUSLY (the process is about to die) to the workspace root.
+        meta.json is written LAST via temp-file+rename so its presence marks
+        a complete dump (resume gates on it); a kill mid-dump therefore
+        leads to a fresh start, not a crash."""
         folder = self.preemption_folder
         self._drain_checkpoints()
         self._sync_state_to_model()
-        self._preemption_dumped = True
         if is_local_rank_0():
             os.makedirs(folder, exist_ok=True)
             self.model.save(os.path.join(folder, "model.npz"))
@@ -855,7 +906,9 @@ class Trainer(ITrainer):
                 npd.update({f"{scope}::{k}": v for k, v in tree_to_npd(st).items()})
             np.savez_compressed(os.path.join(folder, "optimizers.npz"), **npd)
             state = self.state
-            with open(os.path.join(folder, "meta.json"), "w") as f:
+            meta_path = os.path.join(folder, "meta.json")
+            tmp_path = meta_path + ".tmp"
+            with open(tmp_path, "w") as f:
                 json.dump(
                     {
                         "step": state.step if state is not None else 0,
@@ -863,6 +916,8 @@ class Trainer(ITrainer):
                     },
                     f,
                 )
+            os.replace(tmp_path, meta_path)
+        self._preemption_dumped = True
         return folder
 
     def _drain_checkpoints(self) -> None:

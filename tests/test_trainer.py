@@ -200,6 +200,34 @@ def test_async_checkpoint_retention_paths(tmp_path) -> None:
     assert trainer.restore_checkpoint()
 
 
+def test_async_checkpoint_survives_donated_buffers(tmp_path) -> None:
+    """Regression: with `donate_buffers` on, the async checkpoint snapshot
+    held the exact device buffers the NEXT train step donates, so the
+    deferred host pull raised "Buffer has been deleted or donated" (surfaced
+    on drain at fit end / restore). The snapshot must own device-side copies."""
+    x, y = _toy_cls_data()
+    config = DLConfig(
+        module_name="fcnn",
+        module_config={"input_dim": 8, "output_dim": 2, "hidden_units": [16]},
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    data = ArrayData.init().fit(x, y, x_valid=x[:64], y_valid=y[:64])
+    trainer = Trainer(
+        TrainerConfig(
+            workspace=str(tmp_path),
+            num_epoch=8,
+            lr=3.0e-3,
+            async_checkpointing=True,
+            donate_buffers=True,
+        ),
+        metrics=IMetric.fuse("acc"),
+        monitors=[BasicMonitor()],
+    )
+    trainer.fit(data, model)  # drains async writes at the end — used to raise
+    assert trainer.restore_checkpoint()
+
+
 def test_artifact_callbacks_write_images(tmp_path) -> None:
     """Regression (code review): the trainer never invoked `log_artifacts`,
     so artifact callbacks were dead code. A VAE fit with the generator
