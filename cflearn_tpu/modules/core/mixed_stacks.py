@@ -265,7 +265,7 @@ class MoEChannelMixer(nnx.Module):
         # over the top-1 assignment — minimized (=1) by a uniform router
         top1 = jax.nn.one_hot(jnp.argmax(probs, axis=-1), e, dtype=jnp.float32)
         lb = e * jnp.sum(jnp.mean(top1, axis=0) * jnp.mean(probs, axis=0))
-        self.aux_loss.value = self.aux_loss_weight * lb
+        self.aux_loss[...] = self.aux_loss_weight * lb
 
         dispatch = jnp.zeros((n, e, cap), jnp.float32)
         combine = jnp.zeros((n, e, cap), jnp.float32)
@@ -327,7 +327,7 @@ class PositionalEncoding(nnx.Module):
         self.dropout = nnx.Dropout(dropout, rngs=rngs) if dropout > 0 else None
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        table = self.pos_encoding.value if isinstance(self.pos_encoding, nnx.Variable) else self.pos_encoding[...]
+        table = self.pos_encoding[...]
         x = x + table[:, : x.shape[1]]
         if self.dropout is not None:
             x = self.dropout(x)
@@ -419,34 +419,55 @@ class MixedStackedEncoder(nnx.Module):
             if use_positional_encoding
             else None
         )
-        self.blocks = nnx.List(
-            [
-                MixingBlock(
-                    in_dim,
-                    num_tokens + int(use_head_token),
-                    latent_dim,
-                    token_mixing_type=token_mixing_type,
-                    token_mixing_config=token_mixing_config,
-                    channel_mixing_type=channel_mixing_type,
-                    channel_mixing_config=channel_mixing_config,
-                    dropout=dropout,
-                    norm_type=norm_type,
-                    rngs=rngs,
-                )
-                for _ in range(num_layers)
-            ]
-        )
-        from .norms import NormFactory
-
-        self.head_norm = NormFactory(norm_type).make(in_dim, rngs=rngs)
-        self.head_pooler = head_pooler
+        blocks = [
+            MixingBlock(
+                in_dim,
+                num_tokens + int(use_head_token),
+                latent_dim,
+                token_mixing_type=token_mixing_type,
+                token_mixing_config=token_mixing_config,
+                channel_mixing_type=channel_mixing_type,
+                channel_mixing_config=channel_mixing_config,
+                dropout=dropout,
+                norm_type=norm_type,
+                rngs=rngs,
+            )
+            for _ in range(num_layers)
+        ]
         # opt-in pipeline parallelism (SURVEY §2.10 PP row): with an ambient
         # mesh whose `pipe` axis > 1, the block stack runs as a GPipe
         # microbatch pipeline (`parallel.pp.pipeline_apply`) — stages rotate
         # activations over ICI via ppermute. Use dropout=0 with PP: the
         # stacked functional re-merge replays per-block RNG state.
+        # The L block states are stacked ONCE here at init into a single
+        # template module whose every param carries a leading `L` axis
+        # (`parallel.tp.place_params` shards that axis over `pipe`); an
+        # in-call stack of already-placed params would force SPMD
+        # "involuntary full rematerialization" on every leaf.
         self.pipeline_parallel = pipeline_parallel
         self.pp_microbatches = pp_microbatches
+        if pipeline_parallel:
+            from ...parallel.pp import stack_module_states
+            from ...schema.model import AuxLossVariable
+
+            _, stacked = stack_module_states(blocks)
+            template = blocks[0]
+            nnx.update(template, stacked)
+            self.pp_block = template
+            self.blocks = None
+            # sown per-block objectives (MoE load balancing) cannot flow back
+            # through the functional re-merge inside the pipeline scan — the
+            # pipeline returns them explicitly and they surface through this
+            # encoder-level variable instead (the stacked per-block aux vars
+            # inside pp_block stay zero)
+            self.pp_aux = AuxLossVariable(jnp.zeros((), jnp.float32))
+        else:
+            self.pp_block = None
+            self.blocks = nnx.List(blocks)
+        from .norms import NormFactory
+
+        self.head_norm = NormFactory(norm_type).make(in_dim, rngs=rngs)
+        self.head_pooler = head_pooler
 
     def __call__(self, x: jax.Array, *, return_tokens: bool = False, **kwargs: Any) -> jax.Array:
         b = x.shape[0]
@@ -455,26 +476,32 @@ class MixedStackedEncoder(nnx.Module):
             x = jnp.concatenate([head, x], axis=1)
         if self.pos_encoding is not None:
             x = self.pos_encoding(x)
-        pp_mesh = None
         if self.pipeline_parallel:
             from ...parallel.mesh import get_active_pipe_mesh
+            from ...parallel.pp import pipeline_apply
+            from ...schema.model import AuxLossVariable
 
-            pp_mesh = get_active_pipe_mesh()
-        if pp_mesh is not None:
-            from ...parallel.pp import pipeline_apply, stack_module_states
+            # params were stacked at init — split here just reads the
+            # already-stacked leaves (no in-trace concatenate)
+            graphdef, stacked = nnx.split(self.pp_block)
 
-            graphdef, stacked = stack_module_states(list(self.blocks))
+            def block_fn(state: Any, h: jax.Array) -> Any:
+                block = nnx.merge(graphdef, state)
+                h = block(h, **kwargs)
+                aux = jnp.zeros((), jnp.float32)
+                for leaf in jax.tree_util.tree_leaves(nnx.state(block, AuxLossVariable)):
+                    aux = aux + jnp.sum(leaf.astype(jnp.float32))
+                return h, aux
 
-            def block_fn(state: Any, h: jax.Array) -> jax.Array:
-                return nnx.merge(graphdef, state)(h, **kwargs)
-
-            x = pipeline_apply(
+            x, aux = pipeline_apply(
                 block_fn,
                 stacked,
                 x,
-                mesh=pp_mesh,
+                mesh=get_active_pipe_mesh(),
                 num_microbatches=self.pp_microbatches,
+                with_aux=True,
             )
+            self.pp_aux[...] = aux
         else:
             for block in self.blocks:
                 x = block(x, **kwargs)

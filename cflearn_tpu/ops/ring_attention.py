@@ -89,6 +89,11 @@ def ring_attention(
     acc0 = jnp.zeros((b, h, lq, d), jnp.float32)
     m0 = jnp.full((b, h, lq, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, h, lq, 1), jnp.float32)
+    # under check_vma the scan carry must already be device-varying over the
+    # ring axis (the outputs become varying after touching q/k/v shards)
+    acc0, m0, l0 = (
+        jax.lax.pcast(x, axis_name, to="varying") for x in (acc0, m0, l0)
+    )
     (acc, m, l, _, _, _), _ = jax.lax.scan(
         step, (acc0, m0, l0, k, v, my_idx), None, length=axis_size
     )
@@ -113,8 +118,7 @@ def context_parallel_attention(
     count), "ulysses" (two all_to_alls re-shard sequence<->heads — fewer
     collectives, needs H % cp == 0), or "auto" (ulysses when heads divide
     the axis, ring otherwise)."""
-    from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     cp = mesh.shape["context"]
     if method == "auto":
@@ -122,25 +126,42 @@ def context_parallel_attention(
     if method == "ulysses" and q.shape[1] % cp != 0:
         raise ValueError(f"ulysses needs heads ({q.shape[1]}) divisible by context axis ({cp})")
     inner = ulysses_attention if method == "ulysses" else ring_attention
-    # shard batch over any data axes present in the mesh: declaring batch
-    # replicated on a combined (data × context) mesh would all-gather the
-    # full global batch to every device and recompute attention data-axis
-    # times over
-    batch_axes = tuple(a for a in ("data", "fsdp") if mesh.shape.get(a, 1) > 1)
-    div = 1
-    for a in batch_axes:
-        div *= mesh.shape[a]
-    batch_spec = batch_axes if batch_axes and q.shape[0] % div == 0 else None
-    spec = P(batch_spec, None, "context", None)
+    # PARTIAL-MANUAL shard_map: only `context` is manual; batch sharding
+    # over data/fsdp stays with GSPMD (auto axes), and — critically — no
+    # replication claim is made about the `model` axis. The previous
+    # full-manual form with check_rep=False out-specs silently claimed
+    # model-replication, and the AD transpose then inserted a spurious psum
+    # over `model` on the cotangent: every gradient upstream of attention
+    # was multiplied by the model-axis size on model×context meshes (caught
+    # by tests/test_parallel.py::test_training_parity_ddpm_context_mesh).
+    spec = P(None, None, "context", None)
 
-    fn = shard_map(
-        partial(inner, causal=causal, sm_scale=sm_scale),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
-        check_rep=False,
+    # Sharding BARRIER around the manual region: pin the sequence dim
+    # replicated at the boundary (other dims stay UNCONSTRAINED so dp/tp
+    # activation shardings pass through). Without it, GSPMD propagates the
+    # `context` sharding from the shard_map operands backward into the
+    # producing ops, and XLA's SPMD partitioner miscompiles the GRADIENT of
+    # `conv_general_dilated` whose spatial dims became context-sharded
+    # through a reshape: the halo regions are double-counted and the kernel
+    # cotangent comes out exactly context-axis-size times too large
+    # (finite-difference-verified repro: conv3x3 → reshape → attention on a
+    # (data=1, model=2, context=2) mesh doubles the conv kernel grads;
+    # caught by tests/test_parallel.py::test_training_parity_ddpm_context_mesh).
+    U = P.UNCONSTRAINED
+    barrier = NamedSharding(mesh, P(U, U, None, U))
+    q, k, v = (jax.lax.with_sharding_constraint(t, barrier) for t in (q, k, v))
+
+    fn = jax.jit(
+        jax.shard_map(
+            partial(inner, causal=causal, sm_scale=sm_scale),
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            axis_names=frozenset({"context"}),
+            check_vma=True,
+        )
     )
-    return fn(q, k, v)
+    return jax.lax.with_sharding_constraint(fn(q, k, v), barrier)
 
 
 def ulysses_attention(

@@ -17,11 +17,22 @@ stage group every tick; fill/drain garbage is masked out of the output
 buffer rather than skipped (XLA prefers uniform work over per-tick
 control flow).
 
+SPMD structure (round 3): the shard_map is PARTIAL-MANUAL — only the `pipe`
+axis is manual (`jax.shard_map(axis_names={axis})`); `data`/`fsdp`/`model`
+stay automatic, so GSPMD shards the batch and any tensor-parallel weights
+*inside* the pipeline region exactly as it would outside. This is what
+makes TP/EP compose with PP: a MoE channel mixer's expert tensors, placed
+`P('pipe', 'model', ...)` by `parallel.tp.place_params`, keep their expert-
+axis sharding inside each stage, and GSPMD inserts the dispatch/combine
+collectives per stage. It also removes the in-trace param re-stacking that
+used to force SPMD "involuntary full rematerialization" on the stacked
+leaves: stacks are built ONCE at module init (`MixedStackedEncoder`), enter
+the program already sharded `P('pipe', ...)`, and the shard_map in_spec is
+then a no-op.
+
 Constraints (checked): the stacked block leading axis `L` must divide by the
 pipe size, activations must keep one shape through the stack (true for
 transformer/mixer stacks), and the microbatch count must divide the batch.
-Composes with data parallelism (batch axes sharded inside the same
-shard_map, like `ops.ring_attention`); TP inside a PP stage is out of scope.
 """
 
 import math
@@ -33,8 +44,22 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _batch_axes(mesh: Mesh) -> Tuple[str, ...]:
-    return tuple(a for a in ("data", "fsdp") if mesh.shape.get(a, 1) > 1)
+def _sequential(
+    block_fn: Callable[..., Any], stacked_params: Any, x: jax.Array, with_aux: bool
+) -> Any:
+    if with_aux:
+        def body_aux(h: jax.Array, p: Any) -> Tuple[jax.Array, jax.Array]:
+            h, aux = block_fn(p, h)
+            return h, aux
+
+        h, auxs = jax.lax.scan(body_aux, x, stacked_params)
+        return h, jnp.sum(auxs)
+
+    def body(h: jax.Array, p: Any) -> Tuple[jax.Array, None]:
+        return block_fn(p, h), None
+
+    h, _ = jax.lax.scan(body, x, stacked_params)
+    return h
 
 
 def pipeline_apply(
@@ -42,28 +67,36 @@ def pipeline_apply(
     stacked_params: Any,
     x: jax.Array,
     *,
-    mesh: Mesh,
+    mesh: Optional[Mesh] = None,
     axis: str = "pipe",
     num_microbatches: Optional[int] = None,
     block_kwargs: Optional[dict] = None,
-) -> jax.Array:
+    with_aux: bool = False,
+) -> Any:
     """Run `x` through `L` stacked blocks pipelined over the mesh's `axis`.
 
     `stacked_params`: pytree whose leaves carry a leading block axis `L`
     (block i's params = `leaf[i]`); sharded over `axis` inside, so each
     device owns a contiguous group of `L / pipe` blocks.
     `block_fn(params_i, h) -> h` applies ONE block. `x` is the global
-    activation batch `(B, *feat)`; returns the same shape.
-    """
+    activation batch `(B, *feat)`; returns the same shape. `mesh=None` (or
+    a mesh without the axis) runs the plain sequential scan.
+
+    `with_aux=True` changes the contract to `block_fn(params_i, h) ->
+    (h, aux_scalar)` and the return to `(out, aux)`: sown per-block scalar
+    objectives (e.g. the MoE load-balancing loss) cannot flow back through
+    the functional re-merge inside the scan, so the pipeline carries them
+    explicitly — per-stage sums are masked to valid (non-fill/drain) ticks,
+    psum'd over the pipe axis, and averaged over microbatches (the
+    sequential path sums the per-block full-batch values, so `aux` there is
+    exactly the module-loop semantics; under pipelining it is the mean of
+    per-microbatch values — the Switch-style batch statistic computed per
+    microbatch)."""
     if block_kwargs:
         block_fn = partial(block_fn, **block_kwargs)
-    pp = mesh.shape.get(axis, 1)
+    pp = mesh.shape.get(axis, 1) if mesh is not None else 1
     if pp <= 1:  # no pipe axis — plain sequential scan over the blocks
-        def body(h: jax.Array, p: Any) -> Tuple[jax.Array, None]:
-            return block_fn(p, h), None
-
-        h, _ = jax.lax.scan(body, x, stacked_params)
-        return h
+        return _sequential(block_fn, stacked_params, x, with_aux)
 
     lead = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     if lead % pp != 0:
@@ -71,73 +104,96 @@ def pipeline_apply(
     m = num_microbatches or pp
     if x.shape[0] % m != 0:
         raise ValueError(f"batch {x.shape[0]} not divisible by num_microbatches={m}")
-
-    batch_axes = _batch_axes(mesh)
-    div = math.prod(mesh.shape[a] for a in batch_axes) if batch_axes else 1
     mb = x.shape[0] // m
-    batch_spec = batch_axes if batch_axes and mb % div == 0 else None
-    x_spec = P(None, batch_spec)  # (M, mb, *feat)
-    p_spec = P(axis)  # leading block axis split into stage groups
 
-    def pipelined(params_local: Any, xs: jax.Array) -> jax.Array:
+    p_spec = P(axis)  # leading block axis split into stage groups
+    x_spec = P()  # (M, mb, *feat): replicated over `pipe`; batch sharding
+    # over data/fsdp stays with GSPMD (those axes are auto, not manual)
+
+    def pipelined(params_local: Any, xs: jax.Array) -> Any:
         s = jax.lax.axis_size(axis)
         stage = jax.lax.axis_index(axis)
         is_first = stage == 0
         is_last = stage == s - 1
         perm = [(i, (i + 1) % s) for i in range(s)]
 
-        def stage_apply(h: jax.Array) -> jax.Array:
-            def body(h: jax.Array, p: Any) -> Tuple[jax.Array, None]:
-                return block_fn(p, h), None
+        def stage_apply(h: jax.Array) -> Tuple[jax.Array, jax.Array]:
+            def body(h: jax.Array, p: Any) -> Tuple[jax.Array, jax.Array]:
+                if with_aux:
+                    h, aux = block_fn(p, h)
+                else:
+                    h, aux = block_fn(p, h), jnp.zeros((), jnp.float32)
+                return h, aux
 
-            h, _ = jax.lax.scan(body, h, params_local)
-            return h
+            h, auxs = jax.lax.scan(body, h, params_local)
+            return h, jnp.sum(auxs)
 
         out0 = jnp.zeros_like(xs)
         h0 = jnp.zeros_like(xs[0])
+        aux0 = jnp.zeros((), jnp.float32)
 
-        def tick(carry: Tuple[jax.Array, jax.Array], t: jax.Array):
-            h, out = carry
+        def tick(carry: Tuple[jax.Array, jax.Array, jax.Array], t: jax.Array):
+            h, out, aux_sum = carry
             x_mb = jax.lax.dynamic_index_in_dim(
                 xs, jnp.clip(t, 0, m - 1), 0, keepdims=False
             )
             h = jnp.where(is_first, x_mb, h)
-            h = stage_apply(h)
+            h, aux = stage_apply(h)
+            # fill/drain ticks run garbage microbatches through the stage;
+            # their aux contributions are masked (tick t is valid for this
+            # stage iff its microbatch index t - stage is in [0, m))
+            valid = (t >= stage) & (t < stage + m)
+            aux_sum = aux_sum + jnp.where(valid, aux, 0.0)
             idx = jnp.clip(t - (s - 1), 0, m - 1)
             cur = jax.lax.dynamic_index_in_dim(out, idx, 0, keepdims=False)
             upd = jnp.where(is_last & (t >= s - 1), h, cur)
             out = jax.lax.dynamic_update_index_in_dim(out, upd, idx, 0)
             h = jax.lax.ppermute(h, axis, perm)
-            return (h, out), None
+            return (h, out, aux_sum), None
 
-        (_, out), _ = jax.lax.scan(tick, (h0, out0), jnp.arange(m + s - 1))
+        (_, out, aux_sum), _ = jax.lax.scan(
+            tick, (h0, out0, aux0), jnp.arange(m + s - 1)
+        )
         # results live on the last stage — replicate via a masked psum
         out = jnp.where(is_last, out, jnp.zeros_like(out))
-        return jax.lax.psum(out, axis)
-
-    from jax.experimental.shard_map import shard_map
+        out = jax.lax.psum(out, axis)
+        if not with_aux:
+            return out
+        # sum over stages (each stage summed its own blocks), mean over
+        # microbatches
+        return out, jax.lax.psum(aux_sum, axis) / m
 
     from .mesh import get_ambient_mesh, set_mesh
 
-    fn = shard_map(
-        pipelined,
-        mesh=mesh,
-        in_specs=(p_spec, x_spec),
-        out_specs=x_spec,
-        check_rep=False,
+    # the partial-manual shard_map (manual over `pipe` only) requires the
+    # traced path — its eager impl resolves out_specs against ALL mesh axes
+    # (jax _unmatch with check_vma=False) and rejects partial manual. The
+    # nested jit is inlined when we are already inside an outer jit trace.
+    fn = jax.jit(
+        jax.shard_map(
+            pipelined,
+            mesh=mesh,
+            in_specs=(p_spec, x_spec),
+            out_specs=(x_spec, P()) if with_aux else x_spec,
+            axis_names=frozenset({axis}),
+            check_vma=False,
+        )
     )
     xs = x.reshape((m, mb) + x.shape[1:])
-    # the block stack traces inside shard_map's MANUAL region: ambient-mesh
-    # parallel routing (sdp_attn's ring-attention switch, nested PP) would
-    # open a nested shard_map on a different mesh, which is invalid there —
-    # the pipeline owns the parallelism of its region, so mask the ambient
-    # mesh for the duration of the trace
+    # the block stack traces inside shard_map's pipe-manual region:
+    # ambient-mesh parallel routing (sdp_attn's ring-attention switch, nested
+    # PP) would open a nested shard_map on a different mesh, which is invalid
+    # there — the pipeline owns the `pipe` parallelism of its region, so mask
+    # the ambient mesh for the duration of the trace
     ambient = get_ambient_mesh()
     set_mesh(None)
     try:
         out = fn(stacked_params, xs)
     finally:
         set_mesh(ambient)
+    if with_aux:
+        out, aux = out
+        return out.reshape(x.shape), aux
     return out.reshape(x.shape)
 
 
@@ -146,7 +202,10 @@ def stack_module_states(modules: Sequence[Any]) -> Tuple[Any, Any]:
     new leading block axis — the `stacked_params` input of `pipeline_apply`.
     Returns `(graphdef, stacked_state)`; restore block i functionally with
     `nnx.merge(graphdef, jax.tree.map(lambda l: l[i], stacked_state))` (what
-    `pipeline_apply`'s scan does per block)."""
+    `pipeline_apply`'s scan does per block). Call at module INIT time, not
+    inside a traced function: an in-trace stack of already-sharded params
+    forces an SPMD resharding ("involuntary full rematerialization") on
+    every leaf."""
     from flax import nnx
 
     graphdef, state0 = nnx.split(modules[0])

@@ -65,6 +65,26 @@ def tp_spec_for(path: str, shape: Sequence[int], tp_size: int, rules: List[Tuple
     return None
 
 
+def pp_spec_for(
+    path: str, shape: Sequence[int], pipe_size: int, tp_size: int, rules: List[Tuple[Pattern, str]]
+) -> Optional[P]:
+    """PartitionSpec for an init-time-stacked pipeline-block param
+    (`MixedStackedEncoder.pp_block`, leading axis = L blocks): dim 0 shards
+    over `pipe` (stage groups), the inner dims keep their TP rule — this is
+    what lets TP/EP compose with PP (the partial-manual shard_map in
+    `parallel.pp` leaves `model` automatic inside the pipeline region)."""
+    if "/pp_block/" not in path and not path.startswith("pp_block/"):
+        return None
+    if pipe_size <= 1 or len(shape) < 1 or shape[0] % pipe_size != 0:
+        return None
+    inner: Tuple[Any, ...] = (None,) * (len(shape) - 1)
+    if tp_size > 1 and len(shape) >= 3:
+        inner_spec = tp_spec_for(path, shape[1:], tp_size, rules)
+        if inner_spec is not None:
+            inner = tuple(inner_spec) + (None,) * (len(shape) - 1 - len(tuple(inner_spec)))
+    return P("pipe", *inner)
+
+
 def place_params(
     state: Any,
     mesh: Mesh,
@@ -72,10 +92,12 @@ def place_params(
     use_fsdp: bool = False,
     tp_rules: Optional[Sequence[Tuple[str, str]]] = None,
 ) -> Any:
-    """Place a state pytree: TP rules first, then fsdp largest-axis sharding,
-    else replicate. Operates on any nnx State / pytree via path strings."""
+    """Place a state pytree: pipeline-stacked params first (pipe axis + TP
+    inner dims), then TP rules, then fsdp largest-axis sharding, else
+    replicate. Operates on any nnx State / pytree via path strings."""
     tp_size = mesh.shape.get("model", 1)
     fsdp_size = mesh.shape.get("fsdp", 1)
+    pipe_size = mesh.shape.get("pipe", 1)
     rules = compile_rules(tp_rules)
     from ..toolkit.tree import _key_entry_to_str
 
@@ -86,7 +108,9 @@ def place_params(
         if not hasattr(leaf, "shape") or getattr(leaf, "ndim", 0) == 0:
             placed.append(jax.device_put(leaf, NamedSharding(mesh, P())))
             continue
-        spec = tp_spec_for(path, leaf.shape, tp_size, rules) if tp_size > 1 else None
+        spec = pp_spec_for(path, leaf.shape, pipe_size, tp_size, rules)
+        if spec is None and tp_size > 1:
+            spec = tp_spec_for(path, leaf.shape, tp_size, rules)
         if spec is None and use_fsdp and fsdp_size > 1:
             from .mesh import fsdp_param_sharding
 

@@ -20,6 +20,7 @@ import os
 from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple, Type, TypeVar
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
@@ -181,9 +182,12 @@ class IDLModel(nnx.Module, WithRegister):
             # AUX_LOSS_KEY; train steps add it to the scalar loss
             aux_leaves = jax.tree_util.tree_leaves(nnx.state(self.m, AuxLossVariable))
             if aux_leaves:
-                total = aux_leaves[0]
+                # jnp.sum per leaf: an init-time-stacked pipeline block carries
+                # an (L,)-shaped stale aux variable (its live aux flows through
+                # the encoder-level pp_aux instead) — the total must stay scalar
+                total = jnp.sum(aux_leaves[0])
                 for leaf in aux_leaves[1:]:
-                    total = total + leaf
+                    total = total + jnp.sum(leaf)
                 results[AUX_LOSS_KEY] = total
         return results
 

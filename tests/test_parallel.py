@@ -390,3 +390,123 @@ def test_ulysses_attention_causal_and_auto() -> None:
     np.testing.assert_allclose(
         np.asarray(got3), np.asarray(xla_attention(q3, q3, q3)), atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# sharded-vs-single-device training parity (VERDICT r2 item 4)
+# ---------------------------------------------------------------------------
+
+def _single_device_baseline(workload: str, tmp_path) -> dict:
+    """Run the workload on a REAL 1-device process (not a 1-axis mesh on 8
+    virtual devices) and return its final params."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    out = tmp_path / f"baseline_{workload}.npz"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo"
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys; sys.path.insert(0, '/root/repo/tests');"
+        "import _parity_common; _parity_common.main()"
+    )
+    subprocess.run(
+        [
+            sys.executable, "-c", code, workload, "null",
+            str(tmp_path / "baseline_ws"), str(out),
+        ],
+        env=env,
+        check=True,
+        timeout=900,
+        # argv[0] for -c code is the code itself; _parity_common reads
+        # sys.argv[1:5]
+        cwd="/root/repo",
+    )
+    data = np.load(out)
+    return {k: data[k] for k in data.files}
+
+
+def _assert_params_close(base: dict, got: dict, *, atol: float, rtol: float) -> None:
+    assert set(base) == set(got)
+    for k in sorted(base):
+        np.testing.assert_allclose(
+            got[k], base[k], atol=atol, rtol=rtol,
+            err_msg=f"param {k} diverged from the single-device run",
+        )
+
+
+@pytest.mark.slow
+def test_training_parity_transformer_meshes(tmp_path) -> None:
+    """3 fixed-seed steps on every transformer-capable mesh config the
+    dryrun exercises (dp / dp x fsdp x tp / dp x tp x pipe with MoE) must
+    reproduce the single-device params — the sharding analogue of DDP's
+    implicit single-process equivalence (reference trainer.py:268-273)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from _parity_common import run_workload
+
+    base = _single_device_baseline("transformer_pp", tmp_path)
+    for i, mesh in enumerate(
+        [
+            {"data": 8},
+            {"data": 2, "fsdp": 2, "model": 2},
+            {"data": 2, "model": 2, "pipe": 2},
+        ]
+    ):
+        got = run_workload("transformer_pp", mesh, str(tmp_path / f"ws{i}"))
+        # SGD keeps updates linear in grads; 1e-4 absorbs three steps of
+        # nonlinear feedback on psum-reassociation noise while still failing
+        # loudly on real sharding bugs (those diverge at update scale, >=1e-2)
+        _assert_params_close(base, got, atol=1e-4, rtol=0)
+
+
+@pytest.mark.slow
+def test_training_parity_ddpm_context_mesh(tmp_path) -> None:
+    """The ring-attention (context axis) training config must also match the
+    single-device run."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from _parity_common import run_workload
+
+    base = _single_device_baseline("ddpm_attn", tmp_path)
+    for i, mesh in enumerate(
+        [
+            {"data": 2, "fsdp": 2, "model": 2},
+            {"data": 1, "fsdp": 2, "model": 2, "context": 2},
+        ]
+    ):
+        got = run_workload("ddpm_attn", mesh, str(tmp_path / f"dws{i}"))
+        _assert_params_close(base, got, atol=1e-4, rtol=0)
+
+
+def test_pp_stacked_param_placement_composes_with_tp() -> None:
+    """`pp_spec_for` (parallel/tp.py): init-time-stacked pipeline params get
+    P('pipe', <inner TP rule>) — the placement half of TP/EP-inside-PP (the
+    execution half is the partial-manual shard_map in parallel/pp.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from cflearn_tpu.parallel.tp import compile_rules, pp_spec_for
+
+    rules = compile_rules(None)
+    # MoE expert tensors: pipe on the block axis + model on the expert axis
+    spec = pp_spec_for(
+        "encoder/pp_block/channel_mixer/experts_w1/value", (4, 4, 32, 128), 2, 2, rules
+    )
+    assert spec == P("pipe", "model", None, None)
+    # attention in_proj: pipe + column-parallel output dim
+    spec = pp_spec_for(
+        "encoder/pp_block/token_mixer/net/in_proj/kernel/value", (4, 32, 96), 2, 2, rules
+    )
+    assert spec == P("pipe", None, "model")
+    # non-pp params and indivisible block counts fall through
+    assert pp_spec_for("encoder/blocks/0/w/value", (4, 32), 2, 2, rules) is None
+    assert pp_spec_for("m/pp_block/w/value", (3, 32), 2, 2, rules) is None
