@@ -1,0 +1,175 @@
+"""On-chip quality harness for the bench's serving accelerations.
+
+Fixed seed, full SD-1.5 architecture at 512px/20-step DDIM (the bench
+workload): the LOSSLESS pipeline (no ToMe, full CFG, no DeepCache) is the
+ground truth; each lever — alone and stacked — is measured against it with
+latent MSE / relative error and decoded-image PSNR / SSIM / max-abs
+(`cflearn_tpu.toolkit.quality`). Per-variant throughput is recorded too, so
+the speed/quality tradeoff of every published bench configuration lives in
+one artifact: docs/quality_sd15.json (tabulated in docs/performance.md,
+bounds asserted by tests/test_quality.py).
+
+Weights are fixed-seed random (zero-egress environment) with every
+zero-initialized parameter de-zeroed to N(0, 0.02): SD's zero-init output
+convs (conv_out, resblock conv2, attention proj_out) otherwise make the
+residual branches inert, which would let ToMe/DeepCache deviations vanish
+and the measurement lie. With de-zeroed weights every lever's signal path
+is live, so the deviations measured here upper-bound numeric behavior at
+the architecture level (not FID — that needs pretrained weights + egress;
+see BASELINE.md's CLIP-score clause and tests/test_real_checkpoints.py).
+
+Run on the real chip (NOT under the test conftest): python scripts/quality_harness.py
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/cflearn_tpu/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+BATCH = 4
+NUM_STEPS = 20
+GUIDANCE = 7.5
+GUIDANCE_INTERVAL = (0.25, 0.70)
+OUT_PATH = Path(__file__).resolve().parent.parent / "docs" / "quality_sd15.json"
+
+
+def build_sd():
+    from cflearn_tpu.modules.multimodal.diffusion.ldm import StableDiffusion
+
+    model = StableDiffusion(version="v1", rngs=nnx.Rngs(0))
+    params = nnx.state(model, nnx.Param)
+    # bf16 + de-zero: any all-zero floating tensor gets N(0, 0.02) so the
+    # zero-init residual branches (SD parity) carry signal for measurement
+    rng = np.random.default_rng(142857)
+
+    def _prep(x):
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        if x.size > 0 and not jnp.any(x).item():
+            x = jnp.asarray(rng.normal(0.0, 0.02, x.shape), jnp.float32)
+        return x.astype(jnp.bfloat16)
+
+    params = jax.tree_util.tree_map(_prep, params)
+    nnx.update(model, params)
+    return model
+
+
+def set_levers(model, *, tome: float, deepcache) -> None:
+    from cflearn_tpu.modules.core.mixed_stacks import SpatialTransformer
+
+    for _, module in nnx.iter_graph(model):
+        if isinstance(module, SpatialTransformer):
+            module.set_tome_ratio(tome)
+    if deepcache is None:
+        model.deepcache_interval = None
+        model.deepcache_cut = 3
+    else:
+        model.deepcache_interval, model.deepcache_cut = deepcache
+
+
+def run_variant(model, name, *, tome=0.0, gi=None, deepcache=None, w8a8=False):
+    from cflearn_tpu.ops import conv as conv_ops
+    from cflearn_tpu.toolkit.quality import make_txt2img_with_latents
+
+    set_levers(model, tome=tome, deepcache=deepcache)
+    sampler_config = {} if gi is None else {"guidance_interval": gi}
+    prev_w8a8 = conv_ops._W8A8_DEFAULT
+    conv_ops._W8A8_DEFAULT = w8a8
+    try:
+        fn, state = make_txt2img_with_latents(
+            model,
+            sampler_config=sampler_config,
+            num_steps=NUM_STEPS,
+            guidance_scale=GUIDANCE,
+        )
+        tokens = jnp.asarray(
+            np.random.default_rng(7).integers(0, 49000, (BATCH, 77)), jnp.int32
+        )
+        uncond_tokens = jnp.zeros((BATCH, 77), jnp.int32)
+        z = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 64, 64, 4), jnp.float32)
+        key = jax.random.PRNGKey(11)
+
+        t0 = time.time()
+        latents, images = fn(state, tokens, uncond_tokens, z, key)
+        latents, images = np.asarray(latents, np.float32), np.asarray(images, np.float32)
+        compile_s = time.time() - t0
+        # timed window (program is warm; scalar pull forces completion)
+        iters = 3
+        t0 = time.time()
+        for i in range(iters):
+            l2, _ = fn(state, tokens, uncond_tokens, z, key)
+        float(jnp.sum(l2))
+        img_s = BATCH * iters / (time.time() - t0)
+        print(f"[{name}] compile+first {compile_s:.1f}s, {img_s:.3f} img/s", flush=True)
+        return {"latents": latents, "images": images, "img_per_sec": round(img_s, 4)}
+    finally:
+        conv_ops._W8A8_DEFAULT = prev_w8a8
+
+
+def main() -> None:
+    model = build_sd()
+    variants = {
+        "lossless": dict(),
+        "lossless_repeat": dict(),
+        "tome_r0.5": dict(tome=0.5),
+        "gi_cfg_0.25_0.70": dict(gi=GUIDANCE_INTERVAL),
+        "deepcache_N3_cut1": dict(deepcache=(3, 1)),
+        "stacked_bench": dict(tome=0.5, gi=GUIDANCE_INTERVAL, deepcache=(3, 1)),
+    }
+    if os.environ.get("CFLEARN_QH_W8A8", "0") == "1":
+        # w8a8_only isolates the int8 conv quant noise on the SAME sampling
+        # trajectory (at 512px the dispatcher routes only VAE-decode shapes
+        # through the W8A8 kernel, so latents match lossless exactly and the
+        # image delta is pure decode quantization)
+        variants["w8a8_only"] = dict(w8a8=True)
+        variants["stacked_w8a8"] = dict(
+            tome=0.5, gi=GUIDANCE_INTERVAL, deepcache=(3, 1), w8a8=True
+        )
+    only = os.environ.get("CFLEARN_QH_ONLY")
+    if only:
+        keep = {"lossless"} | set(only.split(","))
+        variants = {k: v for k, v in variants.items() if k in keep}
+
+    results = {}
+    for name, kw in variants.items():
+        results[name] = run_variant(model, name, **kw)
+
+    from cflearn_tpu.toolkit.quality import compare_outputs
+
+    ref = results["lossless"]
+    report = {
+        "workload": "sd15_512px_txt2img_b4_ddim20_cfg7.5",
+        "weights": "fixed-seed random, zero-init params de-zeroed (see docstring)",
+        "variants": {},
+    }
+    for name, res in results.items():
+        q = compare_outputs(ref["latents"], ref["images"], res["latents"], res["images"])
+        row = {"img_per_sec": res["img_per_sec"], **q.to_dict()}
+        # valid JSON: identical outputs give PSNR=inf
+        row = {k: ("inf" if isinstance(v, float) and np.isinf(v) else v) for k, v in row.items()}
+        report["variants"][name] = row
+        print(name, json.dumps(row), flush=True)
+
+    if only and OUT_PATH.exists():
+        # partial (CFLEARN_QH_ONLY) runs merge into the existing artifact
+        prior = json.loads(OUT_PATH.read_text())
+        prior["variants"].update(report["variants"])
+        report = prior
+    OUT_PATH.write_text(json.dumps(report, indent=2) + "\n")
+    print(f"wrote {OUT_PATH}")
+
+
+if __name__ == "__main__":
+    main()
