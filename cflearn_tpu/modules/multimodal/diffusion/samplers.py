@@ -154,7 +154,7 @@ class ISampler(WithRegister):
         schedule spec (the buffer itself may be a tracer under jit)."""
         info = getattr(self.model, "schedule_info", None)
         if info is None:
-            return np.asarray(self.model.alphas_cumprod.value)
+            return np.asarray(self.model.alphas_cumprod[...])
         from .ddpm import make_beta_schedule
 
         betas = make_beta_schedule(
@@ -896,6 +896,7 @@ class DPMSolverSampler(ISampler):
         self,
         model: Any,
         *,
+        schedule: str = "discrete",
         order: int = 2,
         skip_type: str = "time_uniform",
         predict_x0: bool = True,
@@ -903,28 +904,58 @@ class DPMSolverSampler(ISampler):
         threshold_max_val: float = 1.0,
         t0: Optional[float] = None,
         tT: Optional[float] = None,
+        continuous_beta_0: float = 0.1,
+        continuous_beta_1: float = 20.0,
         default_steps: int = 25,
         **kwargs: Any,
     ) -> None:
         super().__init__(model, default_steps=default_steps, **kwargs)
         if order not in (1, 2, 3):
             raise ValueError("solver order must be 1, 2 or 3")
+        if schedule not in ("discrete", "linear", "cosine"):
+            raise ValueError(
+                "only (`discrete` | `linear` | `cosine`) can be used as `schedule`"
+            )
         self.order = order
+        self.schedule = schedule
         self.skip_type = skip_type
         self.predict_x0 = predict_x0
         self.thresholding = thresholding
         self.threshold_max_val = threshold_max_val
         acp = self._np_acp().astype(np.float64)
-        self.total_N = len(acp)
-        # discrete schedule (reference `solver.py:50-54`)
-        self._t_array = np.linspace(0.0, 1.0, self.total_N + 1)[1:]
-        self._log_alpha_array = 0.5 * np.log(acp)
+        # the model's own grid size — timestep conversion in `_model_fn`
+        # always uses this, whatever the solver's noise schedule
+        self.model_N = len(acp)
+        if schedule == "discrete":
+            default_tT = 1.0
+            self.total_N = len(acp)
+            # discrete schedule (reference `solver.py:50-54`)
+            self._t_array = np.linspace(0.0, 1.0, self.total_N + 1)[1:]
+            self._log_alpha_array = 0.5 * np.log(acp)
+        else:
+            # continuous VP schedules (DPM-Solver paper appendix; reference
+            # `solver.py:55-71,376-384,409-427`): closed-form log-alpha(t)
+            default_tT = 0.9946 if schedule == "cosine" else 1.0
+            self.total_N = 1000
+            self.beta_0 = continuous_beta_0
+            self.beta_1 = continuous_beta_1
+            self.cosine_s = 0.008
+            self.cosine_log_alpha_0 = math.log(
+                math.cos(self.cosine_s / (1.0 + self.cosine_s) * math.pi / 2.0)
+            )
         self.t0 = (1.0 / self.total_N) if t0 is None else t0
-        self.tT = 1.0 if tT is None else tT
+        self.tT = default_tT if tT is None else tT
 
     # ---------------------------------------------------- marginal functions
 
     def _log_mean_coef(self, t: np.ndarray) -> np.ndarray:
+        if self.schedule == "linear":
+            return -0.25 * t**2 * (self.beta_1 - self.beta_0) - 0.5 * t * self.beta_0
+        if self.schedule == "cosine":
+            log_alpha = np.log(
+                np.cos((t + self.cosine_s) / (1.0 + self.cosine_s) * math.pi / 2.0)
+            )
+            return log_alpha - self.cosine_log_alpha_0
         return np.interp(t, self._t_array, self._log_alpha_array)
 
     def _alpha(self, t: np.ndarray) -> np.ndarray:
@@ -938,6 +969,19 @@ class DPMSolverSampler(ISampler):
         return lmc - 0.5 * np.log(1.0 - np.exp(2.0 * lmc))
 
     def _inverse_lambda(self, lam: np.ndarray) -> np.ndarray:
+        if self.schedule == "linear":
+            tmp = 2.0 * (self.beta_1 - self.beta_0) * np.logaddexp(-2.0 * lam, 0.0)
+            delta = self.beta_0**2 + tmp
+            return tmp / (np.sqrt(delta) + self.beta_0) / (self.beta_1 - self.beta_0)
+        if self.schedule == "cosine":
+            log_alpha = -0.5 * np.logaddexp(-2.0 * lam, 0.0)
+            return (
+                np.arccos(np.exp(log_alpha + self.cosine_log_alpha_0))
+                * 2.0
+                * (1.0 + self.cosine_s)
+                / math.pi
+                - self.cosine_s
+            )
         log_alpha = -0.5 * np.logaddexp(0.0, -2.0 * lam)
         # log_alpha_array decreases with t → flip for np.interp
         return np.interp(log_alpha, self._log_alpha_array[::-1], self._t_array[::-1])
@@ -968,8 +1012,10 @@ class DPMSolverSampler(ISampler):
         **kwargs: Any,
     ) -> jax.Array:
         """eps or x0 prediction at continuous time t (reference
-        `solver.py:157-200`): model timestep = N * max(t - 1/N, 0)."""
-        ts_model = self.total_N * max(t - 1.0 / self.total_N, 0.0)
+        `solver.py:157-200`): model timestep = N * max(t - 1/N, 0), with N
+        the MODEL's grid size (continuous schedules still drive a
+        discrete-time-trained model, reference `solver.py:177`)."""
+        ts_model = self.model_N * max(t - 1.0 / self.model_N, 0.0)
         tb = jnp.full((x.shape[0],), ts_model, dtype=jnp.float32)
         eps = self._denoise(x, tb, cond, uncond, guidance_scale, **kwargs)
         if not self.predict_x0:

@@ -1,0 +1,178 @@
+"""Sampler convergence matrix + DPM-Solver continuous schedules
+(VERDICT r2 item 7).
+
+Matrix: every registered sampler at {10, 25, 50} steps on a toy DDPM
+(T=100, random tiny UNet, de-zeroed conv_out), judged per family:
+
+- ddim / plms / solver share ddim's native-grid limit -> their error vs
+  ddim@100 must shrink with steps and be tiny at 50.
+- the k-family (klms / k_euler / k_heun / k_dpmpp_2m) shares the Karras
+  sigma-grid limit: exact mutual agreement at 50 steps, and a DOCUMENTED
+  bounded gap vs the ddim limit (~0.26 relative at T=100 — the model's eps
+  field is interpolated between discrete timesteps differently by the two
+  discretizations; on the analytic constant-eps model below the k-family is
+  exact, so the gap is a toy-grid artifact, not a solver defect).
+- ancestral samplers (basic, k_euler_a) draw SDE samples -> finite, correct
+  shape, step-count-dependent (no deterministic limit to compare).
+- lcm performs consistency sampling, which presumes consistency-distilled
+  weights -> finite output only.
+
+Calibration data (this exact setup): ddim err vs ddim@100 = .106/.029/.0008
+at 10/25/50 steps; plms matches; solver = .0021/.0009/.0008; k-family
+plateaus at .3138 +- .0012 (mutual agreement < 1e-3); ref |x| mean = 1.22.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from cflearn_tpu.modules.multimodal.diffusion import DDPM, ISampler
+
+STEPS = (10, 25, 50)
+
+
+pytestmark = pytest.mark.slow  # 30 sampler runs on a toy DDPM
+
+
+@pytest.fixture(scope="module")
+def toy():
+    ddpm = DDPM(
+        img_size=8,
+        in_channels=3,
+        out_channels=3,
+        num_timesteps=100,
+        unet_config=dict(
+            start_channels=32,
+            num_res_blocks=1,
+            channel_multipliers=(1,),
+            attention_downsample_rates=(),
+            num_heads=2,
+            context_dim=None,
+            use_spatial_transformer=False,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    co = ddpm.unet.conv_out
+    co.kernel[...] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(1), co.kernel.shape, co.kernel.dtype
+    )
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    ref = np.asarray(ISampler.make("ddim", {"model": ddpm}).sample(z, num_steps=100))
+    return ddpm, z, ref
+
+
+def _errs(ddpm, z, ref, name, **cfg):
+    out = {}
+    for n in STEPS:
+        x = np.asarray(
+            ISampler.make(name, {"model": ddpm, **cfg}).sample(
+                z, num_steps=n, key=jax.random.PRNGKey(5)
+            )
+        )
+        assert np.isfinite(x).all(), (name, n)
+        assert x.shape == ref.shape
+        out[n] = float(np.abs(x - ref).mean())
+    return out
+
+
+# documented per-sampler tolerance at 50 steps vs ddim@100 (2x calibration)
+_NATIVE_GRID_TOL_50 = {"ddim": 0.002, "plms": 0.002, "solver": 0.002}
+_K_FAMILY = ("klms", "k_euler", "k_heun", "k_dpmpp_2m")
+_K_GRID_GAP = 0.35  # documented Karras-vs-native grid limit gap at T=100
+
+
+def test_native_grid_samplers_converge(toy) -> None:
+    ddpm, z, ref = toy
+    for name in _NATIVE_GRID_TOL_50:
+        errs = _errs(ddpm, z, ref, name)
+        assert errs[50] < _NATIVE_GRID_TOL_50[name], (name, errs)
+        assert errs[50] <= errs[10] + 1e-6, (name, errs)  # no divergence
+
+
+def test_k_family_shares_karras_limit(toy) -> None:
+    ddpm, z, ref = toy
+    outs50 = {}
+    for name in _K_FAMILY:
+        errs = _errs(ddpm, z, ref, name)
+        assert errs[50] < _K_GRID_GAP, (name, errs)
+        outs50[name] = np.asarray(
+            ISampler.make(name, {"model": ddpm}).sample(
+                z, num_steps=50, key=jax.random.PRNGKey(5)
+            )
+        )
+    # the four k-samplers must agree with EACH OTHER at 50 steps
+    base = outs50["k_dpmpp_2m"]
+    for name, x in outs50.items():
+        assert float(np.abs(x - base).mean()) < 5e-3, name
+
+
+def test_stochastic_and_lcm_run(toy) -> None:
+    ddpm, z, ref = toy
+    for name in ("basic", "k_euler_a", "lcm"):
+        _errs(ddpm, z, ref, name)  # finite + shape only
+
+
+def test_k_family_exact_on_constant_eps() -> None:
+    """The k-family solves the probability-flow ODE exactly on an analytic
+    constant-eps field (the grid gap above is a toy-T artifact): final
+    output == x0_true + sigma_min leftover (~0.011)."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_models import _ConstantEpsModel
+
+    model = _ConstantEpsModel()
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 2))
+    c = np.asarray(model.eps_const)
+    aT = float(np.sqrt(model.acp[-1]))
+    x0_true = (np.asarray(z) - np.sqrt(1 - aT**2) * c) / aT
+    for name in _K_FAMILY:
+        out = np.asarray(
+            ISampler.make(name, {"model": model}).sample(
+                z, num_steps=20, key=jax.random.PRNGKey(0)
+            )
+        )
+        err = float(np.abs(out - x0_true).mean())
+        assert err < 0.02, (name, err)
+
+
+def test_dpm_solver_continuous_schedules() -> None:
+    """linear/cosine continuous VP schedules (reference `solver.py:55-71`):
+    closed-form marginals invert exactly, and the solver recovers the
+    analytic constant-eps solution under both."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_models import _ConstantEpsModel
+
+    model = _ConstantEpsModel()
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 2))
+    c = np.asarray(model.eps_const)
+    for schedule in ("linear", "cosine"):
+        sampler = ISampler.make(
+            "solver", {"model": model, "schedule": schedule, "order": 2}
+        )
+        assert sampler.total_N == 1000
+        if schedule == "cosine":
+            assert abs(sampler.tT - 0.9946) < 1e-9
+        # closed-form lambda inversion
+        ts = np.linspace(sampler.t0, sampler.tT, 9)
+        lam = sampler._lambda(ts)
+        np.testing.assert_allclose(sampler._inverse_lambda(lam), ts, atol=1e-9)
+        # analytic solution under the schedule's own marginals: the constant
+        # eps field integrates exactly to a(t0) x0 + s(t0) c with x0 derived
+        # from the STARTING marginals at tT
+        aT = float(sampler._alpha(np.float64(sampler.tT)))
+        sT = float(sampler._sigma(np.float64(sampler.tT)))
+        x0_true = (np.asarray(z) - sT * c) / aT
+        out = np.asarray(sampler.sample(z, num_steps=10))
+        a0 = float(sampler._alpha(np.float64(sampler.t0)))
+        s0 = float(sampler._sigma(np.float64(sampler.t0)))
+        np.testing.assert_allclose(
+            out, a0 * x0_true + s0 * c, atol=3e-3, err_msg=schedule
+        )
+    with pytest.raises(ValueError):
+        ISampler.make("solver", {"model": model, "schedule": "bogus"})
