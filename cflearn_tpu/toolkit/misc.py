@@ -150,6 +150,8 @@ def download(
     name: Optional[str] = None,
     folder: Optional[str] = None,
     sha: Optional[str] = None,
+    sha_prefix: Optional[str] = None,
+    min_size: Optional[int] = None,
     retries: int = 2,
 ) -> Path:
     """Download + cache + sha verification (reference `toolkit.py:450-567`).
@@ -162,10 +164,31 @@ def download(
     hits must still match it — so post-download corruption or tampering is
     caught either way.
 
+    Weak checks for entries whose full digest cannot be recorded offline
+    (zoo index justification fields):
+    - `sha_prefix`: torch-hub filename convention — the first hex chars of
+      the sha256 are embedded in the artifact filename (e.g.
+      `vgg16-397923af.pth`, `dpt_large-midas-2f21e586.pt`), so a prefix
+      check is REAL end-to-end verification derivable offline.
+    - `min_size`: lower byte bound; catches the common corruption mode of a
+      truncated transfer or an HTML error page cached as a checkpoint.
+
     In zero-egress environments this raises a clear error when the file is not
     already cached; callers (the zoo) treat pretrained weights as optional.
     """
     import urllib.request
+
+    def weak_checks(p: Path, digest: Optional[str]) -> None:
+        if min_size is not None and p.stat().st_size < min_size:
+            raise IOError(
+                f"{p.name} is {p.stat().st_size} bytes — smaller than the "
+                f"recorded minimum {min_size} (truncated download?)"
+            )
+        if sha_prefix is not None and digest is not None and not digest.startswith(sha_prefix):
+            raise IOError(
+                f"sha mismatch for {p.name}: digest {digest[:16]}… does not "
+                f"start with the filename-recorded prefix {sha_prefix}"
+            )
 
     dst_folder = Path(folder) if folder is not None else get_download_cache_dir()
     dst_folder.mkdir(parents=True, exist_ok=True)
@@ -174,15 +197,18 @@ def download(
     if path.is_file():
         # hash multi-GB checkpoints at most once per process — later cache
         # hits are a stat() away, like before TOFU pinning existed
-        verify_key = (str(path), sha)
+        verify_key = (str(path), sha, sha_prefix, min_size)
         if verify_key in _verified_downloads:
             return path
         pinned = sha or _tofu_get(dst_folder, fname)
         if pinned is None:
-            _tofu_put(dst_folder, fname, compute_sha(str(path)))
+            digest = compute_sha(str(path))
+            weak_checks(path, digest)
+            _tofu_put(dst_folder, fname, digest)
             _verified_downloads.add(verify_key)
             return path
         if check_sha_with(str(path), pinned):
+            weak_checks(path, pinned)
             _verified_downloads.add(verify_key)
             return path
         # fall through to re-download the corrupted file
@@ -194,6 +220,7 @@ def download(
             got = compute_sha(str(path))
             if pinned is not None and got != pinned:
                 raise IOError(f"sha mismatch for {fname}")
+            weak_checks(path, got)
             _tofu_put(dst_folder, fname, got)
             return path
         except Exception as e:  # noqa: BLE001

@@ -102,6 +102,8 @@ def load_states(download_info: Any, converter: Optional[str], converter_kwargs: 
         download_info["url"],
         name=download_info.get("name"),
         sha=download_info.get("sha"),
+        sha_prefix=download_info.get("sha_prefix"),
+        min_size=download_info.get("min_size"),
     )
     from . import convert as C
 

@@ -215,3 +215,40 @@ def test_download_trust_on_first_use(tmp_path) -> None:
     _misc._verified_downloads.clear()
     with pytest.raises(IOError):
         download(f"file://{blob}", folder=str(cache), sha=None)
+
+
+def test_every_entry_verified_or_justified() -> None:
+    """VERDICT r2 item 6: entries without a recordable sha must carry an
+    explicit per-entry justification (`sha_note`) plus a `min_size` weak
+    check; torch-hub filename-hash artifacts additionally carry the
+    filename-derived `sha_prefix` (real offline-derivable verification)."""
+    idx = get_available()["checkpoints"]
+    for name, info in idx.items():
+        if info.get("sha"):
+            continue
+        assert info.get("sha_note"), f"{name}: sha:null without justification"
+        assert info.get("min_size"), f"{name}: sha:null without min_size"
+    # the two torch-hub convention files carry their filename hash prefix
+    assert idx["vgg16_torchvision"]["sha_prefix"] == "397923af"
+    assert idx["midas_dpt_large"]["sha_prefix"] == "2f21e586"
+    for name in ("vgg16_torchvision", "midas_dpt_large"):
+        assert idx[name]["sha_prefix"] in idx[name]["url"], name
+
+
+def test_download_weak_checks(tmp_path) -> None:
+    """min_size rejects truncated files; sha_prefix rejects digest-prefix
+    mismatches; both pass on a good file."""
+    import pytest as _pytest
+
+    from cflearn_tpu.toolkit.misc import compute_sha
+
+    f = tmp_path / "weights.bin"
+    f.write_bytes(b"x" * 1000)
+    url = "file-does-not-matter/weights.bin"
+    with _pytest.raises(IOError, match="smaller than the recorded minimum"):
+        download(url, folder=str(tmp_path), min_size=2000)
+    digest = compute_sha(str(f))
+    with _pytest.raises(IOError, match="does not\n?.*start with"):
+        download(url, folder=str(tmp_path), sha_prefix="0" * 8 if digest[0] != "0" else "f" * 8)
+    got = download(url, folder=str(tmp_path), min_size=500, sha_prefix=digest[:8])
+    assert got == f
