@@ -77,8 +77,8 @@ class LPIPS(nnx.Module):
         if h < 32 or w < 32:
             x = jax.image.resize(x, (b, max(h, 32), max(w, 32), c), "bilinear")
             y = jax.image.resize(y, (b, max(h, 32), max(w, 32), c), "bilinear")
-        x = (x - self.shift.value) / self.scale.value
-        y = (y - self.shift.value) / self.scale.value
+        x = (x - self.shift[...]) / self.scale[...]
+        y = (y - self.shift[...]) / self.scale[...]
         fx = self.vgg(x)
         fy = self.vgg(y)
         total = 0.0

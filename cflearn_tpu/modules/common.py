@@ -130,8 +130,8 @@ class EMA(nnx.Module):
 
     def update(self, module: nnx.Module) -> None:
         params = nnx.state(module, nnx.Param)
-        self.num_updates.value = self.num_updates.value + 1
-        n = self.num_updates.value.astype(jnp.float32)
+        self.num_updates[...] = self.num_updates[...] + 1
+        n = self.num_updates[...].astype(jnp.float32)
         decay = jnp.minimum(self.decay, (1.0 + n) / (10.0 + n))
         self.shadow = nnx.data(
             jax.tree_util.tree_map(

@@ -269,7 +269,7 @@ class DecayedAttention(Attention):
         self.decay_bias = nnx.Variable(jnp.asarray(np_decay_log_bias(seq_len, num_heads)))
 
     def __call__(self, q: jax.Array, k: Optional[jax.Array] = None, v: Optional[jax.Array] = None, **kwargs: Any) -> jax.Array:
-        kwargs["bias"] = self.decay_bias.value[None]
+        kwargs["bias"] = self.decay_bias[None]
         return super().__call__(q, k, v, **kwargs)
 
 

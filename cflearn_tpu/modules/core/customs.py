@@ -110,8 +110,8 @@ class DNDF(nnx.Module):
         b = x.shape[0]
         planes = jax.nn.sigmoid(self.to_planes(x)).reshape(b, self.num_tree, self.num_internals)
         # probability of going right at each internal; leaf prob = prod over path
-        sign = self._sign.value  # (L, I)
-        path = self._path.value
+        sign = self._sign[...]  # (L, I)
+        path = self._path[...]
         # p(leaf) = prod_i [ sign? p : (1-p) ]^path
         log_p = jnp.log(jnp.clip(planes, 1e-8, 1.0))
         log_not = jnp.log(jnp.clip(1.0 - planes, 1e-8, 1.0))

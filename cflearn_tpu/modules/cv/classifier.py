@@ -239,7 +239,7 @@ class _MaskedConv(nnx.Module):
         self.mask = nnx.Variable(jnp.asarray(mask))
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        self.conv.kernel.value = self.conv.kernel.value * self.mask.value
+        self.conv.kernel[...] = self.conv.kernel[...] * self.mask[...]
         return self.conv(x)
 
 

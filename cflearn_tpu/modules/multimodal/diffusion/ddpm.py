@@ -203,31 +203,31 @@ class DDPM(nnx.Module):
     # ----------------------------------------------------------------- core
 
     def q_sample(self, x0: jax.Array, t: jax.Array, noise: jax.Array) -> jax.Array:
-        sa = self.sqrt_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
-        so = self.sqrt_one_minus_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        sa = self.sqrt_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        so = self.sqrt_one_minus_alphas_cumprod[t].reshape(-1, 1, 1, 1)
         return sa * x0 + so * noise
 
     def predict_eps_from(self, x_t: jax.Array, t: jax.Array, model_out: jax.Array) -> jax.Array:
         """model output → eps under the configured parameterization."""
         if self.parameterization == "eps":
             return model_out
-        sa = self.sqrt_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
-        so = self.sqrt_one_minus_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        sa = self.sqrt_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        so = self.sqrt_one_minus_alphas_cumprod[t].reshape(-1, 1, 1, 1)
         if self.parameterization == "v":
             return sa * model_out + so * x_t
         # x0 parameterization
-        ra = self.sqrt_recip_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
-        rm = self.sqrt_recipm1_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        ra = self.sqrt_recip_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        rm = self.sqrt_recipm1_alphas_cumprod[t].reshape(-1, 1, 1, 1)
         return (ra * x_t - model_out) / rm
 
     def predict_x0_from_eps(self, x_t: jax.Array, t: jax.Array, eps: jax.Array) -> jax.Array:
-        ra = self.sqrt_recip_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
-        rm = self.sqrt_recipm1_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        ra = self.sqrt_recip_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        rm = self.sqrt_recipm1_alphas_cumprod[t].reshape(-1, 1, 1, 1)
         return ra * x_t - rm * eps
 
     def get_v(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
-        sa = self.sqrt_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
-        so = self.sqrt_one_minus_alphas_cumprod.value[t].reshape(-1, 1, 1, 1)
+        sa = self.sqrt_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        so = self.sqrt_one_minus_alphas_cumprod[t].reshape(-1, 1, 1, 1)
         return sa * noise - so * x0
 
     def _effective_cache_cut(self) -> int:

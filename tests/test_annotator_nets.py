@@ -11,6 +11,9 @@ from flax import nnx
 from cflearn_tpu.toolkit.tree import tree_to_npd
 
 
+
+pytestmark = pytest.mark.slow  # third-party net conversion + torch parity
+
 def _invert_midas_npd(npd):
     """Build a synthetic torch-layout state dict from our npd by inverting
     every rule in `convert_midas` (conv HWIO→OIHW, linear T, convT

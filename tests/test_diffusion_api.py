@@ -11,6 +11,9 @@ from cflearn_tpu.modules.multimodal.diffusion.ldm import LDM
 from cflearn_tpu.modules.multimodal.diffusion.unet import ControlNet
 
 
+pytestmark = pytest.mark.slow  # e2e DiffusionAPI flows compile many XLA programs
+
+
 @pytest.fixture(scope="module")
 def tiny_api() -> DiffusionAPI:
     rngs = nnx.Rngs(0)

@@ -10,6 +10,9 @@ import textwrap
 import pytest
 
 
+pytestmark = pytest.mark.slow  # 2-process subprocess training
+
+
 @pytest.mark.timeout(300)
 def test_run_distributed_two_process_psum(tmp_path) -> None:
     script = tmp_path / "worker.py"

@@ -10,6 +10,9 @@ import pytest
 EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 
+
+pytestmark = pytest.mark.slow  # shells out every example script
+
 def _run(path: str) -> None:
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
