@@ -17,7 +17,7 @@ index — handled internally from `jax.lax.axis_index`.
 """
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -134,7 +134,7 @@ def context_parallel_attention(
     # over `model` on the cotangent: every gradient upstream of attention
     # was multiplied by the model-axis size on model×context meshes (caught
     # by tests/test_parallel.py::test_training_parity_ddpm_context_mesh).
-    spec = P(None, None, "context", None)
+    # (the `context`-manual spec itself lives in _cp_attention_jit)
 
     # Sharding BARRIER around the manual region: pin the sequence dim
     # replicated at the boundary (other dims stay UNCONSTRAINED so dp/tp
@@ -151,7 +151,21 @@ def context_parallel_attention(
     barrier = NamedSharding(mesh, P(U, U, None, U))
     q, k, v = (jax.lax.with_sharding_constraint(t, barrier) for t in (q, k, v))
 
-    fn = jax.jit(
+    fn = _cp_attention_jit(inner, mesh, causal, sm_scale)
+    return jax.lax.with_sharding_constraint(fn(q, k, v), barrier)
+
+
+@lru_cache(maxsize=32)
+def _cp_attention_jit(
+    inner, mesh: "jax.sharding.Mesh", causal: bool, sm_scale: Optional[float]
+):
+    """Cache the jitted partial-manual shard_map per (method, mesh, flags):
+    jit's trace cache is keyed on the wrapped function object, so building a
+    fresh wrapper per call retraced eager callers every time (ADVICE r3)."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, None, "context", None)
+    return jax.jit(
         jax.shard_map(
             partial(inner, causal=causal, sm_scale=sm_scale),
             mesh=mesh,
@@ -161,7 +175,6 @@ def context_parallel_attention(
             check_vma=True,
         )
     )
-    return jax.lax.with_sharding_constraint(fn(q, k, v), barrier)
 
 
 def ulysses_attention(

@@ -36,7 +36,7 @@ transformer/mixer stacks), and the microbatch count must divide the batch.
 """
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -92,10 +92,11 @@ def pipeline_apply(
     exactly the module-loop semantics; under pipelining it is the mean of
     per-microbatch values — the Switch-style batch statistic computed per
     microbatch)."""
-    if block_kwargs:
-        block_fn = partial(block_fn, **block_kwargs)
+    kw_items = tuple(sorted(block_kwargs.items())) if block_kwargs else ()
     pp = mesh.shape.get(axis, 1) if mesh is not None else 1
     if pp <= 1:  # no pipe axis — plain sequential scan over the blocks
+        if kw_items:
+            block_fn = partial(block_fn, **dict(kw_items))
         return _sequential(block_fn, stacked_params, x, with_aux)
 
     lead = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
@@ -106,6 +107,48 @@ def pipeline_apply(
         raise ValueError(f"batch {x.shape[0]} not divisible by num_microbatches={m}")
     mb = x.shape[0] // m
 
+    try:  # cache the jit wrapper so eager callers don't retrace per call
+        fn = _pipelined_jit(block_fn, kw_items, mesh, axis, m, with_aux)
+    except TypeError:  # unhashable key parts — build (and retrace) inline
+        fn = _pipelined_jit.__wrapped__(block_fn, kw_items, mesh, axis, m, with_aux)
+    xs = x.reshape((m, mb) + x.shape[1:])
+    # the block stack traces inside shard_map's pipe-manual region:
+    # ambient-mesh parallel routing (sdp_attn's ring-attention switch, nested
+    # PP) would open a nested shard_map on a different mesh, which is invalid
+    # there — the pipeline owns the `pipe` parallelism of its region, so mask
+    # the ambient mesh for the duration of the trace
+    from .mesh import get_ambient_mesh, set_mesh
+
+    ambient = get_ambient_mesh()
+    set_mesh(None)
+    try:
+        out = fn(stacked_params, xs)
+    finally:
+        set_mesh(ambient)
+    if with_aux:
+        out, aux = out
+        return out.reshape(x.shape), aux
+    return out.reshape(x.shape)
+
+
+@lru_cache(maxsize=64)
+def _pipelined_jit(
+    block_fn: Callable[..., Any],
+    kw_items: Tuple[Tuple[str, Any], ...],
+    mesh: Mesh,
+    axis: str,
+    m: int,
+    with_aux: bool,
+) -> Callable[..., Any]:
+    """Build (once per key) the jitted partial-manual shard_map pipeline.
+
+    jax.jit's trace cache is keyed on the wrapped function object, so a fresh
+    wrapper per pipeline_apply call meant eager callers recompiled every
+    invocation (ADVICE r3). Keys: block_fn identity + kwargs items, mesh,
+    axis name, microbatch count, aux contract — everything the traced
+    program closes over besides operand shapes (which jit itself keys on)."""
+    if kw_items:
+        block_fn = partial(block_fn, **dict(kw_items))
     p_spec = P(axis)  # leading block axis split into stage groups
     x_spec = P()  # (M, mb, *feat): replicated over `pipe`; batch sharding
     # over data/fsdp stays with GSPMD (those axes are auto, not manual)
@@ -163,13 +206,11 @@ def pipeline_apply(
         # microbatches
         return out, jax.lax.psum(aux_sum, axis) / m
 
-    from .mesh import get_ambient_mesh, set_mesh
-
     # the partial-manual shard_map (manual over `pipe` only) requires the
     # traced path — its eager impl resolves out_specs against ALL mesh axes
     # (jax _unmatch with check_vma=False) and rejects partial manual. The
     # nested jit is inlined when we are already inside an outer jit trace.
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             pipelined,
             mesh=mesh,
@@ -179,22 +220,6 @@ def pipeline_apply(
             check_vma=False,
         )
     )
-    xs = x.reshape((m, mb) + x.shape[1:])
-    # the block stack traces inside shard_map's pipe-manual region:
-    # ambient-mesh parallel routing (sdp_attn's ring-attention switch, nested
-    # PP) would open a nested shard_map on a different mesh, which is invalid
-    # there — the pipeline owns the `pipe` parallelism of its region, so mask
-    # the ambient mesh for the duration of the trace
-    ambient = get_ambient_mesh()
-    set_mesh(None)
-    try:
-        out = fn(stacked_params, xs)
-    finally:
-        set_mesh(ambient)
-    if with_aux:
-        out, aux = out
-        return out.reshape(x.shape), aux
-    return out.reshape(x.shape)
 
 
 def stack_module_states(modules: Sequence[Any]) -> Tuple[Any, Any]:

@@ -65,6 +65,11 @@ def tp_spec_for(path: str, shape: Sequence[int], tp_size: int, rules: List[Tuple
     return None
 
 
+def _is_pp_block(path: str) -> bool:
+    """Init-time-stacked pipeline leaves (leading axis = L blocks)."""
+    return "/pp_block/" in path or path.startswith("pp_block/")
+
+
 def pp_spec_for(
     path: str, shape: Sequence[int], pipe_size: int, tp_size: int, rules: List[Tuple[Pattern, str]]
 ) -> Optional[P]:
@@ -73,7 +78,7 @@ def pp_spec_for(
     over `pipe` (stage groups), the inner dims keep their TP rule — this is
     what lets TP/EP compose with PP (the partial-manual shard_map in
     `parallel.pp` leaves `model` automatic inside the pipeline region)."""
-    if "/pp_block/" not in path and not path.startswith("pp_block/"):
+    if not _is_pp_block(path):
         return None
     if pipe_size <= 1 or len(shape) < 1 or shape[0] % pipe_size != 0:
         return None
@@ -110,7 +115,19 @@ def place_params(
             continue
         spec = pp_spec_for(path, leaf.shape, pipe_size, tp_size, rules)
         if spec is None and tp_size > 1:
-            spec = tp_spec_for(path, leaf.shape, tp_size, rules)
+            if _is_pp_block(path):
+                # stacked pipeline leaves on a pipe-less mesh: never rule-match
+                # the full stacked shape — the 'expert' rule would shard the
+                # leading BLOCK axis over `model` (ADVICE r3). Strip the block
+                # axis, match the inner shape, shift the spec right by one.
+                inner_spec = (
+                    tp_spec_for(path, leaf.shape[1:], tp_size, rules)
+                    if len(leaf.shape) >= 2
+                    else None
+                )
+                spec = P(None, *inner_spec) if inner_spec is not None else None
+            else:
+                spec = tp_spec_for(path, leaf.shape, tp_size, rules)
         if spec is None and use_fsdp and fsdp_size > 1:
             from .mesh import fsdp_param_sharding
 

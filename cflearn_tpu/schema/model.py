@@ -205,6 +205,11 @@ class IDLModel(nnx.Module, WithRegister):
 
     def load_state_dict(self, npd: Dict[str, np.ndarray], *, strict: bool = True) -> None:
         state = nnx.state(self)
+        from ..toolkit.tree import convert_pp_layout
+
+        # checkpoints stay portable across `pipeline_parallel`: stack
+        # blocks/{i}/* -> pp_block/* (or slice the reverse) on the fly
+        npd = convert_pp_layout(npd, state)
         new_state = npd_to_tree(npd, state, strict=strict)
         nnx.update(self, new_state)
 

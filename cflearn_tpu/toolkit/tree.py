@@ -42,6 +42,61 @@ def tree_to_npd(tree: Any) -> Dict[str, np.ndarray]:
     return npd
 
 
+def convert_pp_layout(npd: Dict[str, np.ndarray], template: Any) -> Dict[str, np.ndarray]:
+    """Bridge the two parameter layouts of `MixedStackedEncoder` so checkpoints
+    stay portable across the `pipeline_parallel` flag (ADVICE r3).
+
+    `pipeline_parallel=True` stacks the L per-block states once at init into a
+    single `pp_block/*` template whose leaves carry a leading L axis, replacing
+    the `blocks/{i}/*` module list. Train-with-PP/serve-without (and the
+    reverse) therefore see a different flat-key layout. This pass rewrites
+    `npd` toward `template`'s layout:
+
+    - template wants `…/pp_block/rest`, npd has `…/blocks/{i}/rest` → stack
+      the i leaves on a new leading axis (shape-checked against the template);
+    - template wants `…/blocks/{i}/rest`, npd has `…/pp_block/rest` → slice
+      row i off the stacked leaf;
+    - a PP model's encoder-level `pp_aux` scalar (stale accumulator, zero
+      between steps) is synthesized as zeros when absent.
+
+    Keys already present pass through untouched; npd keys nothing consumes
+    are left for `npd_to_tree` to ignore."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(template)
+    out = dict(npd)
+    for path, leaf in flat:
+        key = "/".join(_key_entry_to_str(p) for p in path)
+        if key in out or key + _KEY_SUFFIX in out:
+            continue
+        if "pp_block/" in key:
+            prefix, rest = key.split("pp_block/", 1)
+            suffix = _KEY_SUFFIX if f"{prefix}blocks/0/{rest}{_KEY_SUFFIX}" in npd else ""
+            parts = []
+            while f"{prefix}blocks/{len(parts)}/{rest}{suffix}" in npd:
+                parts.append(npd[f"{prefix}blocks/{len(parts)}/{rest}{suffix}"])
+            if parts:
+                stacked = np.stack(parts)
+                if not suffix and hasattr(leaf, "shape") and tuple(stacked.shape) != tuple(leaf.shape):
+                    raise ValueError(
+                        f"pp layout conversion for {key!r}: stacked {len(parts)} "
+                        f"blocks -> {stacked.shape}, expected {tuple(leaf.shape)}"
+                    )
+                out[key + suffix] = stacked
+        elif "blocks/" in key:
+            prefix, tail = key.split("blocks/", 1)
+            idx, _, rest = tail.partition("/")
+            src = f"{prefix}pp_block/{rest}"
+            suffix = _KEY_SUFFIX if src + _KEY_SUFFIX in npd else ""
+            if idx.isdigit() and src + suffix in npd:
+                out[key + suffix] = np.asarray(npd[src + suffix])[int(idx)]
+        elif "pp_aux" in key and hasattr(leaf, "shape"):
+            # only when the source layout was blocks/{i} (i.e. a conversion is
+            # actually happening) — a plain missing key stays missing
+            sibling = key.split("pp_aux", 1)[0] + "blocks/0/"
+            if any(k.startswith(sibling) for k in npd):
+                out[key] = np.zeros(leaf.shape, leaf.dtype)
+    return out
+
+
 def npd_to_tree(npd: Dict[str, np.ndarray], template: Any, *, strict: bool = True) -> Any:
     """Rebuild a pytree with `template`'s structure, leaves taken from `npd`."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)

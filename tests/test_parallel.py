@@ -234,6 +234,67 @@ def test_pipeline_parallel_encoder_and_training(tmp_path) -> None:
     assert trainer.state is not None and trainer.state.step == 2
 
 
+def test_pp_checkpoint_layout_portability() -> None:
+    """Checkpoints stay portable across the `pipeline_parallel` flag (ADVICE
+    r3): `convert_pp_layout` stacks `blocks/{i}/*` -> `pp_block/*` (and
+    slices the reverse) inside `load_state_dict`, so train-with-PP /
+    serve-without round-trips bit-exactly."""
+    from flax import nnx
+
+    from cflearn_tpu.schema import DLConfig
+    from cflearn_tpu.schema.model import IDLModel
+
+    def build(pp: bool, seed: int):
+        config = DLConfig(
+            module_name="transformer",
+            module_config={
+                "input_dim": 8,
+                "output_dim": 2,
+                "num_layers": 4,
+                "pipeline_parallel": pp,
+            },
+            loss_name="cross_entropy",
+        )
+        config.seed = seed
+        return IDLModel.from_config(config)
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 8).astype(np.float32))
+    plain = build(pp=False, seed=0)
+    ref = np.asarray(plain.m(x))
+
+    # blocks-layout checkpoint -> PP model (stack), including pp_aux synth
+    pp_model = build(pp=True, seed=7)
+    assert not np.allclose(np.asarray(pp_model.m(x)), ref)
+    pp_model.load_state_dict(plain.state_dict())
+    np.testing.assert_allclose(np.asarray(pp_model.m(x)), ref, atol=2e-5)
+
+    # PP-layout checkpoint -> blocks model (unstack)
+    plain2 = build(pp=False, seed=7)
+    plain2.load_state_dict(pp_model.state_dict(), strict=False)
+    np.testing.assert_allclose(np.asarray(plain2.m(x)), ref, atol=2e-5)
+
+
+def test_pp_block_tp_fallback_on_pipeless_mesh() -> None:
+    """On a mesh with model>1 but NO pipe axis, stacked `pp_block` leaves must
+    not rule-match their full stacked shape — the 'expert' rule would shard
+    the leading BLOCK axis over `model` (ADVICE r3). The inner shape is
+    matched instead and the spec shifted right by one."""
+    from cflearn_tpu.parallel.tp import place_params
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _mesh(data=2, model=4)
+    # fake stacked MoE expert leaf: (L=8 blocks, E=4 experts, d, h)
+    state = {"enc": {"pp_block": {"channel_mixing": {"experts_w1": jnp.zeros((8, 4, 6, 12))}}}}
+    placed = place_params(state, mesh)
+    leaf = placed["enc"]["pp_block"]["channel_mixing"]["experts_w1"]
+    assert tuple(leaf.sharding.spec) == (None, "model", None, None), leaf.sharding.spec
+    # non-pp leaves keep the plain rule (expert axis = dim 0)
+    state2 = {"enc": {"blocks": {"0": {"channel_mixing": {"experts_w1": jnp.zeros((4, 6, 12))}}}}}
+    placed2 = place_params(state2, mesh)
+    leaf2 = placed2["enc"]["blocks"]["0"]["channel_mixing"]["experts_w1"]
+    assert tuple(leaf2.sharding.spec)[:1] == ("model",), leaf2.sharding.spec
+
+
 def test_moe_channel_mixer_and_expert_parallel(tmp_path) -> None:
     """`MoEChannelMixer`: with one expert it IS the plain FF (gates normalize
     to 1); top-2-of-4 routing is differentiable through the router; and EP =
