@@ -43,6 +43,21 @@ class CLIPExtractor(IAPI):
         self._img_fn = jax.jit(lambda st, x: nnx.merge(graphdef, st).encode_image(x))
         self._txt_fn = jax.jit(lambda st, t: nnx.merge(graphdef, st).encode_text(t))
 
+    @classmethod
+    def from_zoo(
+        cls, *, version: str = "base", pretrained: bool = True, use_bf16: bool = False
+    ) -> "CLIPExtractor":
+        """Build from zoo weights: version "base" (ViT-B/32) or "large"
+        (ViT-L/14). `pretrained=True` downloads+converts the published
+        checkpoint on first use (needs egress); this is the extractor
+        `toolkit.quality.clip_score` defaults to."""
+        from ... import zoo
+
+        make = {"base": zoo.clip, "large": zoo.clip_large}.get(version)
+        if make is None:
+            raise ValueError(f"unknown CLIP zoo version {version!r} (base|large)")
+        return cls(make(pretrained=pretrained), use_bf16=use_bf16)
+
     def get_image_latent(self, images: Any, *, batch_size: int = 64, **kwargs: Any) -> np.ndarray:
         """images: uint8 (or [0,1]/[-1,1] float) NHWC at the model's
         img_size — or PIL image(s), resized to the model's `img_size`

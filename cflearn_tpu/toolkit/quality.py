@@ -24,6 +24,8 @@ __all__ = [
     "psnr",
     "ssim",
     "latent_error",
+    "clip_score_from_embeddings",
+    "clip_score",
     "QualityReport",
     "compare_outputs",
     "make_txt2img_with_latents",
@@ -97,6 +99,66 @@ def latent_error(ref: np.ndarray, x: np.ndarray) -> Dict[str, float]:
     denom = float(np.linalg.norm(ref))
     rel = float(np.linalg.norm(ref - x)) / denom if denom > 0 else float("nan")
     return {"latent_mse": mse, "latent_rel_err": rel}
+
+
+def clip_score_from_embeddings(
+    image_embeds: np.ndarray, text_embeds: np.ndarray, *, scale: float = 100.0
+) -> float:
+    """CLIPScore over paired (image_i, text_i) embeddings: the BASELINE.md
+    north-star quality metric ("CLIP-score parity vs PyTorch reference").
+
+    Definition (Hessel et al. 2021, "CLIPScore: A Reference-free Evaluation
+    Metric for Image Captioning", eq. 1): `w * max(cos(E_I, E_C), 0)`
+    averaged over pairs. `scale` is `w` — default 100.0, the torchmetrics
+    `CLIPScore` convention (Hessel's paper uses w=2.5; pass `scale=2.5` for
+    paper-comparable numbers). Embeddings are L2-normalized here, so both
+    pre-normalized (e.g. `CLIP.encode_*(normalize=True)`) and raw projector
+    outputs score identically."""
+    img = np.asarray(image_embeds, np.float64)
+    txt = np.asarray(text_embeds, np.float64)
+    if img.shape != txt.shape:
+        raise ValueError(f"paired embeddings expected, got {img.shape} vs {txt.shape}")
+    img = img / np.maximum(np.linalg.norm(img, axis=-1, keepdims=True), 1e-12)
+    txt = txt / np.maximum(np.linalg.norm(txt, axis=-1, keepdims=True), 1e-12)
+    cos = np.sum(img * txt, axis=-1)
+    return float(scale * np.mean(np.maximum(cos, 0.0)))
+
+
+def clip_score(
+    images: Any,
+    texts: Any,
+    *,
+    extractor: Any = None,
+    scale: float = 100.0,
+    batch_size: int = 64,
+) -> float:
+    """CLIPScore of generated `images` against their prompts `texts`.
+
+    `images`: uint8/float NHWC batch (or PIL list — anything
+    `CLIPExtractor.get_image_latent` accepts); `texts`: matching list of
+    prompt strings (a single string broadcasts over the batch). `extractor`:
+    a `cflearn_tpu.api.CLIPExtractor` — REQUIRED to be built from pretrained
+    weights for meaningful absolute scores (random weights give an arbitrary
+    but still-deterministic embedding space; relative comparisons remain
+    well-defined, absolute parity claims do not). When None, a pretrained
+    ViT-B/32 is loaded through the zoo (needs egress on first run).
+
+    Reference model surface: `/root/reference/cflearn/modules/multimodal/
+    clip.py:23-120` (the perceptor), `/root/reference/cflearn/api/
+    multimodal/clip.py:27` (the extractor); the reference ships no scorer —
+    this closes BASELINE.md's quality clause natively."""
+    if extractor is None:
+        from ..api.multimodal.clip import CLIPExtractor
+
+        extractor = CLIPExtractor.from_zoo(pretrained=True)
+    n = len(images)
+    if isinstance(texts, str):
+        texts = [texts] * n
+    if len(texts) != n:
+        raise ValueError(f"{n} images vs {len(texts)} texts")
+    img = extractor.get_image_latent(images, batch_size=batch_size)
+    txt = extractor.get_text_latent(list(texts), batch_size=batch_size)
+    return clip_score_from_embeddings(img, txt, scale=scale)
 
 
 class QualityReport(NamedTuple):

@@ -44,10 +44,33 @@ GUIDANCE = 7.5
 GUIDANCE_INTERVAL = (0.25, 0.70)
 OUT_PATH = Path(__file__).resolve().parent.parent / "docs" / "quality_sd15.json"
 
+# fixed prompts — tokenized for generation, and the captions CLIP-score is
+# computed against (CFLEARN_QH_CLIP=1). One per batch row.
+PROMPTS = [
+    "a photograph of an astronaut riding a horse",
+    "a watercolor painting of a fox in a snowy forest",
+    "a bowl of ramen on a wooden table, studio lighting",
+    "an isometric illustration of a tiny futuristic city",
+]
+
 
 def build_sd():
     from cflearn_tpu.modules.multimodal.diffusion.ldm import StableDiffusion
 
+    if os.environ.get("CFLEARN_QH_PRETRAINED", "0") == "1":
+        # real SD-1.5 weights through the zoo (needs egress on first run):
+        # with these, the recorded clip_score rows (CFLEARN_QH_CLIP=1) become
+        # the actual BASELINE.md north-star quality measurement
+        from cflearn_tpu import zoo
+
+        model = zoo.load_sd("v1.5", pretrained=True)
+        params = nnx.state(model, nnx.Param)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params,
+        )
+        nnx.update(model, params)
+        return model
     model = StableDiffusion(version="v1", rngs=nnx.Rngs(0))
     params = nnx.state(model, nnx.Param)
     # bf16 + de-zero: any all-zero floating tensor gets N(0, 0.02) so the
@@ -94,10 +117,11 @@ def run_variant(model, name, *, tome=0.0, gi=None, deepcache=None, w8a8=False):
             num_steps=NUM_STEPS,
             guidance_scale=GUIDANCE,
         )
-        tokens = jnp.asarray(
-            np.random.default_rng(7).integers(0, 49000, (BATCH, 77)), jnp.int32
-        )
-        uncond_tokens = jnp.zeros((BATCH, 77), jnp.int32)
+        from cflearn_tpu.modules.nlp.tokenizers import CLIPTokenizer
+
+        tokenizer = CLIPTokenizer()
+        tokens = jnp.asarray(tokenizer.tokenize(PROMPTS), jnp.int32)
+        uncond_tokens = jnp.asarray(tokenizer.tokenize([""] * BATCH), jnp.int32)
         z = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 64, 64, 4), jnp.float32)
         key = jax.random.PRNGKey(11)
 
@@ -126,6 +150,9 @@ def main() -> None:
         "tome_r0.5": dict(tome=0.5),
         "gi_cfg_0.25_0.70": dict(gi=GUIDANCE_INTERVAL),
         "deepcache_N3_cut1": dict(deepcache=(3, 1)),
+        # the FAITHFUL accelerated config (bench.py `value_faithful`): same
+        # guidance trajectory as lossless, only the two near-lossless levers
+        "faithful_tome_deepcache": dict(tome=0.5, deepcache=(3, 1)),
         "stacked_bench": dict(tome=0.5, gi=GUIDANCE_INTERVAL, deepcache=(3, 1)),
     }
     if os.environ.get("CFLEARN_QH_W8A8", "0") == "1":
@@ -149,11 +176,43 @@ def main() -> None:
     from cflearn_tpu.toolkit.quality import compare_outputs
 
     ref = results["lossless"]
+    pretrained = os.environ.get("CFLEARN_QH_PRETRAINED", "0") == "1"
     report = {
         "workload": "sd15_512px_txt2img_b4_ddim20_cfg7.5",
-        "weights": "fixed-seed random, zero-init params de-zeroed (see docstring)",
+        "weights": (
+            "pretrained SD-1.5 (zoo)"
+            if pretrained
+            else "fixed-seed random, zero-init params de-zeroed (see docstring)"
+        ),
         "variants": {},
     }
+
+    # CLIP-score of every variant's images against the generation prompts
+    # (BASELINE.md north star). Only meaningful with pretrained SD AND CLIP
+    # weights — recorded with provenance either way so the first egress run
+    # measures the real clause (VERDICT r3 missing #1).
+    clip_scores = None
+    if os.environ.get("CFLEARN_QH_CLIP", "0") == "1":
+        try:
+            from cflearn_tpu.api.multimodal.clip import CLIPExtractor
+            from cflearn_tpu.toolkit.quality import clip_score
+
+            ex = CLIPExtractor.from_zoo(pretrained=True)
+            clip_scores = {}
+            for name, res in results.items():
+                imgs = ((np.clip(res["images"], -1, 1) + 1) * 127.5).astype(np.uint8)
+                clip_scores[name] = round(clip_score(imgs, PROMPTS, extractor=ex), 4)
+            report["clip_score"] = {
+                "scores": clip_scores,
+                "scorer": "zoo clip ViT-B/32 pretrained",
+                "sd_weights_pretrained": pretrained,
+                "note": None
+                if pretrained
+                else "SD weights are random — scores are NOT a quality claim",
+            }
+        except Exception as exc:  # zero-egress: record why, don't fail the run
+            report["clip_score"] = {"scores": None, "error": str(exc)}
+            print(f"clip_score unavailable: {exc}", flush=True)
     for name, res in results.items():
         q = compare_outputs(ref["latents"], ref["images"], res["latents"], res["images"])
         row = {"img_per_sec": res["img_per_sec"], **q.to_dict()}

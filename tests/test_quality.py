@@ -19,6 +19,8 @@ import pytest
 from flax import nnx
 
 from cflearn_tpu.toolkit.quality import (
+    clip_score,
+    clip_score_from_embeddings,
     compare_outputs,
     latent_error,
     make_txt2img_with_latents,
@@ -50,6 +52,59 @@ def test_ssim_basics() -> None:
     assert abs(ssim(nhwc, nhwc) - 1.0) < 1e-9
     with pytest.raises(ValueError):
         ssim(a, a[:16])
+
+
+def test_clip_score_from_embeddings_math() -> None:
+    """CLIPScore definition (Hessel et al. 2021): scale * mean(max(cos, 0))
+    over pairs, embeddings L2-normalized internally."""
+    rng = np.random.RandomState(0)
+    e = rng.randn(5, 16)
+    # identical pairs -> exactly `scale`, regardless of input norms
+    assert clip_score_from_embeddings(e, 3.7 * e) == pytest.approx(100.0)
+    assert clip_score_from_embeddings(e, e, scale=2.5) == pytest.approx(2.5)
+    # anti-aligned pairs clamp to 0, not -scale
+    assert clip_score_from_embeddings(e, -e) == pytest.approx(0.0)
+    # orthogonal pairs -> 0 (axis-aligned construction)
+    a = np.eye(4)[:2]
+    b = np.eye(4)[2:]
+    assert clip_score_from_embeddings(a, b) == pytest.approx(0.0)
+    # hand-checked mean over a mixed batch: cos = [1, 0] -> 50
+    img = np.asarray([[1.0, 0.0], [1.0, 0.0]])
+    txt = np.asarray([[2.0, 0.0], [0.0, 5.0]])
+    assert clip_score_from_embeddings(img, txt) == pytest.approx(50.0)
+    with pytest.raises(ValueError):
+        clip_score_from_embeddings(np.zeros((2, 8)), np.zeros((3, 8)))
+
+
+def test_clip_score_end_to_end_tiny_clip() -> None:
+    """`clip_score` drives a CLIPExtractor over uint8 images + prompt strings;
+    deterministic, bounded, and equal to scoring the embeddings directly.
+    (Random weights: the VALUE is arbitrary — absolute parity needs the
+    pretrained path, covered network-gated in test_real_checkpoints.py.)"""
+    from flax import nnx
+
+    import cflearn_tpu as cf
+    from cflearn_tpu.modules.multimodal import CLIP
+
+    m = CLIP(img_size=32, latent_dim=16, vision_latent_dim=32, vision_patch_size=8,
+             vision_num_layers=1, vision_num_heads=2, text_latent_dim=32,
+             text_num_layers=1, text_num_heads=2, rngs=nnx.Rngs(0))
+    ex = cf.CLIPExtractor(m)
+    rng = np.random.RandomState(1)
+    images = (rng.rand(3, 32, 32, 3) * 255).astype(np.uint8)
+    prompts = ["a cat", "a dog", "a house"]
+    s1 = clip_score(images, prompts, extractor=ex)
+    assert 0.0 <= s1 <= 100.0
+    assert clip_score(images, prompts, extractor=ex) == pytest.approx(s1)
+    manual = clip_score_from_embeddings(
+        ex.get_image_latent(images), ex.get_text_latent(prompts)
+    )
+    assert s1 == pytest.approx(manual)
+    # a single string broadcasts over the batch
+    s2 = clip_score(images, "a cat", extractor=ex)
+    assert 0.0 <= s2 <= 100.0
+    with pytest.raises(ValueError):
+        clip_score(images, ["a cat"], extractor=ex)
 
 
 def test_latent_error() -> None:
@@ -165,6 +220,7 @@ _SD15_BOUNDS = {
     "tome_r0.5": dict(image_psnr=15.0, image_ssim=0.5),
     "gi_cfg_0.25_0.70": dict(image_psnr=10.0, image_ssim=0.3),
     "deepcache_N3_cut1": dict(image_psnr=10.0, image_ssim=0.3),
+    "faithful_tome_deepcache": dict(image_psnr=10.0, image_ssim=0.3),
     "stacked_bench": dict(image_psnr=8.0, image_ssim=0.2),
 }
 
@@ -185,8 +241,9 @@ def test_recorded_sd15_quality_bounds() -> None:
         assert row["image_psnr"] == "inf" or row["image_psnr"] >= bounds["image_psnr"], name
         assert row["image_ssim"] >= bounds["image_ssim"], name
         assert row["latent_rel_err"] < 1.0, name
-    # the accelerated bench config must actually be faster than lossless
+    # the accelerated bench configs must actually be faster than lossless
     assert variants["stacked_bench"]["img_per_sec"] > variants["lossless"]["img_per_sec"]
+    assert variants["faithful_tome_deepcache"]["img_per_sec"] > variants["lossless"]["img_per_sec"]
     # W8A8 (when recorded): the conv dispatcher keeps UNet-sampling shapes on
     # bf16 XLA at 512px, so latents must be bit-identical and the image delta
     # pure VAE-decode quantization (measured 41 dB)

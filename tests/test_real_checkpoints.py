@@ -133,3 +133,56 @@ def test_esrgan_real_weights() -> None:
     assert np.isfinite(y).all()
     # a real SR net keeps outputs in the displayable range for in-range input
     assert y.min() > -0.5 and y.max() < 1.5
+
+
+def test_clip_score_north_star_on_real_weights() -> None:
+    """BASELINE.md's quality clause, measured: CLIP-score (Hessel et al.
+    2021 / torchmetrics convention, `toolkit.quality.clip_score`) of real
+    SD-1.5 samples against their prompts with a pretrained ViT-B/32 scorer.
+
+    Checks, on the first egress-enabled run:
+    - matched (image, prompt) pairs outscore deliberately shuffled pairs —
+      the scorer actually measures image-text alignment, and the generated
+      images actually follow their prompts;
+    - the absolute matched score clears 22, a loose floor ~ the published
+      SD-1.5 ballpark (diffusers reports ~0.26-0.31 cosine => 26-31 in the
+      x100 convention) that a broken conversion cannot pass."""
+    _require_checkpoint("sd_v1.5")
+    _require_checkpoint("clip_vit_b32")
+    import cflearn_tpu.zoo as zoo
+    from cflearn_tpu.api.multimodal.clip import CLIPExtractor
+    from cflearn_tpu.modules.multimodal.diffusion.samplers import ISampler
+    from cflearn_tpu.modules.nlp.tokenizers import CLIPTokenizer
+    from cflearn_tpu.toolkit.quality import clip_score
+    from flax import nnx
+
+    sd = zoo.load_sd("v1", pretrained=True)
+    prompts = [
+        "a photograph of an astronaut riding a horse",
+        "a red sports car driving through the desert",
+    ]
+    tokenizer = CLIPTokenizer()
+    tokens = jnp.asarray(tokenizer.tokenize(prompts), jnp.int32)
+    uncond = jnp.asarray(tokenizer.tokenize([""] * len(prompts)), jnp.int32)
+
+    graphdef, state = nnx.split(sd)
+
+    def txt2img(st, tokens, uncond, key):
+        m = nnx.merge(graphdef, st)
+        both = m.get_cond(jnp.concatenate([tokens, uncond], axis=0))
+        cond, uc = jnp.split(both, 2, axis=0)
+        sampler = ISampler.make("ddim", {"model": m})
+        z = jax.random.normal(key, (len(prompts), 64, 64, 4), jnp.float32)
+        latents = sampler.sample(
+            z, cond=cond, uncond=uc, guidance_scale=7.5, num_steps=20, key=key
+        )
+        images = m.decode(latents)
+        return ((jnp.clip(images, -1.0, 1.0) + 1.0) * 127.5).astype(jnp.uint8)
+
+    images = np.asarray(jax.jit(txt2img)(state, tokens, uncond, jax.random.PRNGKey(0)))
+
+    ex = CLIPExtractor.from_zoo(pretrained=True)
+    matched = clip_score(images, prompts, extractor=ex)
+    shuffled = clip_score(images, prompts[::-1], extractor=ex)
+    assert matched > shuffled, (matched, shuffled)
+    assert matched > 22.0, matched
