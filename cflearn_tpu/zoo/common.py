@@ -12,7 +12,6 @@ pre-converted torch checkpoints; we convert in-flight and cache the npd).
 """
 
 import json
-import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -88,11 +87,15 @@ def load_states(download_info: Any, converter: Optional[str], converter_kwargs: 
     download_info = resolve_download(download_info)
     converter = download_info.get("converter", converter)
     if download_info.get("layout") == "cflearn":
-        raise ValueError(
-            "this index entry is the reference's re-hosted cflearn-layout "
-            "checkpoint (kept for provenance); use the upstream 'original' "
-            "entry instead — conversion mappings consume original layouts"
-        )
+        # the reference's re-hosted cflearn-layout SD family (anime/
+        # dreamlike): convert through the audited cflearn->original rename
+        # table (zoo/sd_cflearn_mapping.json, derived+validated by
+        # scripts/gen_sd_cflearn_mapping.py) and the regular SD converter
+        if converter not in (None, "sd", "sd_cflearn"):
+            raise ValueError(
+                f"cflearn-layout entries use the SD converter, got {converter!r}"
+            )
+        converter = "sd_cflearn"
     tag = download_info.get("tag") or download_info["url"].split("/")[-1]
     cache = _npd_cache_path(tag)
     if cache.is_file():
@@ -111,6 +114,8 @@ def load_states(download_info: Any, converter: Optional[str], converter_kwargs: 
     kwargs = converter_kwargs or {}
     if converter == "sd":
         npd = C.convert_sd(torch_sd, **kwargs)
+    elif converter == "sd_cflearn":
+        npd = C.convert_sd_cflearn(torch_sd, **kwargs)
     elif converter == "sd_v2":
         npd = C.convert_sd(torch_sd, version="v2", **kwargs)
     elif converter == "esrgan":

@@ -14,7 +14,7 @@ The mapping machinery is validated by an exact bidirectional round-trip test
 (`tests/test_convert.py`) — no pretrained download needed.
 """
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -446,3 +446,235 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     if "state_dict" in sd:
         sd = sd["state_dict"]
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+# ----------------------------------------------------------------------------
+# reference (cflearn) torch layout -> original-SD layout
+# ----------------------------------------------------------------------------
+#
+# The reference re-hosts part of the SD family (the anime/dreamlike models)
+# as checkpoints in ITS OWN torch layout — produced by its order-based
+# aligner (`/root/reference/cflearn/scripts/sd.py:192-238`) from original-SD
+# checkpoints. To load them we derive the inverse correspondence
+# structurally: every cflearn key is a pure RENAME of an original-SD key
+# (validated key-by-key, shape-by-shape against the reference model
+# instantiated under `scripts/_ref_oracle` by
+# `scripts/gen_sd_cflearn_mapping.py`, which commits the audited table to
+# `zoo/sd_cflearn_mapping.json`), except three cond-stage specials handled
+# in `convert_sd_cflearn`:
+#   * fused attention `in_w`/`qkv_bias`  -> split into q/k/v projections,
+#   * `pos_encoding` [1, 77, d]          -> position_embedding [77, d],
+#   * model-constant buffers (logit_scale, attention_mask, text_projection,
+#     noise-schedule buffers) -> dropped (recomputed at init).
+
+_CF_UNET_RENAMES = [
+    (".in_layers.0.", ".norm1."),
+    (".in_layers.2.", ".conv1."),
+    (".emb_layers.1.", ".time_embedding."),
+    (".out_layers.0.", ".norm2."),
+    (".out_layers.3.", ".conv2."),
+    (".skip_connection.", ".shortcut."),
+    (".op.", ".net."),  # Downsample
+    (".proj_in.", ".to_latent."),
+    (".proj_out.", ".from_latent."),
+    (".transformer_blocks.", ".blocks."),
+    (".to_out.0.", ".out_linear.0."),
+    (".ff.net.0.proj.", ".ff.net.0.net."),
+    (".ff.net.2.", ".ff.net.2.linear."),
+]
+
+_CF_VAE_RES = [("nin_shortcut", "shortcut")]
+_CF_VAE_ATTN = [
+    ("norm", "group_norm"),
+    ("q", "to_q"),
+    ("k", "to_k"),
+    ("v", "to_v"),
+    ("proj_out", "to_out"),
+]
+
+
+def _cf_unet_key(orig: str) -> str:
+    """original `model.diffusion_model.X` -> cflearn `unet.X'`."""
+    k = orig[len("model.diffusion_model."):]
+    if k.startswith("time_embed."):
+        k = "time_embedding." + k[len("time_embed."):]
+    elif k.startswith("middle_block."):
+        k = "residual." + k[len("middle_block."):]
+    elif k.startswith("out."):
+        k = "head." + k[len("out."):]
+    for a, b in _CF_UNET_RENAMES:
+        k = k.replace(a, b)
+    return "unet." + k
+
+
+def _cf_vae_inner(tail: str, table: List[Tuple[str, str]]) -> str:
+    mod, _, param = tail.rpartition(".")
+    for a, b in table:
+        if mod == a:
+            return f"{b}.{param}"
+    return tail
+
+
+def _cf_vae_key(
+    orig: str,
+    *,
+    num_levels: int = 4,
+    enc_blocks: int = 2,
+    dec_blocks: int = 3,
+) -> str:
+    """original `first_stage_model.X` -> cflearn `first_stage.X'` (SD f8
+    geometry: no per-level attention; the cflearn encoder/decoder are FLAT
+    module lists interleaving resblocks and down/upsamples, activations
+    holding gaps in the numbering)."""
+    k = orig[len("first_stage_model."):]
+    if k.startswith("quant_conv."):
+        return "first_stage.to_embedding." + k.rpartition(".")[2]
+    if k.startswith("post_quant_conv."):
+        return "first_stage.from_embedding." + k.rpartition(".")[2]
+    side, _, rest = k.partition(".")
+    p = f"first_stage.generator.{side}.{side}"
+    enc_stride = enc_blocks + 1  # blocks + downsample per level
+    dec_stride = dec_blocks + 1  # blocks + upsample per level
+    enc_mid = 1 + (num_levels - 1) * enc_stride + enc_blocks
+    if side == "encoder":
+        if rest.startswith("conv_in."):
+            return f"{p}.0.{rest.rpartition('.')[2]}"
+        if rest.startswith("down."):
+            _, lvl, kind, idx_or_conv, *tail = rest.split(".")
+            base = 1 + int(lvl) * enc_stride
+            if kind == "block":
+                inner = _cf_vae_inner(".".join(tail), _CF_VAE_RES)
+                return f"{p}.{base + int(idx_or_conv)}.{inner}"
+            # downsample.conv.*
+            return f"{p}.{base + enc_blocks}.conv.{tail[-1]}"
+        if rest.startswith("mid."):
+            _, which, *tail = rest.split(".")
+            off = {"block_1": 0, "attn_1": 1, "block_2": 2}[which]
+            table = _CF_VAE_ATTN if which == "attn_1" else _CF_VAE_RES
+            return f"{p}.{enc_mid + off}.{_cf_vae_inner('.'.join(tail), table)}"
+        if rest.startswith("norm_out."):
+            return f"{p}.{enc_mid + 3}.{rest.rpartition('.')[2]}"
+        if rest.startswith("conv_out."):  # +4 is the activation (no params)
+            return f"{p}.{enc_mid + 5}.{rest.rpartition('.')[2]}"
+    if side == "decoder":
+        if rest.startswith("conv_in."):
+            return f"{p}.0.{rest.rpartition('.')[2]}"
+        if rest.startswith("mid."):
+            _, which, *tail = rest.split(".")
+            off = {"block_1": 1, "attn_1": 2, "block_2": 3}[which]
+            table = _CF_VAE_ATTN if which == "attn_1" else _CF_VAE_RES
+            return f"{p}.{off}.{_cf_vae_inner('.'.join(tail), table)}"
+        if rest.startswith("up."):
+            # original indexes up.{L} bottom-of-list-first (L=num_levels-1
+            # runs first); the cflearn decoder is flat in RUN order
+            _, lvl, kind, idx_or_conv, *tail = rest.split(".")
+            base = 4 + (num_levels - 1 - int(lvl)) * dec_stride
+            if kind == "block":
+                inner = _cf_vae_inner(".".join(tail), _CF_VAE_RES)
+                return f"{p}.{base + int(idx_or_conv)}.{inner}"
+            # upsample.conv.*
+            return f"{p}.{base + dec_blocks}.conv.{tail[-1]}"
+        if rest.startswith("norm_out."):
+            return f"first_stage.generator.decoder.head.0.{rest.rpartition('.')[2]}"
+        if rest.startswith("conv_out."):
+            return f"first_stage.generator.decoder.head.2.{rest.rpartition('.')[2]}"
+    raise ValueError(f"unmapped VAE key: {orig}")
+
+
+_CF_COND_PREFIX = "condition_model.m"
+_CF_COND_BLOCKS = f"{_CF_COND_PREFIX}.text_transformer.encoder.mixing_blocks"
+_CF_COND_INNER = [
+    ("layer_norm1", "token_norm"),
+    ("layer_norm2", "channel_norm"),
+    ("self_attn.out_proj", "token_mixing.net.out_linear.linear"),
+    ("mlp.fc1", "channel_mixing.net.0.linear"),
+    ("mlp.fc2", "channel_mixing.net.3.linear"),
+]
+
+
+def _cf_cond_key(orig: str) -> Optional[str]:
+    """original HF-CLIPText `cond_stage_model.X` -> cflearn key, or None for
+    the fused-qkv / pos-embedding specials."""
+    k = orig[len("cond_stage_model.transformer.text_model."):]
+    if k == "embeddings.token_embedding.weight":
+        return f"{_CF_COND_PREFIX}.token_embedding.weight"
+    if k == "embeddings.position_embedding.weight":
+        return None  # special: pos_encoding carries a leading broadcast dim
+    if k.startswith("final_layer_norm."):
+        param = k.rpartition(".")[2]
+        return f"{_CF_COND_PREFIX}.text_transformer.encoder.head.norms.0.{param}"
+    if k.startswith("encoder.layers."):
+        _, _, idx, *rest = k.split(".")
+        tail = ".".join(rest)
+        mod, _, param = tail.rpartition(".")
+        if mod.startswith("self_attn.") and mod.split(".")[1] in ("q_proj", "k_proj", "v_proj"):
+            return None  # special: fused into in_w / qkv_bias
+        for a, b in _CF_COND_INNER:
+            if mod == a:
+                return f"{_CF_COND_BLOCKS}.{idx}.{b}.{param}"
+    raise ValueError(f"unmapped cond key: {orig}")
+
+
+def build_sd_cflearn_renames(version: str = "v1") -> Dict[str, str]:
+    """{cflearn_key: original_sd_key} for every pure-rename pair of the SD
+    checkpoint (the fused-qkv and pos-embedding specials are value
+    transforms, handled by `convert_sd_cflearn`). Generated structurally
+    from the same geometry as `build_sd_mapping`; audited against the
+    reference model by `scripts/gen_sd_cflearn_mapping.py`."""
+    if not version.startswith("v1"):
+        raise ValueError(
+            "cflearn-layout checkpoints are only published for the SD-v1 "
+            f"family (got version={version!r})"
+        )
+    renames: Dict[str, str] = {}
+    for orig, _, _ in build_sd_mapping("v1"):
+        if orig.startswith("model.diffusion_model."):
+            ck = _cf_unet_key(orig)
+        elif orig.startswith("first_stage_model."):
+            ck = _cf_vae_key(orig)
+        elif orig.startswith("cond_stage_model."):
+            ck = _cf_cond_key(orig)
+            if ck is None:
+                continue
+        else:
+            continue
+        if ck in renames:
+            raise ValueError(f"duplicate cflearn key {ck} ({orig} vs {renames[ck]})")
+        renames[ck] = orig
+    return renames
+
+
+def cflearn_sd_to_original(torch_sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """cflearn-layout SD state dict -> original-SD layout (renames + the
+    cond-stage value specials). Unknown keys (noise-schedule buffers,
+    logit_scale, attention_mask, text_projection, EMA leftovers) are
+    dropped — they are model constants recomputed at init."""
+    renames = build_sd_cflearn_renames()
+    orig: Dict[str, np.ndarray] = {}
+    for ck, ok in renames.items():
+        if ck in torch_sd:
+            orig[ok] = np.asarray(torch_sd[ck])
+    pos = torch_sd.get(f"{_CF_COND_PREFIX}.text_transformer.encoder.pos_encoding.pos_encoding")
+    if pos is not None:
+        pos = np.asarray(pos)
+        orig["cond_stage_model.transformer.text_model.embeddings.position_embedding.weight"] = pos[0]
+    i = 0
+    hf = "cond_stage_model.transformer.text_model.encoder.layers"
+    while f"{_CF_COND_BLOCKS}.{i}.token_mixing.net.in_w" in torch_sd:
+        in_w = np.asarray(torch_sd[f"{_CF_COND_BLOCKS}.{i}.token_mixing.net.in_w"])
+        qkv_b = np.asarray(torch_sd[f"{_CF_COND_BLOCKS}.{i}.token_mixing.net.qkv_bias"])
+        third = in_w.shape[0] // 3
+        for j, n in enumerate("qkv"):
+            orig[f"{hf}.{i}.self_attn.{n}_proj.weight"] = in_w[j * third : (j + 1) * third]
+            orig[f"{hf}.{i}.self_attn.{n}_proj.bias"] = qkv_b[j * third : (j + 1) * third]
+        i += 1
+    return orig
+
+
+def convert_sd_cflearn(
+    torch_sd: Dict[str, np.ndarray], *, version: str = "v1", strict: bool = False
+) -> Dict[str, np.ndarray]:
+    """Convert a reference-hosted cflearn-layout SD checkpoint (the anime/
+    dreamlike family) to our npd: cflearn layout -> original-SD layout ->
+    `convert_sd`."""
+    return convert_sd(cflearn_sd_to_original(torch_sd), version=version, strict=strict)

@@ -144,7 +144,20 @@ def register_core(name, d, *, allow_duplicate=False, before_register=None, after
     return _register
 
 
+def to_torch(arr):
+    import numpy as np
+    import torch
+
+    return torch.from_numpy(np.ascontiguousarray(arr))
+
+
+def to_numpy(tensor):
+    return tensor.detach().cpu().numpy()
+
+
 _REAL = {
+    "to_torch": to_torch,
+    "to_numpy": to_numpy,
     "shallow_copy_dict": shallow_copy_dict,
     "update_dict": update_dict,
     "safe_execute": safe_execute,

@@ -125,3 +125,67 @@ def test_full_sd_mapping_builds() -> None:
     assert any(k.startswith("model.diffusion_model") for k in torch_keys)
     assert any(k.startswith("first_stage_model") for k in torch_keys)
     assert any(k.startswith("cond_stage_model") for k in torch_keys)
+
+
+def test_sd_cflearn_mapping_artifact_consistent() -> None:
+    """The committed cflearn->original rename table (audited against the
+    reference model by scripts/gen_sd_cflearn_mapping.py) matches the
+    structural derivation in code, and its reference-shape inventory is
+    fully accounted for (rename | fused-qkv special | pos-encoding |
+    non-checkpoint buffer)."""
+    import json
+    from pathlib import Path
+
+    path = Path(C.__file__).parent / "sd_cflearn_mapping.json"
+    artifact = json.loads(path.read_text())
+    renames = C.build_sd_cflearn_renames("v1")
+    assert artifact["renames"] == renames
+    ref_shapes = artifact["reference_shapes"]
+    assert set(renames) <= set(ref_shapes)
+    n_layers = artifact["special_fused_qkv_layers"]
+    blocks = "condition_model.m.text_transformer.encoder.mixing_blocks"
+    special = {"condition_model.m.text_transformer.encoder.pos_encoding.pos_encoding"}
+    for i in range(n_layers):
+        special |= {f"{blocks}.{i}.token_mixing.net.in_w", f"{blocks}.{i}.token_mixing.net.qkv_bias"}
+    uncovered = set(ref_shapes) - set(renames) - special - set(artifact["non_checkpoint_keys"])
+    assert not uncovered, sorted(uncovered)[:8]
+    with pytest.raises(ValueError):
+        C.build_sd_cflearn_renames("v2")
+
+
+@pytest.mark.slow
+def test_sd_cflearn_conversion_roundtrip() -> None:
+    """Full numeric loop: a synthetic cflearn-layout checkpoint (built by the
+    inverse direction: renames + qkv fusing + pos broadcast dim) converts
+    through `convert_sd_cflearn` to EXACTLY the npd `convert_sd` produces
+    from the original layout. Shapes come from the committed artifact's
+    reference inventory, so this pins the loader against the actual
+    reference model geometry without any download."""
+    import json
+    from pathlib import Path
+
+    path = Path(C.__file__).parent / "sd_cflearn_mapping.json"
+    artifact = json.loads(path.read_text())
+    renames = artifact["renames"]
+    ref_shapes = artifact["reference_shapes"]
+    rng = np.random.default_rng(0)
+    cf_sd = {}
+    for ck in renames:
+        cf_sd[ck] = rng.normal(size=ref_shapes[ck]).astype(np.float32)
+    pos_key = "condition_model.m.text_transformer.encoder.pos_encoding.pos_encoding"
+    cf_sd[pos_key] = rng.normal(size=ref_shapes[pos_key]).astype(np.float32)
+    blocks = "condition_model.m.text_transformer.encoder.mixing_blocks"
+    for i in range(artifact["special_fused_qkv_layers"]):
+        for name in ("in_w", "qkv_bias"):
+            k = f"{blocks}.{i}.token_mixing.net.{name}"
+            cf_sd[k] = rng.normal(size=ref_shapes[k]).astype(np.float32)
+
+    orig = C.cflearn_sd_to_original(cf_sd)
+    # every original-SD key of the full mapping is produced
+    expected = {t for t, _, _ in C.build_sd_mapping("v1")}
+    assert set(orig) == expected, (len(expected - set(orig)), sorted(expected - set(orig))[:5])
+    via = C.convert_sd_cflearn(cf_sd, strict=True)
+    direct = C.convert_sd(orig, strict=True)
+    assert set(via) == set(direct)
+    for k in direct:
+        np.testing.assert_array_equal(via[k], direct[k], err_msg=k)
