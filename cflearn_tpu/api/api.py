@@ -12,8 +12,7 @@ from typing import Any, Dict, List, Optional, Union
 
 import numpy as np
 
-from ..constants import LABEL_KEY, PREDICTIONS_KEY
-from ..data.ml.api import MLData, MLProcessorConfig
+from ..data.ml.api import MLData
 from ..schema.config import DLConfig, MLConfig
 from ..schema.data import DataConfig, DataProcessorConfig, IData
 from ..schema.losses_schema import ILoss

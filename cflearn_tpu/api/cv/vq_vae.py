@@ -9,7 +9,7 @@ when `num_classes` is given, reference :29-89).
 """
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ from ...schema.data import DataConfig
 from ...schema.data import IData
 from ...schema.train_schema import TrainerCallback
 from ...toolkit.misc import random_hash
-from ..common import IAPI
 
 
 def register_callback(vqvae: Any, num_classes: Optional[int]) -> str:

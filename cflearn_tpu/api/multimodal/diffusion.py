@@ -14,7 +14,6 @@ VAE decode). The reference's Python step loop and its per-step host sync
 disappear entirely.
 """
 
-import math
 from dataclasses import dataclass
 from enum import Enum
 from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple, Union
@@ -24,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-from ...modules.multimodal.diffusion.ldm import LDM, StableDiffusion
+from ...modules.multimodal.diffusion.ldm import LDM
 from ...modules.multimodal.diffusion.samplers import ISampler
 from ...modules.nlp.tokenizers import CLIPTokenizer
 from ...modules.core.lora import LoRAManager, LoRAPack
@@ -386,7 +385,7 @@ class DiffusionAPI(IAPI):
         a non-trivial `context` axis routes self-attention through
         ring/Ulysses attention (`ops.sdp_attn`). Pass None to revert to
         single-device serving."""
-        from ...parallel.mesh import replicated_sharding, set_mesh
+        from ...parallel.mesh import set_mesh
         from ...parallel.tp import place_params
 
         self._mesh = mesh

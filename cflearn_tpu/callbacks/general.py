@@ -5,10 +5,9 @@ Parity: reference `cflearn/callbacks/general.py` — `_LogMetricsMsgCallback`
 `ArtifactCallback` (:211, per-step artifact folders).
 """
 
-import json
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 from ..schema.metrics_schema import MetricsOutputs
 from ..schema.train_schema import TrainerCallback, TrainerState

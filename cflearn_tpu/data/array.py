@@ -8,7 +8,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..constants import INPUT_KEY, LABEL_KEY
-from ..schema.data import DataBundle, IData
+from ..schema.data import IData
 from .utils import IArrayDataMixin
 
 

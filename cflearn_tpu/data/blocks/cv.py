@@ -14,13 +14,12 @@ reference's `HWCToCHWBlock` conversion direction (torch wants CHW, XLA wants
 HWC).
 """
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 
 from ...constants import INPUT_KEY, LABEL_KEY
 from ...schema.data import IDataBlock, INoInitDataBlock
-from ...toolkit.misc import np_dict_type
 
 
 class IRuntimeDataBlock(INoInitDataBlock):

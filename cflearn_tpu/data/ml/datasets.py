@@ -1,7 +1,7 @@
 """Toy tabular datasets (reference `cflearn/data/ml/datasets.py` — iris /
 digits / california / breast from sklearn)."""
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ import jax
 import numpy as np
 
 from ..constants import BATCH_INDICES_KEY, INPUT_KEY, LABEL_KEY, PREDICTIONS_KEY
-from ..schema.data import DataConfig, IData, IDataLoader, IDataset
+from ..schema.data import DataConfig, IDataLoader, IDataset
 from ..toolkit.misc import np_dict_type, to_jax_dtype
 
 

@@ -16,7 +16,7 @@ host launches the same script via the pod runtime instead.
 import os
 import subprocess
 import sys
-from typing import Any, List, Optional
+from typing import List, Optional
 
 
 def run_distributed(

@@ -19,9 +19,7 @@ import sys
 from concurrent.futures import ProcessPoolExecutor, as_completed
 from typing import Any, Dict, List, Optional, Tuple
 
-import numpy as np
 
-from ...schema.config import MLConfig
 from ...toolkit.serialization import Serializer
 
 TASK_META_FILE = "__task_meta__.json"

@@ -2,7 +2,6 @@
 load task → rebuild data + config → `MLTrainingPipeline.fit`)."""
 
 import argparse
-import json
 import os
 import sys
 

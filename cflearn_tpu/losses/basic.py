@@ -10,7 +10,6 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-from flax import nnx
 
 from ..schema.losses_schema import ILoss
 

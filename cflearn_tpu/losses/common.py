@@ -7,8 +7,6 @@ Parity: reference `cflearn/losses/common.py:45-106` — `_MultiLoss`,
 
 from typing import Any, Dict, List, Optional
 
-import jax
-import jax.numpy as jnp
 from flax import nnx
 
 from ..constants import LOSS_KEY, PREDICTIONS_KEY

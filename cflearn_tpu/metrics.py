@@ -5,13 +5,11 @@ mae, mse, ber, corr, iou; `f1`/`auc` are `requires_all` (`IRequiresAllMixin`,
 :23). Host-side numpy, matching the reference's CPU metric evaluation.
 """
 
-from typing import Any, Dict
+from typing import Any
 
 import numpy as np
 
-from .constants import LABEL_KEY, PREDICTIONS_KEY
 from .schema.metrics_schema import IMetric
-from .toolkit.misc import np_dict_type
 
 
 class IRequiresAllMixin:

@@ -6,13 +6,12 @@ registered "common"), `DLEnsembleModel` (:70, N cloned modules with averaged
 outputs, built when `config.num_repeat` is set).
 """
 
-from typing import Any, Dict, List, Optional
+from typing import Any, List, Optional
 
-import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from ..constants import AUX_LOSS_KEY, LOSS_KEY, PREDICTIONS_KEY
+from ..constants import AUX_LOSS_KEY, LOSS_KEY
 from ..modules.common import build_module
 from ..schema.config import DLConfig
 from ..schema.losses_schema import ILoss, build_loss, loss_dict_type

@@ -14,7 +14,7 @@ ratio up to the shared last-layer Jacobian).
 """
 
 import math
-from typing import Any, List, Optional
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp

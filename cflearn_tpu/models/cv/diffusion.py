@@ -9,7 +9,7 @@ in state through the jitted step); EMA runs inside `post_step_update` so the
 whole optimization remains one XLA program.
 """
 
-from typing import Any, List, Optional
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ step sees generated samples through `lax.stop_gradient` instead of optimizer
 toggling.
 """
 
-from typing import Any, Dict, List, NamedTuple, Optional
+from typing import Any, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

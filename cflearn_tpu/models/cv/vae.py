@@ -5,18 +5,17 @@ wiring `modules/cv/vae/losses.py`) and `models/cv/ar.py:16`
 (`AutoRegressorModel`).
 """
 
-from typing import Any, List
+from typing import Any
 
 import jax
 import jax.numpy as jnp
-from flax import nnx
 
 from ...constants import INPUT_KEY, LABEL_KEY, LOSS_KEY, PREDICTIONS_KEY
 from ...schema.config import DLConfig
 from ...schema.losses_schema import ILoss, loss_dict_type
-from ...schema.model import IDLModel, TrainStep
+from ...schema.model import IDLModel
 from ...toolkit.misc import tensor_dict_type
-from ..common import CommonDLModel, CommonTrainStep
+from ..common import CommonDLModel
 
 
 @ILoss.register("vae")

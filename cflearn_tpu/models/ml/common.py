@@ -7,9 +7,8 @@ Parity: reference `cflearn/models/ml/common.py` — `CommonMLModel` (:28,
 nets).
 """
 
-from typing import Any, Dict, List, Optional
+from typing import Any, List, Optional
 
-import jax
 from flax import nnx
 
 from ...constants import INPUT_KEY
@@ -17,8 +16,8 @@ from ...modules.common import build_module
 from ...modules.core.ml_encoder import Encoder
 from ...schema.config import DLConfig, MLConfig
 from ...schema.losses_schema import build_loss
-from ...schema.model import IDLModel, TrainStep
-from ..common import CommonDLModel, CommonTrainStep
+from ...schema.model import IDLModel
+from ..common import CommonDLModel
 
 
 @IDLModel.register("ml.common")

@@ -10,7 +10,7 @@ TPU-native: modules are `flax.nnx.Module`s; construction threads an
 functionally inside the jitted step (no train/eval buffer swap mutation).
 """
 
-from typing import Any, Callable, Dict, List, Optional, Type
+from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ name. Implemented as pure jnp functions wrapped in nnx modules where they need
 parameters (GEGLU has a projection).
 """
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,14 +9,13 @@ Parity: reference `cflearn/modules/core/attentions.py` — `Attention`
 """
 
 import math
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import nnx
 
 from ...ops.attention import sdp_attn
-from ...ops.group_norm import group_norm
 from ..common import PrefixModules
 
 attentions = PrefixModules("attention")

@@ -15,7 +15,7 @@ from flax import nnx
 
 from ..common import zero_module
 from ...ops.conv import conv_call
-from ...ops.group_norm import gn_call, group_norm
+from ...ops.group_norm import gn_call
 from .activations import build_activation
 
 _Pad = Union[str, int, Tuple[int, int]]

@@ -14,10 +14,9 @@ Multiple named packs can be blended with per-pack scales.
 """
 
 import re
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 

@@ -4,10 +4,9 @@ Parity: reference `cflearn/modules/core/mappings.py` — `mapping` prefix
 registry with `basic`/`highway`/`res` blocks, used by FCNN & friends.
 """
 
-from typing import Any, List, Optional
+from typing import Any, Optional
 
 import jax
-import jax.numpy as jnp
 from flax import nnx
 
 from ..common import PrefixModules

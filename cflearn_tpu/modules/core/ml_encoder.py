@@ -10,7 +10,6 @@ possible (XLA fuses the rest).
 """
 
 import dataclasses
-import math
 from typing import Any, Dict, List, Optional, NamedTuple
 
 import jax

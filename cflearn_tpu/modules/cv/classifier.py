@@ -7,17 +7,15 @@ the ESRGAN super-resolution net), `cflearn/modules/cv/ar/pixel_cnn.py`
 (`Siren`/`ImgSiren`).
 """
 
-from typing import Any, List, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-from ...constants import PREDICTIONS_KEY
 from ..common import register_module
 from .common import auto_regressors, encoders
-from .encoder import VanillaEncoder1D
 
 
 @register_module("clf")

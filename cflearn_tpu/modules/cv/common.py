@@ -9,7 +9,7 @@ and `GaussianDistribution` (diagonal gaussian latents of `ae/kl.py`).
 """
 
 import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

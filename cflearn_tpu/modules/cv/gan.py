@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ..common import register_module
-from .common import DecoderInputs, discriminators, generators
+from .common import discriminators, generators
 from .decoder import VanillaDecoder1D
 
 

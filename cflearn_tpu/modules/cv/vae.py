@@ -11,7 +11,6 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import nnx
 
 from ...constants import PREDICTIONS_KEY

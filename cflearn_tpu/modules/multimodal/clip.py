@@ -8,13 +8,13 @@ final-LN (clip-skip supported at the condition-model level).
 """
 
 import math
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from ...constants import INPUT_KEY, PREDICTIONS_KEY
+from ...constants import PREDICTIONS_KEY
 from ..common import register_module
 from ...ops.attention import sdp_attn
 

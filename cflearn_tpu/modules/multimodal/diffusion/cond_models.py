@@ -7,11 +7,10 @@ with clip-skip and custom-embedding support), `rescaler` specialized cond
 (`cond_models/rescaler.py`).
 """
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import nnx
 
 from ...common import PrefixModules

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ...common import register_module
-from ..clip import TeTEncoder
 from .cond_models import CLIPTextConditionModel
 from .ddpm import DDPM
 from .utils import CROSS_ATTN_TYPE

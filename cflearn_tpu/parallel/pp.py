@@ -35,7 +35,6 @@ pipe size, activations must keep one shape through the stack (true for
 transformer/mixer stacks), and the microbatch count must divide the batch.
 """
 
-import math
 from functools import lru_cache, partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 

@@ -11,7 +11,6 @@ import re
 from typing import Any, List, Optional, Pattern, Sequence, Tuple
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # (pattern, partition kind): "col" shards the OUTPUT dim, "row" the INPUT dim

@@ -13,17 +13,15 @@ import json
 import os
 from enum import Enum
 import shutil
-from typing import Any, Dict, List, Optional, Type, TypeVar
+from typing import Any, Dict, List, Optional, TypeVar
 
 import numpy as np
 
 from ..constants import PREDICTIONS_KEY
 from ..inference import DLInference, InferenceOutputs
-from ..schema.config import DLConfig, MLConfig
 from ..schema.data import IData, IDataLoader
 from ..schema.metrics_schema import IMetric, MetricsOutputs
 from ..schema.model import IDLModel
-from ..toolkit.serialization import Serializer
 from .blocks import (
     BuildCallbacksBlock,
     BuildInferenceBlock,

@@ -13,7 +13,6 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from ..constants import CHECKPOINTS_FOLDER
 from ..inference import DLInference
 from ..schema.config import DLConfig, MLConfig
 from ..schema.data import IData

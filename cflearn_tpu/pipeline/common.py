@@ -5,7 +5,6 @@ registered, serializable, with `build`/`run`/`save_extra`/`load_from`) and
 `Pipeline` (ordered blocks sharing one config, run with `previous` injection).
 """
 
-import os
 from typing import Any, Dict, List, Optional, Type, TypeVar
 
 from ..schema.config import DLConfig

@@ -11,7 +11,7 @@ CPU, IREE, PJRT C API) — plus the npd weights. `pack_stablehlo` writes both;
 
 import json
 import os
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +19,6 @@ import numpy as np
 from flax import nnx
 
 from ..schema.model import IDLModel
-from ..constants import INPUT_KEY
 
 
 def export_model(

@@ -13,7 +13,6 @@ from typing import Any, Dict, Iterator, List, NamedTuple, Optional, Tuple, Type,
 
 import numpy as np
 
-from ..constants import BATCH_INDICES_KEY, INPUT_KEY, LABEL_KEY
 from ..toolkit.block_pipeline import IBlock, IPipeline
 from ..toolkit.misc import np_dict_type
 from ..toolkit.serialization import DataClassBase, ISerializable

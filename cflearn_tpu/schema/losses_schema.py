@@ -7,13 +7,13 @@ learned losses (LPIPS) fit the same contract; they are traced inside the
 jitted train step.
 """
 
-from typing import Any, Dict, List, Tuple, Union
+from typing import Any, Dict, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from ..constants import INPUT_KEY, LABEL_KEY, LOSS_KEY, PREDICTIONS_KEY
+from ..constants import LABEL_KEY, LOSS_KEY, PREDICTIONS_KEY
 from ..toolkit.misc import tensor_dict_type
 
 loss_dict_type = Dict[str, jax.Array]

@@ -10,7 +10,6 @@ reference does — they are not on the hot path.
 import dataclasses
 from typing import Any, Dict, List, Optional, Union
 
-import numpy as np
 
 from ..constants import LABEL_KEY, PREDICTIONS_KEY
 from ..toolkit.misc import np_dict_type

@@ -17,7 +17,7 @@ optimizer toggling, and "no grad in forward" becomes `lax.stop_gradient`.
 
 import json
 import os
-from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple, Type, TypeVar
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple, Type, TypeVar
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from ..toolkit.misc import np_dict_type, tensor_dict_type
 from ..toolkit.registry import WithRegister
 from ..toolkit.tree import npd_to_tree, tree_to_npd
 from .config import DLConfig
-from .losses_schema import ILoss, build_loss, loss_dict_type
+from .losses_schema import ILoss, loss_dict_type
 
 TDLModel = TypeVar("TDLModel", bound="IDLModel")
 

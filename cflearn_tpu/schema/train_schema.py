@@ -16,13 +16,11 @@ import dataclasses
 import math
 from typing import Any, Dict, List, Optional, TYPE_CHECKING
 
-from ..toolkit.misc import np_dict_type
 from ..toolkit.registry import WithRegister
 from .config import TrainerConfig
 from .metrics_schema import MetricsOutputs
 
 if TYPE_CHECKING:  # pragma: no cover
-    from .data import IDataLoader
     from .model import IDLModel
 
 

@@ -6,8 +6,7 @@ live API), `convert_controlnet`.
 """
 
 import argparse
-import json
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

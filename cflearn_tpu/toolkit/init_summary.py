@@ -5,11 +5,10 @@ xavier/normal/truncated-normal/orthogonal inits applied to modules) and
 `summary` (:1623, keras-style parameter table written to `summary.txt`).
 """
 
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import nnx
 
 

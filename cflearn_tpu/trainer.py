@@ -46,11 +46,10 @@ from .parallel.mesh import (
     make_mesh,
     replicated_sharding,
     set_mesh,
-    shard_params_fsdp,
 )
 from .schedulers import PlateauState, build_scheduler, scheduler_requires_metric
 from .schema.config import TrainerConfig
-from .schema.data import IData, IDataLoader
+from .schema.data import IData
 from .schema.metrics_schema import IMetric, MetricsOutputs, weighted_loss_score
 from .schema.model import IDLModel, StepOutputs
 from .schema.train_schema import (

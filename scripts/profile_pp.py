@@ -30,8 +30,6 @@ import jax
 if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
-import jax.numpy as jnp
-import numpy as np
 from flax import nnx
 
 

@@ -3,7 +3,6 @@ the top ops by self-time (parsed from the xplane proto via
 tensorboard_plugin_profile's raw_to_tool converter)."""
 
 import glob
-import gzip
 import json
 import os
 import sys
@@ -16,7 +15,6 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/cflearn_tpu/jax_cac
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import jax.numpy as jnp
-import numpy as np
 from flax import nnx
 
 LOGDIR = "/tmp/sd_trace"

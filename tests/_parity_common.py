@@ -10,7 +10,7 @@ the same function as a single-rank run (`/root/reference/cflearn/trainer.py:268-
 
 import json
 import sys
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

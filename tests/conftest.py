@@ -20,6 +20,16 @@ import jax
 # virtual) CPU backend.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: XLA compilation dominates the suite's wall
+# time (single-core machine — pytest-xdist measured SLOWER at -n2 from core
+# contention + duplicate jax init, see docs/performance.md). Cache hits cut
+# repeat full-suite runs massively; first runs pay ~nothing.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("CFLEARN_TEST_JAX_CACHE", "/root/.cache/cflearn_tpu/jax_cache_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import numpy as np
 import pytest
 

@@ -287,7 +287,7 @@ def test_pidi_conversion_coverage_and_annotator(tmp_path) -> None:
     import torch
 
     from cflearn_tpu.api.cv.annotator import Annotator
-    from cflearn_tpu.api.cv.third_party.pidi import PiDiNet, _PDCS, convert_pidi
+    from cflearn_tpu.api.cv.third_party.pidi import PiDiNet, convert_pidi
     from cflearn_tpu.toolkit.tree import npd_to_tree
 
     net = PiDiNet(inplane=12, dil=8, rngs=nnx.Rngs(0))

@@ -4,7 +4,6 @@ finetune/freeze, TP placement."""
 import os
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,6 @@
 EMA semantics, attention parity, conv modes, encoders)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -182,7 +181,7 @@ def test_downsample_torch_padding_parity() -> None:
     for symmetric, ref in [(True, ref_unet), (False, ref_vae)]:
         down = Downsample(8, use_conv=True, symmetric=symmetric, rngs=nnx.Rngs(0))
         down.conv.kernel.value = jnp.asarray(w.transpose(2, 3, 1, 0))  # OIHW→HWIO
-        down.conv.bias.value = jnp.asarray(b)
+        down.conv.bias[...] = jnp.asarray(b)
         out = np.asarray(down(jnp.asarray(x.transpose(0, 2, 3, 1))))  # NHWC
         np.testing.assert_allclose(out.transpose(0, 3, 1, 2), ref, atol=1e-5)
 

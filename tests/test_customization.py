@@ -66,8 +66,8 @@ def test_custom_initializer() -> None:
 
     lin = nnx.Linear(4, 3, rngs=nnx.Rngs(0))
     Initializer().initialize(lin, "all_one")
-    assert np.allclose(np.asarray(lin.kernel.value), 1.0)
-    assert np.allclose(np.asarray(lin.bias.value), 1.0)
+    assert np.allclose(np.asarray(lin.kernel[...]), 1.0)
+    assert np.allclose(np.asarray(lin.bias[...]), 1.0)
 
 
 def test_loss_protocol() -> None:

@@ -2,7 +2,6 @@
 — numpy/tensor/dict/ML data + image-folder preparation)."""
 
 import numpy as np
-import pytest
 
 from cflearn_tpu.constants import INPUT_KEY, LABEL_KEY
 from cflearn_tpu.data import ArrayData, ArrayDictData, MLData

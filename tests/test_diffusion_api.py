@@ -145,8 +145,8 @@ def test_style_reference_hooks(tiny_api) -> None:
     import jax.numpy as jnp
 
     conv_out = tiny_api.m.unet.conv_out
-    backup = conv_out.kernel.value
-    conv_out.kernel.value = 0.1 * jax.random.normal(jax.random.PRNGKey(42), backup.shape)
+    backup = conv_out.kernel[...]
+    conv_out.kernel[...] = 0.1 * jax.random.normal(jax.random.PRNGKey(42), backup.shape)
     try:
         base = tiny_api.txt2img("a cat", size=(64, 64), num_steps=2, seed=7)
         ref = np.random.default_rng(3).integers(0, 255, (64, 64, 3), dtype=np.uint8)
@@ -171,7 +171,7 @@ def test_style_reference_hooks(tiny_api) -> None:
         np.testing.assert_array_equal(cleared, base)
     finally:
         tiny_api.setup_hooks()
-        conv_out.kernel.value = backup
+        conv_out.kernel[...] = backup
 
 
 def test_style_reference_write_gates() -> None:
@@ -522,8 +522,8 @@ def test_multi_controlnet(tiny_api) -> None:
         import jax
 
         for i, conv in enumerate(list(cn.zero_convs) + [cn.mid_zero]):
-            k = conv.kernel.value
-            conv.kernel.value = 0.02 * jax.random.normal(jax.random.PRNGKey(seed * 100 + i), k.shape, k.dtype)
+            k = conv.kernel[...]
+            conv.kernel[...] = 0.02 * jax.random.normal(jax.random.PRNGKey(seed * 100 + i), k.shape, k.dtype)
         return cn
 
     api = ControlledDiffusionAPI(tiny_api.m)
@@ -599,8 +599,8 @@ def test_deepcache_with_control(tiny_api) -> None:
         rngs=nnx.Rngs(5),
     )
     for i, conv in enumerate(list(cn.zero_convs) + [cn.mid_zero]):
-        k = conv.kernel.value
-        conv.kernel.value = 0.02 * jax.random.normal(jax.random.PRNGKey(500 + i), k.shape, k.dtype)
+        k = conv.kernel[...]
+        conv.kernel[...] = 0.02 * jax.random.normal(jax.random.PRNGKey(500 + i), k.shape, k.dtype)
     api = ControlledDiffusionAPI(tiny_api.m)
     api.prepare_control("canny", cn)
     conv_out = tiny_api.m.unet.conv_out

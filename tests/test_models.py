@@ -210,7 +210,7 @@ def test_ddpm_training_with_ema(image_data, tmp_path) -> None:
     )
     trainer = _train(config, image_data, tmp_path)
     # EMA counter advanced inside the jitted step
-    assert int(trainer.model.ema.num_updates.value) == 2
+    assert int(trainer.model.ema.num_updates[...]) == 2
 
 
 def test_ae_kl_adversarial_training(image_data, tmp_path) -> None:
@@ -583,7 +583,7 @@ def test_unet_control_injection_changes_output() -> None:
     """Control residuals must actually alter the UNet output (guards the
     injection indexing in `UNetDiffuser.__call__`; with the init-time zero
     `conv_out` this is only observable after perturbing it)."""
-    from cflearn_tpu.modules.multimodal.diffusion.unet import ControlNet, UNetDiffuser
+    from cflearn_tpu.modules.multimodal.diffusion.unet import UNetDiffuser
 
     unet = UNetDiffuser(
         in_channels=4, out_channels=4, start_channels=32, num_res_blocks=1,
@@ -681,7 +681,7 @@ def test_ldm_training_diffuses_in_latent_space(image_data, tmp_path) -> None:
     fs_before = _jax.tree_util.tree_map(
         np.asarray, _jax.tree_util.tree_leaves(nnx.state(model.m.first_stage, nnx.Param))
     )
-    unet_before = np.asarray(model.m.unet.conv_in.kernel.value)
+    unet_before = np.asarray(model.m.unet.conv_in.kernel[...])
     trainer = Trainer(
         TrainerConfig(workspace=str(tmp_path), fixed_steps=2, callback_names=[]),
         monitors=[LazyMonitor()],
@@ -693,7 +693,7 @@ def test_ldm_training_diffuses_in_latent_space(image_data, tmp_path) -> None:
     )
     for b, a in zip(fs_before, fs_after):
         np.testing.assert_array_equal(b, a)  # first stage frozen
-    assert not np.array_equal(unet_before, np.asarray(model2.m.unet.conv_in.kernel.value))
+    assert not np.array_equal(unet_before, np.asarray(model2.m.unet.conv_in.kernel[...]))
     # sampled latents decode back to pixel space
     latents = model2.m.sample(2, num_steps=2)
     decoded = model2.m.decode(latents)
@@ -753,7 +753,6 @@ def test_ddpm_log_var_and_elbo_options(tmp_path) -> None:
     assert out.shape == (1, 4, 4, 3)
 
     # condition model frozen by default (condition_learnable=False)
-    from cflearn_tpu.modules.multimodal.diffusion.cond_models import Rescaler
 
     config = DLConfig(
         model="ddpm",
@@ -819,13 +818,13 @@ def test_ldm_vq_first_stage(image_data, tmp_path) -> None:
     from cflearn_tpu.modules.cv.ae import AutoEncoderVQ
 
     assert isinstance(model.m.first_stage, AutoEncoderVQ)
-    codebook_before = np.asarray(model.m.first_stage.codebook.embedding.value)
+    codebook_before = np.asarray(model.m.first_stage.codebook.embedding[...])
     trainer = Trainer(
         TrainerConfig(workspace=str(tmp_path), fixed_steps=2, callback_names=[]),
         monitors=[LazyMonitor()],
     )
     trainer.fit(image_data, model)
-    codebook_after = np.asarray(trainer.model.m.first_stage.codebook.embedding.value)
+    codebook_after = np.asarray(trainer.model.m.first_stage.codebook.embedding[...])
     np.testing.assert_array_equal(codebook_before, codebook_after)
     # encode goes through quantization (z_q), decode returns pixels
     z = trainer.model.m.encode_first_stage(np.zeros((2, 16, 16, 3), np.float32))

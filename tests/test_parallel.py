@@ -460,11 +460,9 @@ def test_ulysses_attention_causal_and_auto() -> None:
 def _single_device_baseline(workload: str, tmp_path) -> dict:
     """Run the workload on a REAL 1-device process (not a 1-axis mesh on 8
     virtual devices) and return its final params."""
-    import json
     import os
     import subprocess
     import sys
-    from pathlib import Path
 
     out = tmp_path / f"baseline_{workload}.npz"
     env = dict(os.environ)

@@ -191,7 +191,6 @@ def test_fused_evaluation_scores_the_ensemble(tmp_path) -> None:
     """Regression (code review): FusedInference used to return member 0's
     metrics — the fused predictions were never scored. The fused score must
     equal the metric computed on the AVERAGED predictions."""
-    from cflearn_tpu.schema.metrics_schema import IMetric
 
     x, y = _toy()
     folders = []

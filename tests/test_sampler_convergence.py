@@ -26,7 +26,6 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 from flax import nnx
 
 from cflearn_tpu.modules.multimodal.diffusion import DDPM, ISampler

@@ -10,13 +10,11 @@ import jax.numpy as jnp
 from flax import nnx
 
 from cflearn_tpu.toolkit import (
-    Serializer,
     WeightsStrategy,
     fix_denormal_states,
     seed_everything,
     slerp,
     sort_dict_by_value,
-    tree,
 )
 from cflearn_tpu.toolkit.registry import Registry, WithRegister
 from cflearn_tpu.toolkit.tree import npd_to_tree, tree_to_npd
@@ -108,7 +106,6 @@ def test_bench_contract() -> None:
     (driver contract) — validated statically by importing its main module
     namespace and checking the emitted schema from a stubbed result."""
     import json
-    import re
 
     src = open("/root/repo/bench.py").read()
     assert "json.dumps(result)" in src
@@ -260,19 +257,19 @@ def test_initializer_builtin_methods() -> None:
     for method in ("xavier_uniform", "xavier_normal", "normal", "truncated_normal"):
         m = _M()
         Initializer().initialize(m, method, key=jax.random.PRNGKey(1))
-        w = np.asarray(m.w.value)
+        w = np.asarray(m.w[...])
         assert w.std() > 0.0, method
         assert abs(float(w.mean())) < 0.1, method
     m = _M()
     Initializer().initialize(m, "truncated_normal", key=jax.random.PRNGKey(1))
-    assert np.abs(np.asarray(m.w.value)).max() <= 2.0 * 0.02 + 1e-6
+    assert np.abs(np.asarray(m.w[...])).max() <= 2.0 * 0.02 + 1e-6
     m = _M()
     Initializer().initialize(m, "orthogonal", key=jax.random.PRNGKey(1))
-    w = np.asarray(m.w.value)
+    w = np.asarray(m.w[...])
     assert np.allclose(w.T @ w, np.eye(64), atol=1e-4)
     m = _M()
     Initializer().initialize(m, "zeros")
-    assert (np.asarray(m.w.value) == 0).all()
+    assert (np.asarray(m.w[...]) == 0).all()
 
 
 def test_mean_std_and_adain() -> None:

@@ -150,7 +150,6 @@ def test_scheduler_warmup(tmp_path) -> None:
 def test_sharded_checkpoint_roundtrip(tmp_path) -> None:
     """Orbax sharded save/load (SURVEY §5.4): config+states round-trip."""
     import numpy as np
-    from flax import nnx
 
     from cflearn_tpu.schema.config import DLConfig
     from cflearn_tpu.schema.model import IDLModel
