@@ -295,11 +295,129 @@ def _xla_conv3x3(x, w, b):
     return out
 
 
+def _conv3x3_wgrad_kernel(x_ref, dy_ref, o_ref, xc_ref, acc_ref, *, th: int, w_len: int, c: int, n_tiles: int):
+    """Weight-grad tile: dw[di, dj*C+c, co] += x_halo[di+h, dj+w, c] *
+    dy[h, w, co], accumulated over the (batch x row-tile) grid axis in a
+    f32 VMEM scratch and flushed on the last tile. The 3 dj taps are staged
+    lane-concatenated (like `_conv3x3_kernel_fold`) so the dot's M dim is
+    3C — a multiple of 128 at every SD channel count except 320/960
+    (960->1024 pads 6.7%, vs 20% for a per-tap 320->384 M), which is where
+    XLA's backward loses to its padding (docs/performance.md)."""
+    t = pl.program_id(1)
+    x = x_ref[0]
+    for dj in range(3):
+        xc_ref[:, :, dj * c : (dj + 1) * c] = x[:, dj : dj + w_len, :]
+    dy2 = dy_ref[0].reshape(th * w_len, -1)
+    for di in range(3):
+        xs = xc_ref[di : di + th].reshape(th * w_len, 3 * c)
+        part = jax.lax.dot_general(
+            xs, dy2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[di] = part
+
+        @pl.when(t > 0)
+        def _():
+            acc_ref[di] += part
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _pick_wgrad_config(bsz: int, h: int, w: int, c: int, co: int, x_bytes: int):
+    """(th, co_blk) for the weight-grad kernel under the VMEM budget, or
+    None (fallback to XLA). The f32 accumulator (3, 3C, co_blk) is the big
+    resident; x/dy tiles are double-buffered."""
+    co_cands = [d for d in (co, 512, 384, 256, 128) if d <= co and co % d == 0 and (d % 128 == 0 or d == co)]
+    for co_blk in co_cands:
+        th = min(h, 16)
+        while th >= 1:
+            if h % th == 0:
+                vmem = (
+                    3 * 3 * c * co_blk * 4  # f32 accumulator (resident)
+                    + (th + 2) * w * 3 * c * x_bytes  # xc staging scratch
+                    + 2 * (th + 2) * (w + 2) * c * x_bytes  # x halo tile
+                    + 2 * th * w * co_blk * x_bytes  # dy tile
+                    + 3 * 3 * c * co_blk * x_bytes  # out tile
+                )
+                if vmem <= _VMEM_BUDGET and th * w <= 8192:
+                    return th, co_blk
+            th -= 1 if th <= 8 else th // 2
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def conv3x3_wgrad_pallas(x: jax.Array, dy: jax.Array, *, out_dtype=None) -> jax.Array:
+    """dL/dw of a 3x3 stride-1 SAME NHWC conv: x (B,H,W,C), dy (B,H,W,Co)
+    -> (3,3,C,Co). Falls back to XLA's transpose conv when no VMEM config
+    fits."""
+    bsz, h, w_len, c = x.shape
+    co = dy.shape[-1]
+    out_dtype = out_dtype or x.dtype
+    cfg = _pick_wgrad_config(bsz, h, w_len, c, co, x.dtype.itemsize)
+    if cfg is None:
+        return _xla_conv3x3_wgrad(x, dy).astype(out_dtype)
+    th, co_blk = cfg
+    n_tiles = bsz * (h // th)
+    tiles_per_img = h // th
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(
+            _conv3x3_wgrad_kernel, th=th, w_len=w_len, c=c, n_tiles=n_tiles
+        ),
+        grid=(co // co_blk, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(th + 2), pl.Element(w_len + 2), pl.Element(c)),
+                lambda ci, t, _th=th, _tpi=tiles_per_img: (t // _tpi, (t % _tpi) * _th, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, th, w_len, co_blk),
+                lambda ci, t, _tpi=tiles_per_img: (t // _tpi, t % _tpi, 0, ci),
+            ),
+        ],
+        out_specs=pl.BlockSpec((3, 3 * c, co_blk), lambda ci, t: (0, 0, ci)),
+        out_shape=jax.ShapeDtypeStruct((3, 3 * c, co), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((th + 2), w_len, 3 * c), x.dtype),
+            pltpu.VMEM((3, 3 * c, co_blk), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * w_len * c * co * 9,
+            bytes_accessed=(xp.size + dy.size) * x.dtype.itemsize + 9 * c * co * 4,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(xp, dy)
+    # lanes are dj-major: out[di, dj*C+c, co] == dw[di, dj, c, co]
+    return out.reshape(3, 3, c, co)
+
+
+def _xla_conv3x3_wgrad(x: jax.Array, dy: jax.Array) -> jax.Array:
+    _, vjp = jax.vjp(
+        lambda w_: jax.lax.conv_general_dilated(
+            x, w_, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ),
+        jnp.zeros((3, 3, x.shape[-1], dy.shape[-1]), x.dtype),
+    )
+    return vjp(dy)[0]
+
+
+def _flip_weights(w: jax.Array) -> jax.Array:
+    """Input-grad weights: rot180 + in/out transpose — dx = conv(dy, w')."""
+    return jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+
+
 @jax.custom_vjp
 def conv3x3(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
-    """3x3 stride-1 SAME NHWC conv: Pallas forward, XLA-derived backward
-    (the backward of a stride-1 SAME conv is itself two convs, which XLA
-    handles well; the forward is the hot inference path)."""
+    """3x3 stride-1 SAME NHWC conv: Pallas forward; the backward of a
+    stride-1 SAME conv is itself a 3x3 conv (input grad, with rot180
+    transposed weights — REUSES the forward kernel) plus a 9-tap
+    batched-contraction (weight grad, `conv3x3_wgrad_pallas`), each
+    dispatched to Pallas at the shapes where it wins and to XLA elsewhere."""
     return conv3x3_pallas(x, w, b)
 
 
@@ -309,11 +427,33 @@ def _conv3x3_fwd(x, w, b):
 
 def _conv3x3_bwd(res, dy):
     x, w, b = res
-    _, vjp = jax.vjp(lambda x_, w_, b_: _xla_conv3x3(x_, w_, b_), x, w, b)
-    return vjp(dy)
+    wf = _flip_weights(w)
+    # input grad: the same conv with flipped weights — same dispatcher
+    if _shape_wins(dy, wf):
+        dx = conv3x3_pallas(dy, wf)
+    else:
+        dx = _xla_conv3x3(dy, wf, None)
+    dx = dx.astype(x.dtype)
+    if _wgrad_shape_wins(x, dy):
+        dw = conv3x3_wgrad_pallas(x, dy, out_dtype=w.dtype)
+    else:
+        dw = _xla_conv3x3_wgrad(x, dy).astype(w.dtype)
+    db = jnp.sum(dy, axis=(0, 1, 2)).astype(b.dtype) if b is not None else None
+    return dx, dw, db
 
 
 conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+
+
+def _wgrad_shape_wins(x: jax.Array, dy: jax.Array) -> bool:
+    """Measured on v5e (scripts/profile_conv_bwd.py): the Pallas weight-grad
+    wins where XLA pays M-dim pad waste (C=320/640 taps) and at the large
+    VAE shapes; XLA keeps the rest. Refined per measurement like
+    `_shape_wins`."""
+    if _pick_wgrad_config(x.shape[0], x.shape[1], x.shape[2], x.shape[-1], dy.shape[-1], x.dtype.itemsize) is None:
+        return False
+    hw = x.shape[1] * x.shape[2]
+    return hw >= 64 * 64
 
 
 def _shape_wins(x: jax.Array, w: jax.Array) -> bool:
