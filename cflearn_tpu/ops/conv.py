@@ -295,32 +295,32 @@ def _xla_conv3x3(x, w, b):
     return out
 
 
-def _conv3x3_wgrad_kernel(x_ref, dy_ref, o_ref, xc_ref, acc_ref, *, th: int, w_len: int, c: int, n_tiles: int):
-    """Weight-grad tile: dw[di, dj*C+c, co] += x_halo[di+h, dj+w, c] *
-    dy[h, w, co], accumulated over the (batch x row-tile) grid axis in a
-    f32 VMEM scratch and flushed on the last tile. The 3 dj taps are staged
-    lane-concatenated (like `_conv3x3_kernel_fold`) so the dot's M dim is
-    3C — a multiple of 128 at every SD channel count except 320/960
-    (960->1024 pads 6.7%, vs 20% for a per-tap 320->384 M), which is where
-    XLA's backward loses to its padding (docs/performance.md)."""
+def _conv3x3_wgrad_kernel(x_ref, dy_ref, o_ref, acc_ref, *, nb: int, th: int, w_len: int, c: int, n_tiles: int):
+    """Weight-grad tile: dw[di*3+dj, c, co] += x_halo[n, di+h, dj+w, c] *
+    dy[n, h, w, co], accumulated over the (batch x row-tile) grid axis in a
+    f32 VMEM scratch and flushed on the last tile. Forward-kernel style:
+    per-tap shifted slices + reshape (the pattern `_conv3x3_kernel` already
+    runs fast), with `nb` batch images folded into the contraction so the
+    dot's K dim is nb*th*W — the first design (lane-staged taps, K=th*W)
+    measured 4-20x slower than XLA from tiny contractions."""
     t = pl.program_id(1)
-    x = x_ref[0]
-    for dj in range(3):
-        xc_ref[:, :, dj * c : (dj + 1) * c] = x[:, dj : dj + w_len, :]
-    dy2 = dy_ref[0].reshape(th * w_len, -1)
+    x = x_ref[...]
+    dy2 = dy_ref[...].reshape(nb * th * w_len, -1)
     for di in range(3):
-        xs = xc_ref[di : di + th].reshape(th * w_len, 3 * c)
-        part = jax.lax.dot_general(
-            xs, dy2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        for dj in range(3):
+            xs = x[:, di : di + th, dj : dj + w_len, :].reshape(nb * th * w_len, c)
+            part = jax.lax.dot_general(
+                xs, dy2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            idx = di * 3 + dj
 
-        @pl.when(t == 0)
-        def _():
-            acc_ref[di] = part
+            @pl.when(t == 0)
+            def _():
+                acc_ref[idx] = part
 
-        @pl.when(t > 0)
-        def _():
-            acc_ref[di] += part
+            @pl.when(t > 0)
+            def _():
+                acc_ref[idx] += part
 
     @pl.when(t == n_tiles - 1)
     def _():
@@ -328,24 +328,37 @@ def _conv3x3_wgrad_kernel(x_ref, dy_ref, o_ref, xc_ref, acc_ref, *, th: int, w_l
 
 
 def _pick_wgrad_config(bsz: int, h: int, w: int, c: int, co: int, x_bytes: int):
-    """(th, co_blk) for the weight-grad kernel under the VMEM budget, or
-    None (fallback to XLA). The f32 accumulator (3, 3C, co_blk) is the big
-    resident; x/dy tiles are double-buffered."""
+    """(nb, th, co_blk) for the weight-grad kernel under the VMEM budget, or
+    None (fallback to XLA). The f32 accumulator (9, C, co_blk) is the big
+    resident; x/dy tiles are double-buffered. Maximize the contraction size
+    K = nb*th*W (the v1 lesson), tie-break on fewer co blocks."""
     co_cands = [d for d in (co, 512, 384, 256, 128) if d <= co and co % d == 0 and (d % 128 == 0 or d == co)]
+    best = None  # (K, co_blk, nb, th)
     for co_blk in co_cands:
-        th = min(h, 16)
-        while th >= 1:
-            if h % th == 0:
-                vmem = (
-                    3 * 3 * c * co_blk * 4  # f32 accumulator (resident)
-                    + (th + 2) * w * 3 * c * x_bytes  # xc staging scratch
-                    + 2 * (th + 2) * (w + 2) * c * x_bytes  # x halo tile
-                    + 2 * th * w * co_blk * x_bytes  # dy tile
-                    + 3 * 3 * c * co_blk * x_bytes  # out tile
-                )
-                if vmem <= _VMEM_BUDGET and th * w <= 8192:
-                    return th, co_blk
-            th -= 1 if th <= 8 else th // 2
+        acc = 9 * c * co_blk * 4 + 9 * c * co_blk * x_bytes  # accumulator + out tile
+        if acc > _VMEM_BUDGET:
+            continue
+        for nb in [n for n in range(min(bsz, 8), 0, -1) if bsz % n == 0]:
+            th = min(h, 32)
+            while th >= 1:
+                if h % th == 0:
+                    k = nb * th * w
+                    vmem = (
+                        acc
+                        + 2 * nb * (th + 2) * (w + 2) * c * x_bytes  # x halo tile (dbuf)
+                        + nb * (th + 2) * (w + 2) * c * x_bytes  # x value copy
+                        + 2 * nb * th * w * co_blk * x_bytes  # dy tile (dbuf)
+                        + k * c * x_bytes  # xs reshape stack temp
+                        + k * co_blk * x_bytes  # dy2 reshape stack temp
+                        + c * co_blk * 4  # per-tap f32 partial
+                    )
+                    if vmem <= _VMEM_BUDGET and k <= 8192:
+                        if best is None or (k, co_blk) > (best[0], best[1]):
+                            best = (k, co_blk, nb, th)
+                        break
+                th -= 1 if th <= 8 else th // 2
+    if best is not None:
+        return best[2], best[3], best[1]
     return None
 
 
@@ -360,30 +373,34 @@ def conv3x3_wgrad_pallas(x: jax.Array, dy: jax.Array, *, out_dtype=None) -> jax.
     cfg = _pick_wgrad_config(bsz, h, w_len, c, co, x.dtype.itemsize)
     if cfg is None:
         return _xla_conv3x3_wgrad(x, dy).astype(out_dtype)
-    th, co_blk = cfg
-    n_tiles = bsz * (h // th)
+    nb, th, co_blk = cfg
     tiles_per_img = h // th
+    n_tiles = (bsz // nb) * tiles_per_img
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     out = pl.pallas_call(
         functools.partial(
-            _conv3x3_wgrad_kernel, th=th, w_len=w_len, c=c, n_tiles=n_tiles
+            _conv3x3_wgrad_kernel, nb=nb, th=th, w_len=w_len, c=c, n_tiles=n_tiles
         ),
         grid=(co // co_blk, n_tiles),
         in_specs=[
             pl.BlockSpec(
-                (pl.Element(1), pl.Element(th + 2), pl.Element(w_len + 2), pl.Element(c)),
-                lambda ci, t, _th=th, _tpi=tiles_per_img: (t // _tpi, (t % _tpi) * _th, 0, 0),
+                (pl.Element(nb), pl.Element(th + 2), pl.Element(w_len + 2), pl.Element(c)),
+                lambda ci, t, _nb=nb, _th=th, _tpi=tiles_per_img: (
+                    (t // _tpi) * _nb,
+                    (t % _tpi) * _th,
+                    0,
+                    0,
+                ),
             ),
             pl.BlockSpec(
-                (1, th, w_len, co_blk),
+                (nb, th, w_len, co_blk),
                 lambda ci, t, _tpi=tiles_per_img: (t // _tpi, t % _tpi, 0, ci),
             ),
         ],
-        out_specs=pl.BlockSpec((3, 3 * c, co_blk), lambda ci, t: (0, 0, ci)),
-        out_shape=jax.ShapeDtypeStruct((3, 3 * c, co), out_dtype),
+        out_specs=pl.BlockSpec((9, c, co_blk), lambda ci, t: (0, 0, ci)),
+        out_shape=jax.ShapeDtypeStruct((9, c, co), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM(((th + 2), w_len, 3 * c), x.dtype),
-            pltpu.VMEM((3, 3 * c, co_blk), jnp.float32),
+            pltpu.VMEM((9, c, co_blk), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * w_len * c * co * 9,
@@ -392,7 +409,7 @@ def conv3x3_wgrad_pallas(x: jax.Array, dy: jax.Array, *, out_dtype=None) -> jax.
         ),
         interpret=_INTERPRET,
     )(xp, dy)
-    # lanes are dj-major: out[di, dj*C+c, co] == dw[di, dj, c, co]
+    # leading axis is (di, dj) row-major: out[di*3+dj, c, co] == dw[di, dj, c, co]
     return out.reshape(3, 3, c, co)
 
 
@@ -445,15 +462,26 @@ def _conv3x3_bwd(res, dy):
 conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
 
 
+_WGRAD_PALLAS = bool(int(os.environ.get("CFLEARN_TPU_WGRAD_PALLAS", "0")))
+
+
 def _wgrad_shape_wins(x: jax.Array, dy: jax.Array) -> bool:
-    """Measured on v5e (scripts/profile_conv_bwd.py): the Pallas weight-grad
-    wins where XLA pays M-dim pad waste (C=320/640 taps) and at the large
-    VAE shapes; XLA keeps the rest. Refined per measurement like
-    `_shape_wins`."""
-    if _pick_wgrad_config(x.shape[0], x.shape[1], x.shape[2], x.shape[-1], dy.shape[-1], x.dtype.itemsize) is None:
+    """Measured on v5e with the clean N=100 protocol
+    (scripts/profile_conv_bwd.py -> docs/conv_bwd_profile.json): XLA's
+    weight-grad runs 91-149 TF/s across every SD hot shape and beats the
+    Pallas kernel everywhere (best Pallas: 109 TF/s at 128^2x512 vs XLA
+    144). The kernel stays available behind CFLEARN_TPU_WGRAD_PALLAS=1 for
+    future shapes; the default dispatch is XLA. (The r3 claim that conv
+    backward sat at ~45 TF/s was contaminated by per-call tunnel overhead —
+    see docs/performance.md 'measurement protocol'.)"""
+    if not _WGRAD_PALLAS:
         return False
-    hw = x.shape[1] * x.shape[2]
-    return hw >= 64 * 64
+    return (
+        _pick_wgrad_config(
+            x.shape[0], x.shape[1], x.shape[2], x.shape[-1], dy.shape[-1], x.dtype.itemsize
+        )
+        is not None
+    )
 
 
 def _shape_wins(x: jax.Array, w: jax.Array) -> bool:

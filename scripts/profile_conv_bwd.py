@@ -29,7 +29,7 @@ import numpy as np
 
 from cflearn_tpu.ops import conv as C
 
-ITERS = 10
+ITERS = int(os.environ.get("CFLEARN_PROFILE_ITERS", "100"))
 OUT = REPO / "docs" / "conv_bwd_profile.json"
 
 # (B, H, W, C, Co): SD-1.5 UNet + VAE training hot shapes (B=8 finetune)
@@ -46,16 +46,24 @@ SHAPES = [
 
 
 def timed(fn, *args) -> float:
-    def body(c, _):
-        out = fn(*args)
-        return c + jnp.sum(out[0] if isinstance(out, tuple) else out).astype(jnp.float32), None
+    """scan x ITERS in one jit; operands are ARGUMENTS (closure constants
+    bloat the remote-compile payload), and the first operand depends on the
+    carry so XLA cannot hoist the loop-invariant body."""
 
-    scanned = jax.jit(lambda: jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=ITERS)[0])
-    float(scanned())  # compile + warm
+    @jax.jit
+    def scanned(*ops):
+        def body(c, _):
+            first = ops[0] + c.astype(ops[0].dtype) * 0
+            out = fn(first, *ops[1:])
+            return c + jnp.sum(out[0] if isinstance(out, tuple) else out).astype(jnp.float32), None
+
+        return jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=ITERS)[0]
+
+    float(scanned(*args))  # compile + warm
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        float(scanned())
+        float(scanned(*args))
         best = min(best, (time.perf_counter() - t0) / ITERS)
     return best
 
@@ -71,13 +79,13 @@ def main() -> None:
         flops = 2 * b * h * w * c * co * 9 / 1e12
 
         wf = C._flip_weights(wt)
-        t_dx_xla = timed(lambda: C._xla_conv3x3(dy, wf, None))
+        t_dx_xla = timed(lambda d, w_: C._xla_conv3x3(d, w_, None), dy, wf)
         cfg = C._pick_config(b, h, w, co, c, dy.dtype.itemsize)
-        t_dx_pal = timed(lambda: C.conv3x3_pallas(dy, wf)) if cfg else None
+        t_dx_pal = timed(C.conv3x3_pallas, dy, wf) if cfg else None
 
-        t_dw_xla = timed(lambda: C._xla_conv3x3_wgrad(x, dy))
+        t_dw_xla = timed(C._xla_conv3x3_wgrad, x, dy)
         wcfg = C._pick_wgrad_config(b, h, w, c, co, x.dtype.itemsize)
-        t_dw_pal = timed(lambda: C.conv3x3_wgrad_pallas(x, dy)) if wcfg else None
+        t_dw_pal = timed(C.conv3x3_wgrad_pallas, x, dy) if wcfg else None
 
         row = {
             "shape": [b, h, w, c, co],
