@@ -47,7 +47,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
-import numpy as np
+
 from flax import nnx
 
 OUT = REPO / "docs" / "collectives_audit.json"

@@ -21,7 +21,6 @@ Writes docs/ceiling_trace.json.
 """
 
 import json
-import math
 import os
 import sys
 from collections import defaultdict

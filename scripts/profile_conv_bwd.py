@@ -25,7 +25,6 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/cflearn_tpu/jax_cac
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import jax.numpy as jnp
-import numpy as np
 
 from cflearn_tpu.ops import conv as C
 
