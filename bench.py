@@ -118,7 +118,9 @@ def configure(model, config: str) -> dict:
     return {"guidance_interval": GUIDANCE_INTERVAL} if config == "accelerated" else {}
 
 
-def measure(model, config: str) -> float:
+def measure(model, config: str, latent_hw: int = 64) -> float:
+    """Throughput of one serving config; `latent_hw` = image_px / 8
+    (64 → the 512px headline; scripts/bench_shapes.py sweeps 32/96)."""
     from cflearn_tpu.modules.multimodal.diffusion.samplers import ISampler
 
     sampler_config = configure(model, config)
@@ -133,7 +135,7 @@ def measure(model, config: str) -> float:
         both = m.get_cond(jnp.concatenate([tokens, uncond_tokens], axis=0))
         cond, uncond = jnp.split(both, 2, axis=0)
         sampler = ISampler.make("ddim", {"model": m, **sampler_config})
-        z = jax.random.normal(key, (BATCH, 64, 64, 4), dtype=jnp.float32)
+        z = jax.random.normal(key, (BATCH, latent_hw, latent_hw, 4), dtype=jnp.float32)
         latents = sampler.sample(
             z, cond=cond, uncond=uncond, guidance_scale=GUIDANCE,
             num_steps=NUM_STEPS, key=key,

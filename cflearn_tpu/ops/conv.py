@@ -139,7 +139,11 @@ def _pick_config(bsz: int, h: int, w: int, c: int, co: int, x_bytes: int):
     pinned = _PINNED_CONFIGS.get((h, w, c, co))
     if pinned is not None:
         nb, th, co_blk = pinned
-        if bsz % nb == 0:
+        # pinned configs sit above the conservative budget and were measured
+        # at bf16; at f32 their true Mosaic allocation exceeds the 16M scoped
+        # VMEM limit (seen as a compile-time OOM in the AE-256px input-grad),
+        # so only honor them for <=2-byte dtypes
+        if bsz % nb == 0 and x_bytes <= 2:
             return pinned
     co_cands = [co] + [d for d in range(co - 128, 0, -128) if co % d == 0 and d % 128 == 0]
     nb_cands = [n for n in range(min(bsz, 16), 0, -1) if bsz % n == 0]
@@ -487,7 +491,11 @@ def _wgrad_shape_wins(x: jax.Array, dy: jax.Array) -> bool:
 def _shape_wins(x: jax.Array, w: jax.Array) -> bool:
     """Measured on v5e: the kernel beats XLA at >=128^2 spatial for any SD
     channel count, plus the pinned 64^2x512 VAE shape. Elsewhere XLA's conv
-    is at least as good (or the config is unvalidated — see _PINNED_CONFIGS)."""
+    is at least as good (or the config is unvalidated — see _PINNED_CONFIGS).
+    Every win was measured at bf16; f32 (training-dtype) convs stay on XLA —
+    the kernel's VMEM model is calibrated for 2-byte operands."""
+    if x.dtype.itemsize > 2:
+        return False
     hw = x.shape[1] * x.shape[2]
     shape_key = (x.shape[1], x.shape[2], x.shape[-1], w.shape[-1])
     return hw >= 128 * 128 or shape_key in _PINNED_CONFIGS
@@ -511,6 +519,8 @@ def use_pallas_conv(x: jax.Array, w: jax.Array, strides, padding) -> bool:
                 return False
         except TypeError:
             return False
+    if w.dtype.itemsize > 2:  # conv_call casts x to the kernel dtype
+        return False
     return x.shape[-1] >= 64 and w.shape[-1] >= 64 and _shape_wins(x, w)
 
 

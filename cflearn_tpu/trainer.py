@@ -33,6 +33,7 @@ from flax import nnx
 from .constants import (
     CHECKPOINTS_FOLDER,
     CKPT_PREFIX,
+    INPUT_KEY,
     LOSS_KEY,
     SCORES_FILE,
 )
@@ -66,6 +67,20 @@ def _refresh(state: Any) -> Any:
     """Identity tree_map: rebuilds nnx Variables at the current trace level
     (State leaves are raw arrays, so unflatten creates fresh Variables)."""
     return jax.tree_util.tree_map(lambda a: a, state)
+
+
+def _cast_floating(state: Any, dtype: Any) -> Any:
+    """Cast the floating leaves of a State (AMP compute cast; ints/bools and
+    non-array leaves pass through)."""
+
+    def _cast(a: Any) -> Any:
+        return (
+            a.astype(dtype)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a
+        )
+
+    return jax.tree_util.tree_map(_cast, state)
 
 
 def get_scores(checkpoint_folder: str) -> Dict[str, float]:
@@ -256,6 +271,14 @@ class Trainer(ITrainer):
         train_steps = model.train_steps
         txs = self.txs
         mesh = self.mesh
+        # AMP (SURVEY §2.10; the reference forwards accelerate's
+        # `mixed_precision`, `/root/reference/cflearn/trainer.py:226-229`):
+        # bf16 compute with f32 master params. Param leaves are cast to bf16
+        # INSIDE the loss (grads flow through the cast back to the f32
+        # masters, so optimizer state and updates stay f32); non-Param state
+        # (BatchStat, noise-schedule buffers) stays f32; the model input is
+        # cast so jnp promotion doesn't silently re-widen the network to f32.
+        amp_dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else None
         # callback-mutated kwargs (reference `mutate_train_forward_kwargs` /
         # `mutate_train_loss_kwargs`, `schema.py:1726+`) — static closures
         forward_kwargs: Dict[str, Any] = {}
@@ -301,16 +324,43 @@ class Trainer(ITrainer):
                 if not actives[i]:
                     continue
                 flt = merged.params_filter(ts.scope)
-                gd, diff, rest = nnx.split(merged, flt, ...)
+                if amp_dtype is None:
+                    gd, diff, rest = nnx.split(merged, flt, ...)
+                    rest_p = None
+                else:
+                    # split rest into its Param part (cast for compute, but
+                    # written back from the untouched f32 originals — params
+                    # outside this scope never change during a forward) and
+                    # the mutable non-Param remainder (BatchStat/Rng)
+                    gd, diff, rest_p, rest = nnx.split(merged, flt, nnx.Param, ...)
 
-                def loss_fn(diff_params: Any, _gd=gd, _rest=rest, _ts=ts, _flt=flt) -> Any:
+                def loss_fn(
+                    diff_params: Any, _gd=gd, _rest_p=rest_p, _rest=rest, _ts=ts, _flt=flt
+                ) -> Any:
                     # refresh: rebuild Variables at this trace level so
                     # BatchStat/Rng mutations inside forward are legal
-                    m = nnx.merge(_gd, _refresh(diff_params), _refresh(_rest))
-                    fwd = m.run(batch, training=True, **forward_kwargs)
+                    if amp_dtype is None:
+                        m = nnx.merge(_gd, _refresh(diff_params), _refresh(_rest))
+                        fwd_batch = batch
+                    else:
+                        m = nnx.merge(
+                            _gd,
+                            _refresh(_cast_floating(diff_params, amp_dtype)),
+                            _refresh(_cast_floating(_rest_p, amp_dtype)),
+                            _refresh(_rest),
+                        )
+                        fwd_batch = dict(batch)
+                        x_in = fwd_batch.get(INPUT_KEY)
+                        if x_in is not None and jnp.issubdtype(x_in.dtype, jnp.floating):
+                            fwd_batch[INPUT_KEY] = x_in.astype(amp_dtype)
+                    fwd = m.run(fwd_batch, training=True, **forward_kwargs)
+                    # losses see the ORIGINAL batch (f32 labels/targets)
                     losses = _ts.loss_fn(m, batch, fwd, **loss_kwargs)
-                    _, _, new_rest = nnx.split(m, _flt, ...)
-                    return losses[LOSS_KEY], (losses, new_rest)
+                    if amp_dtype is None:
+                        _, _, new_rest = nnx.split(m, _flt, ...)
+                    else:
+                        _, _, _, new_rest = nnx.split(m, _flt, nnx.Param, ...)
+                    return losses[LOSS_KEY].astype(jnp.float32), (losses, new_rest)
 
                 grads, (losses, new_rest) = jax.grad(loss_fn, has_aux=True)(diff)
                 new_rest = _refresh(new_rest)
@@ -328,11 +378,17 @@ class Trainer(ITrainer):
                 if scale is not None:
                     updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
                 new_diff = optax.apply_updates(diff, updates)
-                merged = nnx.merge(gd, new_diff, new_rest)
+                if rest_p is None:
+                    merged = nnx.merge(gd, new_diff, new_rest)
+                else:  # AMP: out-of-scope params come back as f32 masters
+                    merged = nnx.merge(gd, new_diff, _refresh(rest_p), new_rest)
                 opt_states = dict(opt_states)
                 opt_states[ts.scope] = new_opt
                 prefix = "" if len(train_steps) == 1 else f"{ts.scope}_"
                 for k, v in losses.items():
+                    # logged scalars in f32 even when AMP computed them bf16
+                    if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating):
+                        v = v.astype(jnp.float32)
                     loss_items[prefix + k] = v
             merged.post_step_update()
             new_full = nnx.state(merged)

@@ -71,7 +71,11 @@ def test_use_pallas_conv_gating() -> None:
     assert not C.use_pallas_conv(x_big, w, (1, 1), "VALID")
     # small spatial with narrow channels loses to XLA
     assert not C._shape_wins(x_small, w)
-    assert C._shape_wins(x_big, w)
+    # f32 never dispatches (wins measured at bf16 only; the pinned VAE
+    # config compile-OOMs scoped VMEM at 4-byte operands)
+    assert not C._shape_wins(x_big, w)
+    assert not C.use_pallas_conv(x_big, w, (1, 1), "SAME")
+    assert C._shape_wins(x_big.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
 
 
 def test_conv3x3_w8a8_quant_noise_bounded() -> None:

@@ -329,3 +329,46 @@ def test_preemption_dump_and_resume(tmp_path) -> None:
     assert calls2["n"] == 4, "resume must skip the already-run steps"
     # normal completion invalidates the dump
     assert not os.path.isdir(pre)
+
+
+def test_amp_bf16_compute_f32_masters(tmp_path) -> None:
+    """`mixed_precision="bf16"` (SURVEY §2.10 AMP; reference forwards
+    accelerate's mixed_precision, `trainer.py:226-229`): the compiled step
+    must run its matmuls in bf16 while master params, optimizer updates and
+    the stored state stay f32 — and the model must still learn."""
+    import jax
+    import jax.numpy as jnp
+
+    x, y = _toy_cls_data()
+    config = DLConfig(
+        module_name="fcnn",
+        module_config={"input_dim": 8, "output_dim": 2, "hidden_units": [32]},
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    data = ArrayData.init().fit(x, y, x_valid=x[:64], y_valid=y[:64])
+    trainer = Trainer(
+        TrainerConfig(
+            workspace=str(tmp_path), num_epoch=20, lr=3.0e-3, mixed_precision="bf16"
+        ),
+        metrics=IMetric.fuse("acc"),
+        monitors=[BasicMonitor()],
+    )
+    trainer.fit(data, model)
+    assert trainer.final_results is not None
+    assert trainer.final_results.metric_values["acc"] > 0.8
+
+    # master params stayed f32 end-to-end
+    leaves = jax.tree_util.tree_leaves(trainer._full_state)
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in leaves
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+    )
+
+    # the compiled program really computes in bf16: every dot in the jaxpr
+    # takes bf16 operands (the cast happens inside the loss)
+    fn = trainer.get_step_fn((True,))
+    batch = {k: jnp.asarray(v) for k, v in dict(next(iter(trainer.train_loader))).items() if v is not None}
+    jaxpr = str(jax.make_jaxpr(fn)(trainer._full_state, trainer._opt_states, {}, batch))
+    assert "bf16" in jaxpr, "AMP step must contain bf16 compute"
