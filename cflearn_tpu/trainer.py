@@ -126,6 +126,7 @@ class Trainer(ITrainer):
         self.callbacks = callbacks or []
         self.inference = inference or DLInference()
         self.state: Optional[TrainerState] = None
+        self._num_step_per_epoch: Optional[int] = None
         self.intermediate: Optional[MetricsOutputs] = None
         self.final_results: Optional[MetricsOutputs] = None
         self.checkpoint_scores: Dict[str, float] = {}
@@ -251,6 +252,16 @@ class Trainer(ITrainer):
                     self.lr_scales[scope] = PlateauState(
                         **{k: v for k, v in pkw.items() if k in allowed}
                     )
+                if self.config.update_scheduler_per_epoch and callable(schedule):
+                    # reference `scheduler_step` advances once per EPOCH when
+                    # this flag is set (`trainer.py:178-198`); the optax
+                    # equivalent feeds the schedule the epoch index instead
+                    # of the step count
+                    steps_per_epoch = max(1, int(self._num_step_per_epoch or 1))
+                    base_schedule = schedule
+
+                    def schedule(count, _b=base_schedule, _n=steps_per_epoch):
+                        return _b(count // _n)
             tx = build_optimizer(sub.get("optimizer", "adam"), schedule, **opt_config)
             if self.config.clip_norm > 0.0:
                 tx = optax.chain(optax.clip_by_global_norm(self.config.clip_norm), tx)
@@ -507,6 +518,7 @@ class Trainer(ITrainer):
         set_mesh(self.mesh)
 
         train_loader, valid_loader = data.get_loaders()
+        self._num_step_per_epoch = len(train_loader)
         self.train_loader = train_loader
         self.valid_loader = valid_loader
 

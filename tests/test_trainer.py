@@ -372,3 +372,38 @@ def test_amp_bf16_compute_f32_masters(tmp_path) -> None:
     batch = {k: jnp.asarray(v) for k, v in dict(next(iter(trainer.train_loader))).items() if v is not None}
     jaxpr = str(jax.make_jaxpr(fn)(trainer._full_state, trainer._opt_states, {}, batch))
     assert "bf16" in jaxpr, "AMP step must contain bf16 compute"
+
+
+def test_update_scheduler_per_epoch(tmp_path) -> None:
+    """`update_scheduler_per_epoch=True` advances the schedule once per EPOCH
+    (reference `Trainer.scheduler_step`, `trainer.py:178-198`): the optax
+    schedule sees the epoch index, not the raw step count."""
+    import numpy as np_
+
+    x, y = _toy_cls_data(n=64)
+    config = DLConfig(
+        module_name="fcnn",
+        module_config={"input_dim": 8, "output_dim": 2, "hidden_units": [16]},
+        loss_name="cross_entropy",
+        scheduler_name="exponential",
+        scheduler_config={"gamma": 0.5},
+        update_scheduler_per_epoch=True,
+        num_epoch=2,
+    )
+    from cflearn_tpu.schema.data import DataConfig
+
+    model = IDLModel.from_config(config)
+    dc = DataConfig()
+    dc.batch_size = 16
+    data = ArrayData.init(dc).fit(x, y)
+    trainer = Trainer(config, monitors=[BasicMonitor()])
+    trainer.fit(data, model, skip_final_evaluation=True)
+    sched = trainer.schedules["all"]
+    steps_per_epoch = trainer._num_step_per_epoch
+    assert steps_per_epoch == 4  # 64 / 16
+    lr0 = float(sched(0))
+    # constant within the first epoch...
+    assert float(sched(steps_per_epoch - 1)) == lr0
+    # ...and halved exactly at each epoch boundary
+    assert np_.isclose(float(sched(steps_per_epoch)), lr0 * 0.5)
+    assert np_.isclose(float(sched(3 * steps_per_epoch)), lr0 * 0.125)
