@@ -144,7 +144,8 @@ def _adamp(lr: ScalarOrSchedule, **kwargs: Any) -> optax.GradientTransformation:
 
 class OptimizerPack(NamedTuple):
     """Per-scope optimizer/scheduler declaration (reference `schema.py:1718`);
-    accepted as a value of `TrainerConfig.optimizer_settings`."""
+    accepted as a value of `TrainerConfig.optimizer_settings` and as an entry
+    of the list-form `TrainerConfig.optimizer_packs`."""
 
     scope: str
     optimizer_name: str

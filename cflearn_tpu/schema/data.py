@@ -455,6 +455,44 @@ class IData(ISerializable):
     def build_loader(self, x: data_type, y: data_type = None, **kwargs: Any) -> IDataLoader:
         raise NotImplementedError
 
+    def split_validation(self: TData, split: Union[int, float], *, seed: int = 0) -> TData:
+        """Carve a validation set out of ``x_train`` when none was provided.
+
+        ``split`` < 1 is a portion of the train rows, otherwise a sample
+        count. Rows are drawn with a seeded permutation so repeated fits see
+        the same split (consumed by `TrainerConfig.validation_split`)."""
+        assert self.bundle is not None, "`fit` the data before splitting"
+        if self.bundle.x_valid is not None:
+            return self
+        n = _num_samples(self.bundle.x_train)
+        if isinstance(split, float) and split < 1.0:
+            n_valid = int(round(n * split))
+        else:
+            n_valid = int(split)
+        n_valid = max(1, min(n_valid, n - 1))
+        perm = np.random.default_rng(seed).permutation(n)
+        valid_idx, train_idx = perm[:n_valid], perm[n_valid:]
+
+        def take(x: Any, idx: np.ndarray) -> Any:
+            if x is None:
+                return None
+            if isinstance(x, np.ndarray):
+                return x[idx]
+            if isinstance(x, dict):
+                return {k: take(v, idx) for k, v in x.items()}
+            if isinstance(x, list):
+                return [x[int(i)] for i in idx]
+            raise TypeError(f"cannot split data of type {type(x)}")
+
+        b = self.bundle
+        b.x_valid = take(b.x_train, valid_idx)
+        b.y_valid = take(b.y_train, valid_idx)
+        b.valid_others = take(b.train_others, valid_idx)
+        b.x_train = take(b.x_train, train_idx)
+        b.y_train = take(b.y_train, train_idx)
+        b.train_others = take(b.train_others, train_idx)
+        return self
+
     def set_sample_weights(self: TData, sample_weights: Optional[np.ndarray]) -> TData:
         if sample_weights is None:
             self.train_weights = self.valid_weights = None

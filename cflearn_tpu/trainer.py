@@ -202,27 +202,39 @@ class Trainer(ITrainer):
                 "scheduler_config": scheduler_config,
             }
         }
+        def _merge(scope: str, sub: Any) -> None:
+            if sub is None:
+                return
+            if hasattr(sub, "_asdict"):  # reference OptimizerPack
+                sub = sub._asdict()
+            sub = {k: v for k, v in dict(sub).items() if k != "scope" and v is not None}
+            if "optimizer_name" in sub:
+                sub["optimizer"] = sub.pop("optimizer_name")
+            if "scheduler_name" in sub:
+                sub["scheduler"] = sub.pop("scheduler_name")
+            merged = dict(settings.get(scope, settings["all"]))
+            merged = json.loads(json.dumps(merged))
+            merged.update({k: v for k, v in sub.items() if v is not None})
+            if "lr" in sub:
+                merged.setdefault("optimizer_config", {})
+                merged["optimizer_config"]["lr"] = sub["lr"]
+            if sub.get("scheduler") == "none":
+                merged["scheduler"] = None
+            settings[scope] = merged
+
         if self.config.optimizer_settings:
             for scope, sub in self.config.optimizer_settings.items():
-                if sub is None:
-                    continue
-                if hasattr(sub, "_asdict"):  # reference OptimizerPack
-                    sub = {
-                        k: v
-                        for k, v in sub._asdict().items()
-                        if k != "scope" and v is not None
-                    }
-                    if "optimizer_name" in sub:
-                        sub["optimizer"] = sub.pop("optimizer_name")
-                    if "scheduler_name" in sub:
-                        sub["scheduler"] = sub.pop("scheduler_name")
-                merged = dict(settings.get(scope, settings["all"]))
-                merged = json.loads(json.dumps(merged))
-                merged.update({k: v for k, v in sub.items() if v is not None})
-                if "lr" in sub:
-                    merged.setdefault("optimizer_config", {})
-                    merged["optimizer_config"]["lr"] = sub["lr"]
-                settings[scope] = merged
+                _merge(scope, sub)
+        # list-form packs (reference `OptimizerPack`, `schema.py:1718` /
+        # `pipeline/blocks/basic.py:414-437`) — applied after the dict-form
+        # settings so an explicit pack wins for its scope
+        if self.config.optimizer_packs:
+            for pack in self.config.optimizer_packs:
+                if hasattr(pack, "_asdict"):
+                    pack = pack._asdict()
+                else:
+                    pack = dict(pack)
+                _merge(pack.get("scope", "all"), pack)
         return settings
 
     def _build_optimizers(self, model: IDLModel) -> None:
@@ -290,6 +302,11 @@ class Trainer(ITrainer):
         # (BatchStat, noise-schedule buffers) stays f32; the model input is
         # cast so jnp promotion doesn't silently re-widen the network to f32.
         amp_dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else None
+        # activation checkpointing (SURVEY §2.10): with `remat` on, only the
+        # step inputs are saved and the forward is recomputed during the
+        # backward pass — one extra forward buys O(depth) less activation HBM
+        # (module-level `use_checkpoint` flags remat per block instead)
+        remat = bool(self.config.remat)
         # callback-mutated kwargs (reference `mutate_train_forward_kwargs` /
         # `mutate_train_loss_kwargs`, `schema.py:1726+`) — static closures
         forward_kwargs: Dict[str, Any] = {}
@@ -373,6 +390,8 @@ class Trainer(ITrainer):
                         _, _, _, new_rest = nnx.split(m, _flt, nnx.Param, ...)
                     return losses[LOSS_KEY].astype(jnp.float32), (losses, new_rest)
 
+                if remat:
+                    loss_fn = jax.checkpoint(loss_fn)
                 grads, (losses, new_rest) = jax.grad(loss_fn, has_aux=True)(diff)
                 new_rest = _refresh(new_rest)
                 fmask = freeze_masks.get(ts.scope)
@@ -516,6 +535,12 @@ class Trainer(ITrainer):
         # mesh + placement ----------------------------------------------------
         self.mesh = make_mesh(self.config.get_mesh_config())
         set_mesh(self.mesh)
+
+        # validation_split: carve a validation set out of the train arrays
+        # when the caller provided none (seeded, so resumes see the same split)
+        v_split = self.config.validation_split
+        if v_split and getattr(data, "bundle", None) is not None and data.bundle.x_valid is None:
+            data.split_validation(v_split, seed=getattr(self.config, "seed", None) or 0)
 
         train_loader, valid_loader = data.get_loaders()
         self._num_step_per_epoch = len(train_loader)

@@ -407,3 +407,106 @@ def test_update_scheduler_per_epoch(tmp_path) -> None:
     # ...and halved exactly at each epoch boundary
     assert np_.isclose(float(sched(steps_per_epoch)), lr0 * 0.5)
     assert np_.isclose(float(sched(3 * steps_per_epoch)), lr0 * 0.125)
+
+
+def test_remat_training_step(tmp_path) -> None:
+    """`TrainerConfig.remat=True` wraps the loss in `jax.checkpoint`
+    (activation checkpointing, SURVEY §2.10; reference relies on torch's
+    per-module `use_checkpoint` flags instead): the compiled step carries a
+    remat region and still trains to the same accuracy."""
+    import jax
+    import jax.numpy as jnp
+
+    x, y = _toy_cls_data()
+    config = DLConfig(
+        module_name="fcnn",
+        module_config={"input_dim": 8, "output_dim": 2, "hidden_units": [32]},
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    data = ArrayData.init().fit(x, y, x_valid=x[:64], y_valid=y[:64])
+    trainer = Trainer(
+        TrainerConfig(workspace=str(tmp_path), num_epoch=20, lr=3.0e-3, remat=True),
+        metrics=IMetric.fuse("acc"),
+        monitors=[BasicMonitor()],
+    )
+    trainer.fit(data, model)
+    assert trainer.final_results is not None
+    assert trainer.final_results.metric_values["acc"] > 0.8
+    fn = trainer.get_step_fn((True,))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in dict(next(iter(trainer.train_loader))).items()
+        if v is not None
+    }
+    jaxpr = str(jax.make_jaxpr(fn)(trainer._full_state, trainer._opt_states, {}, batch))
+    assert "remat" in jaxpr, "remat step must contain a checkpoint region"
+
+
+def test_optimizer_packs(tmp_path) -> None:
+    """List-form `optimizer_packs` (reference `OptimizerPack`,
+    `pipeline/blocks/basic.py:414-437`) merge into the per-scope settings:
+    dicts and NamedTuple packs both work, later packs win for their scope,
+    and `scheduler_name="none"` disables the default warmup."""
+    from cflearn_tpu.optimizers import OptimizerPack
+
+    config = TrainerConfig(
+        workspace=str(tmp_path),
+        optimizer_packs=[
+            {"scope": "all", "optimizer_name": "sgd", "lr": 0.05, "scheduler_name": "none"},
+            OptimizerPack("d", "adamw", optimizer_config={"lr": 1.0e-4}),
+        ],
+    )
+    trainer = Trainer(config, monitors=[BasicMonitor()])
+    settings = trainer._default_optimizer_settings()
+    assert settings["all"]["optimizer"] == "sgd"
+    assert settings["all"]["optimizer_config"]["lr"] == 0.05
+    assert settings["all"]["scheduler"] is None
+    assert settings["d"]["optimizer"] == "adamw"
+    assert settings["d"]["optimizer_config"]["lr"] == 1.0e-4
+
+    # end-to-end: the pack-configured trainer still fits
+    x, y = _toy_cls_data(128)
+    dl = DLConfig(
+        module_name="fcnn",
+        module_config={"input_dim": 8, "output_dim": 2, "hidden_units": [16]},
+        loss_name="cross_entropy",
+        workspace=str(tmp_path),
+        num_epoch=2,
+        optimizer_packs=[{"scope": "all", "optimizer_name": "sgd", "lr": 0.05}],
+    )
+    model = IDLModel.from_config(dl)
+    data = ArrayData.init().fit(x, y)
+    t2 = Trainer(dl, monitors=[BasicMonitor()])
+    t2.fit(data, model, skip_final_evaluation=True)
+    assert t2._default_optimizer_settings()["all"]["optimizer"] == "sgd"
+
+
+def test_validation_split(tmp_path) -> None:
+    """`TrainerConfig.validation_split` carves a seeded validation set out of
+    the train arrays when the caller provided none."""
+    x, y = _toy_cls_data(n=256)
+    config = DLConfig(
+        module_name="fcnn",
+        module_config={"input_dim": 8, "output_dim": 2, "hidden_units": [16]},
+        loss_name="cross_entropy",
+        workspace=str(tmp_path),
+        num_epoch=2,
+        validation_split=0.25,
+        metric_names="acc",
+    )
+    model = IDLModel.from_config(config)
+    data = ArrayData.init().fit(x, y)
+    trainer = Trainer(config, metrics=IMetric.fuse("acc"), monitors=[BasicMonitor()])
+    trainer.fit(data, model)
+    assert trainer.valid_loader is not None
+    assert data.num_valid == 64
+    assert data.num_train == 192
+    # rows are partitioned, not duplicated
+    all_rows = np.concatenate([data.bundle.x_train, data.bundle.x_valid], axis=0)
+    assert all_rows.shape == x.shape
+    assert np.allclose(np.sort(all_rows, axis=0), np.sort(x, axis=0))
+    # providing a valid set explicitly bypasses the split
+    data2 = ArrayData.init().fit(x, y, x_valid=x[:10], y_valid=y[:10])
+    data2.split_validation(0.5)
+    assert data2.num_valid == 10
