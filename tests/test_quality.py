@@ -252,3 +252,45 @@ def test_recorded_sd15_quality_bounds() -> None:
         assert w8["latent_mse"] == 0.0
         assert w8["image_psnr"] == "inf" or w8["image_psnr"] >= 30.0
         assert w8["image_ssim"] >= 0.98
+
+
+def test_recorded_shape_sweep_sanity() -> None:
+    """Guard docs/shape_sweep.json (scripts/bench_shapes.py, chip): the
+    non-default-size perf story must keep its shape — faithful beats
+    lossless at every bucket, and per-pixel throughput varies smoothly
+    (no bucket cliffs)."""
+    path = DOCS / "shape_sweep.json"
+    if not path.exists():
+        pytest.skip("shape sweep artifact not recorded yet")
+    rows = json.loads(path.read_text())["rows"]
+    by_key = {(r["arch"], r["px"], r["config"]): r for r in rows}
+    for arch, px in [("v1", 256), ("v1", 512), ("v1", 768), ("v2_v", 768)]:
+        lossless = by_key[(arch, px, "lossless")]
+        faithful = by_key[(arch, px, "faithful")]
+        # the faithful stack must hold a real win at every shape
+        assert faithful["img_per_sec"] > 1.5 * lossless["img_per_sec"], (arch, px)
+    # smoothness: px-normalized lossless throughput spans < 2.5x across
+    # buckets (a bucket cliff would blow this ratio out)
+    norms = [
+        by_key[("v1", px, "lossless")]["px_normalized_img_per_sec"]
+        for px in (256, 512, 768)
+    ]
+    assert max(norms) / min(norms) < 2.5, norms
+
+
+def test_recorded_frontier_sanity() -> None:
+    """Guard docs/frontier_sd15.json (scripts/frontier_sd15.py, chip): the
+    published faithful config's neighborhood — every variant must beat
+    lossless throughput while keeping a sane deviation floor."""
+    path = DOCS / "frontier_sd15.json"
+    if not path.exists():
+        pytest.skip("frontier artifact not recorded yet")
+    variants = json.loads(path.read_text())["variants"]
+    lossless_ips = variants["lossless"]["img_per_sec"]
+    assert "tome0.5_dc3" in variants  # the published faithful point
+    for name, row in variants.items():
+        if name == "lossless":
+            continue
+        assert row["img_per_sec"] > lossless_ips, name
+        assert row["image_psnr"] == "inf" or row["image_psnr"] >= 10.0, name
+        assert row["image_ssim"] >= 0.3, name
