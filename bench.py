@@ -14,16 +14,20 @@ UNet/VAE attention blocks.
 
 THREE configurations are measured and reported (deviation vs the lossless
 pipeline is measured per lever by scripts/quality_harness.py →
-docs/quality_sd15.json, bounds asserted by tests/test_quality.py):
-- `value` — the full accelerated serving stack: ToMe r=0.5, DeepCache
-  N=3/cut=1, PLUS guidance-interval CFG (0.25, 0.70). GI-CFG changes the
-  guidance schedule (a distributional technique, PSNR ~13.7 dB vs lossless;
-  its FID benefit is paper-cited and cannot be verified with random
-  weights) — it is therefore also reported WITHOUT it:
-- `value_faithful` — the faithful accelerated config: ToMe r=0.5 +
-  DeepCache N=3/cut=1, full CFG every step. Same guidance trajectory as
-  lossless (measured PSNR ~24 dB class); this is the recommended serving
-  default when output fidelity to the exact pipeline matters.
+docs/quality_sd15.json + the config-neighborhood sweep
+scripts/frontier_sd15.py → docs/frontier_sd15.json, bounds asserted by
+tests/test_quality.py). ALL THREE keep the exact CFG guidance trajectory —
+every lever in the published stack has an in-repo-measurable deviation:
+- `value` — the accelerated serving stack: ToMe r=0.5 + DeepCache
+  N=5/cut=1, full CFG every step. The speed/quality frontier sweep
+  (docs/frontier_sd15.json) picked this point: it is FASTER than the old
+  GI-CFG stack (7.34 vs 7.25 img/s) at far better fidelity (PSNR 17.8 vs
+  13.7 dB). GI-CFG (guidance only inside a step interval — a
+  distributional technique whose FID benefit is paper-cited and cannot be
+  verified with random weights) is demoted to opt-in: CFLEARN_BENCH_GI_CFG=1.
+- `value_faithful` — the conservative accelerated config: ToMe r=0.5 +
+  DeepCache N=3/cut=1 (measured PSNR ~20 dB / SSIM 0.89); the recommended
+  serving default when output fidelity to the exact pipeline matters most.
 - `value_lossless` — NO approximation: full CFG every step, no ToMe, no
   DeepCache. This is the apples-to-apples number against the A100 anchor,
   which also runs the exact pipeline.
@@ -66,17 +70,27 @@ TOME_RATIO = 0.5  # ToMe-SD's standard ratio (Bolya & Hoffman 2023, tomesd);
 # Limited Interval Improves Sample and Distribution Quality in Diffusion
 # Models", Kynkäänniemi et al. 2024 — guidance at the highest/lowest noise
 # levels hurts rather than helps FID). Outside the band the uncond UNet pass
-# is skipped entirely (batch 4 instead of 8). Measured: 3.55 -> 4.21 img/s.
+# is skipped entirely (batch 4 instead of 8). OPT-IN (changes the guidance
+# trajectory; its benefit is distributional and not verifiable in-repo):
+USE_GI_CFG = os.environ.get("CFLEARN_BENCH_GI_CFG", "0") == "1"
 GUIDANCE_INTERVAL = (0.25, 0.70)
 
-# DeepCache (Ma et al. 2023, arXiv:2312.00858): every 3rd step runs the full
+# DeepCache (Ma et al. 2023, arXiv:2312.00858): every Nth step runs the full
 # UNet and caches the deep-branch feature; in-between steps compute only the
-# shallowest input/output blocks and splice the cache in. interval=3 with
-# the cache at the shallowest branch (cut=1) is the paper's standard SD
-# configuration. Measured here: 4.23 -> 6.87 img/s. Overridable for sweeps:
-# CFLEARN_BENCH_DC_INTERVAL / CFLEARN_BENCH_DC_CUT (1 = off).
-DEEPCACHE_INTERVAL = int(os.environ.get("CFLEARN_BENCH_DC_INTERVAL", "3"))
-DEEPCACHE_CUT = int(os.environ.get("CFLEARN_BENCH_DC_CUT", "1"))
+# shallowest input/output blocks and splice the cache in. The cache sits at
+# the shallowest branch (cut=1, the paper's standard SD configuration).
+# faithful uses the paper-default N=3 (PSNR 20.2 dB stacked with ToMe);
+# accelerated uses N=5, picked from the measured speed/quality frontier
+# (docs/frontier_sd15.json: 7.34 img/s at PSNR 17.8 dB — dominates the old
+# GI-CFG stack on both axes). Overridable for sweeps (interval 1 = off):
+FAITHFUL_DC = (
+    int(os.environ.get("CFLEARN_BENCH_DC_INTERVAL", "3")),
+    int(os.environ.get("CFLEARN_BENCH_DC_CUT", "1")),
+)
+ACCEL_DC = (
+    int(os.environ.get("CFLEARN_BENCH_ACCEL_DC_INTERVAL", "5")),
+    int(os.environ.get("CFLEARN_BENCH_ACCEL_DC_CUT", "1")),
+)
 
 # skip configs (for sweeps / quick reruns) — skipped metrics emit null
 SKIP_LOSSLESS = os.environ.get("CFLEARN_BENCH_SKIP_LOSSLESS", "0") == "1"
@@ -108,14 +122,17 @@ def configure(model, config: str) -> dict:
     for _, module in nnx.iter_graph(model):
         if isinstance(module, SpatialTransformer):
             module.set_tome_ratio(tome)
-    if lossless or DEEPCACHE_INTERVAL <= 1:
+    dc_interval, dc_cut = ACCEL_DC if config == "accelerated" else FAITHFUL_DC
+    if lossless or dc_interval <= 1:
         model.deepcache_interval = None
     else:
-        model.deepcache_interval = DEEPCACHE_INTERVAL
-        model.deepcache_cut = DEEPCACHE_CUT
-    # GI-CFG only in the full accelerated stack — "faithful" keeps the exact
-    # guidance trajectory (full CFG every step)
-    return {"guidance_interval": GUIDANCE_INTERVAL} if config == "accelerated" else {}
+        model.deepcache_interval = dc_interval
+        model.deepcache_cut = dc_cut
+    # every published config keeps the exact guidance trajectory (full CFG
+    # every step); GI-CFG is opt-in via CFLEARN_BENCH_GI_CFG=1
+    if config == "accelerated" and USE_GI_CFG:
+        return {"guidance_interval": GUIDANCE_INTERVAL}
+    return {}
 
 
 def measure(model, config: str, latent_hw: int = 64) -> float:

@@ -153,6 +153,12 @@ def main() -> None:
         # the FAITHFUL accelerated config (bench.py `value_faithful`): same
         # guidance trajectory as lossless, only the two near-lossless levers
         "faithful_tome_deepcache": dict(tome=0.5, deepcache=(3, 1)),
+        # the default accelerated config (bench.py `value`): DeepCache N=5,
+        # picked from the frontier sweep (docs/frontier_sd15.json) — still
+        # the exact guidance trajectory
+        "accel_tome_deepcache5": dict(tome=0.5, deepcache=(5, 1)),
+        # the old GI-CFG stack, kept measured for the opt-in path
+        # (CFLEARN_BENCH_GI_CFG=1)
         "stacked_bench": dict(tome=0.5, gi=GUIDANCE_INTERVAL, deepcache=(3, 1)),
     }
     if os.environ.get("CFLEARN_QH_W8A8", "0") == "1":

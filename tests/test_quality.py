@@ -224,6 +224,13 @@ _SD15_BOUNDS = {
     "stacked_bench": dict(image_psnr=8.0, image_ssim=0.2),
 }
 
+# variants added to the harness after the artifact was first recorded:
+# asserted only when present (the frontier artifact carries the measured
+# row for accel_tome_deepcache5 — docs/frontier_sd15.json "tome0.5_dc5")
+_SD15_OPTIONAL_BOUNDS = {
+    "accel_tome_deepcache5": dict(image_psnr=10.0, image_ssim=0.3),
+}
+
 
 def test_recorded_sd15_quality_bounds() -> None:
     path = DOCS / "quality_sd15.json"
@@ -238,6 +245,13 @@ def test_recorded_sd15_quality_bounds() -> None:
     for name, bounds in _SD15_BOUNDS.items():
         row = variants.get(name)
         assert row is not None, f"variant {name} missing from artifact"
+        assert row["image_psnr"] == "inf" or row["image_psnr"] >= bounds["image_psnr"], name
+        assert row["image_ssim"] >= bounds["image_ssim"], name
+        assert row["latent_rel_err"] < 1.0, name
+    for name, bounds in _SD15_OPTIONAL_BOUNDS.items():
+        row = variants.get(name)
+        if row is None:
+            continue
         assert row["image_psnr"] == "inf" or row["image_psnr"] >= bounds["image_psnr"], name
         assert row["image_ssim"] >= bounds["image_ssim"], name
         assert row["latent_rel_err"] < 1.0, name
