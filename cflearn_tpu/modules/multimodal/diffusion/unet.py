@@ -12,7 +12,7 @@ rematerialisation of each block in training.
 """
 
 import math
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -111,7 +111,7 @@ class UNetDiffuser(nnx.Module):
         use_scale_shift_norm: bool = False,
         num_classes: Optional[int] = None,
         dropout: float = 0.0,
-        use_checkpoint: bool = False,
+        use_checkpoint: Union[bool, str] = False,
         resample_with_conv: bool = True,
         resample_with_resblock: bool = False,
         hint_channels: Optional[int] = None,  # set on ControlNet
@@ -292,8 +292,16 @@ class UNetDiffuser(nnx.Module):
         def run_block(block: Any, *args: Any, **kw: Any) -> jax.Array:
             if self.use_checkpoint:
                 # rematerialize per block in training (reference
-                # `use_checkpoint`; jax.checkpoint trades FLOPs for HBM)
-                return jax.checkpoint(lambda *a: block(*a, **kw))(*args)
+                # `use_checkpoint`; jax.checkpoint trades FLOPs for HBM).
+                # A string selects a selective-remat policy from
+                # jax.checkpoint_policies (e.g. "dots_saveable" keeps
+                # matmul/attention outputs resident and recomputes only the
+                # cheap norm/elementwise chains — less recompute than full
+                # remat, less HBM than no remat).
+                policy = None
+                if isinstance(self.use_checkpoint, str):
+                    policy = getattr(jax.checkpoint_policies, self.use_checkpoint)
+                return jax.checkpoint(lambda *a: block(*a, **kw), policy=policy)(*args)
             return block(*args, **kw)
 
         shallow = deep_cache is not None and cache_cut is not None

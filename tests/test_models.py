@@ -606,6 +606,50 @@ def test_unet_control_injection_changes_output() -> None:
         assert float(jnp.abs(out - base).max()) > 0.0, f"control level {lv} is dead"
 
 
+def test_unet_remat_variants_match() -> None:
+    """`use_checkpoint` in all its forms (off / full remat / selective
+    policy string) is a pure memory/schedule knob: forward outputs and
+    gradients must be identical (remat recomputes, never changes, values).
+    Guards the policy lookup in `UNetDiffuser.__call__.run_block`."""
+    from cflearn_tpu.modules.multimodal.diffusion.unet import UNetDiffuser
+
+    def build(use_checkpoint):
+        unet = UNetDiffuser(
+            in_channels=4, out_channels=4, start_channels=32, num_res_blocks=1,
+            channel_multipliers=(1, 2), attention_downsample_rates=(1,),
+            num_heads=4, context_dim=32, use_checkpoint=use_checkpoint,
+            rngs=nnx.Rngs(0),
+        )
+        k = unet.conv_out.kernel[...]
+        unet.conv_out.kernel[...] = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(1), k.shape, k.dtype
+        )
+        return unet
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 4))
+    t = jnp.full((2,), 25)
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (2, 77, 32))
+
+    def fwd_and_grad(unet):
+        gd, params, rest = nnx.split(unet, nnx.Param, ...)
+
+        def loss_fn(p):
+            return jnp.mean(nnx.merge(gd, p, rest)(x, t, ctx) ** 2)
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        gnorm = jnp.sqrt(
+            sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(grads))
+        )
+        return float(loss), float(gnorm)
+
+    base_loss, base_gnorm = fwd_and_grad(build(False))
+    assert base_gnorm > 0.0
+    for variant in (True, "dots_saveable", "dots_with_no_batch_dims_saveable"):
+        loss, gnorm = fwd_and_grad(build(variant))
+        assert loss == pytest.approx(base_loss, rel=1e-5), variant
+        assert gnorm == pytest.approx(base_gnorm, rel=1e-4), variant
+
+
 def test_ddpm_reconstruct_fidelity_semantics() -> None:
     """Regression (code review): reconstruct inverted fidelity. Higher
     fidelity must stay closer to the input latents."""
