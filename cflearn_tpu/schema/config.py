@@ -106,7 +106,10 @@ class TrainerConfig(DataClassBase):
     # TPU-native knobs
     mesh: Optional[Dict[str, int]] = None
     donate_buffers: bool = True
-    remat: bool = False
+    # activation checkpointing: False | True (full remat) | a
+    # jax.checkpoint_policies name (e.g. "dots_saveable") for selective
+    # remat — matmul outputs stay resident, elementwise chains recompute
+    remat: Union[bool, str] = False
     profile_steps: Optional[List[int]] = None
     tqdm_settings: Optional[Dict[str, Any]] = None
     # sanitizer analogue (SURVEY §5.2): jax debug flags applied around fit.

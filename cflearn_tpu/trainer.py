@@ -305,8 +305,14 @@ class Trainer(ITrainer):
         # activation checkpointing (SURVEY §2.10): with `remat` on, only the
         # step inputs are saved and the forward is recomputed during the
         # backward pass — one extra forward buys O(depth) less activation HBM
-        # (module-level `use_checkpoint` flags remat per block instead)
-        remat = bool(self.config.remat)
+        # (module-level `use_checkpoint` flags remat per block instead).
+        # A policy-name string (jax.checkpoint_policies) selects selective
+        # remat: matmul/attention outputs stay resident, only the cheap
+        # elementwise chains are recomputed.
+        remat = self.config.remat
+        remat_policy = (
+            getattr(jax.checkpoint_policies, remat) if isinstance(remat, str) else None
+        )
         # callback-mutated kwargs (reference `mutate_train_forward_kwargs` /
         # `mutate_train_loss_kwargs`, `schema.py:1726+`) — static closures
         forward_kwargs: Dict[str, Any] = {}
@@ -391,7 +397,7 @@ class Trainer(ITrainer):
                     return losses[LOSS_KEY].astype(jnp.float32), (losses, new_rest)
 
                 if remat:
-                    loss_fn = jax.checkpoint(loss_fn)
+                    loss_fn = jax.checkpoint(loss_fn, policy=remat_policy)
                 grads, (losses, new_rest) = jax.grad(loss_fn, has_aux=True)(diff)
                 new_rest = _refresh(new_rest)
                 fmask = freeze_masks.get(ts.scope)

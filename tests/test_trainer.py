@@ -442,6 +442,27 @@ def test_remat_training_step(tmp_path) -> None:
     jaxpr = str(jax.make_jaxpr(fn)(trainer._full_state, trainer._opt_states, {}, batch))
     assert "remat" in jaxpr, "remat step must contain a checkpoint region"
 
+    # selective remat: a jax.checkpoint_policies NAME is accepted too — the
+    # step still carries a checkpoint region (with a saveable-filter policy)
+    # and trains; values are policy-independent (guarded exhaustively at the
+    # module level by tests/test_models.py::test_unet_remat_variants_match)
+    trainer2 = Trainer(
+        TrainerConfig(
+            workspace=str(tmp_path / "sel"),
+            num_epoch=2,
+            lr=3.0e-3,
+            remat="dots_saveable",
+        ),
+        metrics=IMetric.fuse("acc"),
+        monitors=[BasicMonitor()],
+    )
+    trainer2.fit(data, IDLModel.from_config(config), skip_final_evaluation=True)
+    fn2 = trainer2.get_step_fn((True,))
+    jaxpr2 = str(
+        jax.make_jaxpr(fn2)(trainer2._full_state, trainer2._opt_states, {}, batch)
+    )
+    assert "remat" in jaxpr2, "policy remat step must contain a checkpoint region"
+
 
 def test_optimizer_packs(tmp_path) -> None:
     """List-form `optimizer_packs` (reference `OptimizerPack`,
