@@ -91,6 +91,11 @@ ACCEL_DC = (
     int(os.environ.get("CFLEARN_BENCH_ACCEL_DC_INTERVAL", "5")),
     int(os.environ.get("CFLEARN_BENCH_ACCEL_DC_CUT", "1")),
 )
+# non-uniform refresh placement (DeepCache §4.2; same cost): a fraction in
+# [0,1] centers the refreshes there; empty = uniform. Applied to the
+# accelerated config only (the faithful config stays paper-default uniform).
+_ACCEL_DC_CENTER = os.environ.get("CFLEARN_BENCH_ACCEL_DC_CENTER", "")
+ACCEL_DC_CENTER = float(_ACCEL_DC_CENTER) if _ACCEL_DC_CENTER else None
 
 # skip configs (for sweeps / quick reruns) — skipped metrics emit null
 SKIP_LOSSLESS = os.environ.get("CFLEARN_BENCH_SKIP_LOSSLESS", "0") == "1"
@@ -125,9 +130,11 @@ def configure(model, config: str) -> dict:
     dc_interval, dc_cut = ACCEL_DC if config == "accelerated" else FAITHFUL_DC
     if lossless or dc_interval <= 1:
         model.deepcache_interval = None
+        model.deepcache_center = None
     else:
         model.deepcache_interval = dc_interval
         model.deepcache_cut = dc_cut
+        model.deepcache_center = ACCEL_DC_CENTER if config == "accelerated" else None
     # every published config keeps the exact guidance trajectory (full CFG
     # every step); GI-CFG is opt-in via CFLEARN_BENCH_GI_CFG=1
     if config == "accelerated" and USE_GI_CFG:

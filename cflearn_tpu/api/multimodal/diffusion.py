@@ -282,7 +282,13 @@ class DiffusionAPI(IAPI):
                 module.set_tome_ratio(ratio, merge_mlp=merge_mlp)
         self._jit_cache.clear()
 
-    def set_deepcache(self, interval: Optional[int], *, cut: int = 3) -> None:
+    def set_deepcache(
+        self,
+        interval: Optional[int],
+        *,
+        cut: int = 3,
+        center: Optional[float] = None,
+    ) -> None:
         """DeepCache (Ma et al. 2023) UNet feature reuse: every `interval`-th
         sampler step runs the full UNet and caches the deep-branch feature;
         in-between steps run only the shallowest `cut` input blocks +
@@ -293,9 +299,14 @@ class DiffusionAPI(IAPI):
         step). `cut=1` is the paper's standard SD config (cache at the
         shallowest branch); measured tradeoffs in docs/performance.md.
         The cut is clamped to the UNet's block counts at use time, so the
-        default is safe on small architectures."""
+        default is safe on small architectures. `center` (a fraction in
+        [0, 1]) switches to the paper's NON-UNIFORM refresh schedule: the
+        same number of full passes — identical cost — concentrated around
+        that point of the step loop (§4.2 of the paper; measured tradeoffs
+        in docs/frontier_sd15.json)."""
         self.m.deepcache_interval = None if interval is not None and interval <= 1 else interval
         self.m.deepcache_cut = cut
+        self.m.deepcache_center = center
         self._jit_cache.clear()
 
     def setup_hooks(

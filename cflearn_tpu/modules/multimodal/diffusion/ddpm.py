@@ -115,6 +115,9 @@ class DDPM(nnx.Module):
         # architecture at use time (`_effective_cache_cut`).
         self.deepcache_interval: Optional[int] = None
         self.deepcache_cut: int = 3
+        # None = uniform 1:N refreshes; a fraction in [0,1] switches to the
+        # paper's non-uniform placement centered there (same cost)
+        self.deepcache_center: Optional[float] = None
         unet_config = dict(unet_config or {})
         unet_config.setdefault("in_channels", in_channels)
         unet_config.setdefault("out_channels", out_channels)

@@ -24,6 +24,47 @@ import numpy as np
 from ....toolkit.registry import WithRegister
 
 
+def deepcache_refresh_mask(
+    n: int,
+    interval: int,
+    center: Optional[float] = None,
+    power: float = 2.0,
+) -> np.ndarray:
+    """Host-static boolean mask over `n` sampler steps: True = run the FULL
+    UNet (refresh the DeepCache feature), False = shallow pass.
+
+    `center=None` → the paper's uniform 1:N schedule (`step % interval == 0`).
+    A float in [0, 1] → the paper's NON-UNIFORM schedule (DeepCache §4.2,
+    Ma et al. 2023, arXiv:2312.00858): the SAME number of full steps —
+    identical compute cost — placed by a power-law map concentrated around
+    `center * n`, where the deep features change fastest, instead of evenly.
+    Step 0 is always full (it seeds the cache)."""
+    if n <= 0:
+        return np.zeros((0,), dtype=bool)
+    uniform = (np.arange(n) % interval) == 0
+    if center is None:
+        return uniform
+    k = int(uniform.sum())  # cost parity with the uniform schedule
+    c = float(np.clip(center, 0.0, 1.0)) * (n - 1)
+    u = np.linspace(-1.0, 1.0, k) if k > 1 else np.zeros((1,))
+    # quadratic spacing with per-side reach: endpoints land on 0 and n-1
+    # (no long unrefreshed tail) while interior points cluster around c
+    reach = np.where(u < 0.0, c, (n - 1) - c)
+    raw = c + np.sign(u) * (np.abs(u) ** power) * reach
+    chosen = {int(round(v)) for v in np.clip(raw, 0, n - 1)}
+    chosen.add(0)
+    # keep exactly k refreshes: top up with (or drop) the steps nearest to
+    # (farthest from) the center; never drop step 0
+    spare = sorted(set(range(n)) - chosen, key=lambda i: abs(i - c))
+    while len(chosen) < k and spare:
+        chosen.add(spare.pop(0))
+    while len(chosen) > k:
+        chosen.remove(max((i for i in chosen if i != 0), key=lambda i: abs(i - c)))
+    mask = np.zeros((n,), dtype=bool)
+    mask[sorted(chosen)] = True
+    return mask
+
+
 class ISampler(WithRegister):
     d: Dict[str, type] = {}
 
@@ -270,8 +311,16 @@ class DDIMSampler(ISampler):
                 x, jnp.full((b,), t), cond, seg_uncond, seg_scale, return_cache=True, **kw
             )
             x = update(x, eps, a_t, a_prev, sigma_t, k)
+            # refresh schedule is host-static; `deepcache_center` (fraction
+            # of the segment) switches to the paper's non-uniform placement
+            # at identical cost (same number of full passes)
             is_full = jnp.asarray(
-                (np.arange(1, len(idx)) % interval) == 0, dtype=bool
+                deepcache_refresh_mask(
+                    len(idx),
+                    interval,
+                    getattr(self.model, "deepcache_center", None),
+                )[1:],
+                dtype=bool,
             )
 
             def dc_step(carry: Any, inputs: Any) -> Tuple[Any, None]:

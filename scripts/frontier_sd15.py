@@ -32,6 +32,11 @@ GRID = {
     "tome0.6_dc3": dict(tome=0.6, deepcache=(3, 1)),
     "tome0.5_dc2": dict(tome=0.5, deepcache=(2, 1)),
     "tome0.5_dc5": dict(tome=0.5, deepcache=(5, 1)),
+    # non-uniform refresh placement (same cost as the matching uniform N):
+    # refreshes concentrated where the trajectory bends fastest
+    "tome0.5_dc5_c0.3": dict(tome=0.5, deepcache=(5, 1, 0.3)),
+    "tome0.5_dc5_c0.5": dict(tome=0.5, deepcache=(5, 1, 0.5)),
+    "tome0.5_dc3_c0.3": dict(tome=0.5, deepcache=(3, 1, 0.3)),
 }
 
 

@@ -98,8 +98,12 @@ def set_levers(model, *, tome: float, deepcache) -> None:
     if deepcache is None:
         model.deepcache_interval = None
         model.deepcache_cut = 3
+        model.deepcache_center = None
     else:
-        model.deepcache_interval, model.deepcache_cut = deepcache
+        # (interval, cut) or (interval, cut, center) — center switches to
+        # the paper's non-uniform refresh placement at identical cost
+        model.deepcache_interval, model.deepcache_cut = deepcache[:2]
+        model.deepcache_center = deepcache[2] if len(deepcache) > 2 else None
 
 
 def run_variant(model, name, *, tome=0.0, gi=None, deepcache=None, w8a8=False):

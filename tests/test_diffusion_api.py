@@ -577,6 +577,16 @@ def test_deepcache(tiny_api) -> None:
         # deterministic under the same seed
         cached2 = tiny_api.txt2img("a cat", size=(64, 64), num_steps=4, seed=7)
         np.testing.assert_array_equal(cached, cached2)
+        # non-uniform refresh placement (`center`, Ma et al. 2023 §4.2):
+        # same number of full passes, different placement — valid,
+        # deterministic, and still in the baseline's neighborhood
+        tiny_api.set_deepcache(2, cut=1, center=0.5)
+        centered = tiny_api.txt2img("a cat", size=(64, 64), num_steps=4, seed=7)
+        assert centered.shape == baseline.shape
+        diff_c = np.abs(centered.astype(np.float32) - baseline.astype(np.float32)).mean()
+        assert diff_c < 48.0, diff_c
+        centered2 = tiny_api.txt2img("a cat", size=(64, 64), num_steps=4, seed=7)
+        np.testing.assert_array_equal(centered, centered2)
     finally:
         tiny_api.set_deepcache(None)
 

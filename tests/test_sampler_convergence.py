@@ -175,3 +175,35 @@ def test_dpm_solver_continuous_schedules() -> None:
         )
     with pytest.raises(ValueError):
         ISampler.make("solver", {"model": model, "schedule": "bogus"})
+
+
+def test_deepcache_refresh_mask() -> None:
+    """Non-uniform DeepCache refresh schedule (Ma et al. 2023 §4.2): exact
+    cost parity with uniform (same number of full passes), step 0 always
+    full, refreshes concentrated around the requested center."""
+    from cflearn_tpu.modules.multimodal.diffusion.samplers import (
+        deepcache_refresh_mask,
+    )
+
+    # uniform path is exactly step % N == 0
+    for n, interval in ((20, 3), (7, 2), (1, 5), (4, 10)):
+        np.testing.assert_array_equal(
+            deepcache_refresh_mask(n, interval),
+            (np.arange(n) % interval) == 0,
+        )
+    # non-uniform: cost parity + step-0 + concentration
+    for n, interval, center in ((20, 3, 0.5), (20, 5, 0.3), (50, 5, 0.7), (6, 2, 0.0), (6, 2, 1.0)):
+        uni = deepcache_refresh_mask(n, interval)
+        non = deepcache_refresh_mask(n, interval, center)
+        assert non[0], (n, interval, center)
+        assert non.sum() == uni.sum(), (n, interval, center)
+        if 0.0 < center < 1.0 and n >= 20:
+            # concentration: the typical refresh sits closer to the center
+            # than uniform's (median — the endpoints pin 0 and n-1 by design)
+            c = center * (n - 1)
+            d_non = np.median(np.abs(np.flatnonzero(non) - c))
+            d_uni = np.median(np.abs(np.flatnonzero(uni) - c))
+            assert d_non < d_uni, (n, interval, center, d_non, d_uni)
+    # degenerate sizes
+    assert deepcache_refresh_mask(0, 3, 0.5).shape == (0,)
+    assert deepcache_refresh_mask(1, 3, 0.5).tolist() == [True]
