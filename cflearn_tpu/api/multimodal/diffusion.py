@@ -302,8 +302,11 @@ class DiffusionAPI(IAPI):
         default is safe on small architectures. `center` (a fraction in
         [0, 1]) switches to the paper's NON-UNIFORM refresh schedule: the
         same number of full passes — identical cost — concentrated around
-        that point of the step loop (§4.2 of the paper; measured tradeoffs
-        in docs/frontier_sd15.json)."""
+        that point of the WHOLE step loop (§4.2 of the paper; measured
+        tradeoffs in docs/frontier_sd15.json). When `guidance_interval`
+        splits the loop into CFG segments, the global fraction is mapped
+        into each segment's coordinates so placement matches the
+        unsegmented schedule's intent."""
         self.m.deepcache_interval = None if interval is not None and interval <= 1 else interval
         self.m.deepcache_cut = cut
         self.m.deepcache_center = center

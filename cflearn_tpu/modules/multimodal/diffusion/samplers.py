@@ -65,6 +65,15 @@ def deepcache_refresh_mask(
     return mask
 
 
+def map_center_to_segment(center: float, n: int, seg: np.ndarray) -> float:
+    """Map a refresh-center fraction of the WHOLE `n`-step loop into the
+    local coordinates of segment `seg` (global step indices), so
+    guidance-interval segmentation doesn't reinterpret `deepcache_center`
+    as per-segment (see `DiffusionAPI.set_deepcache`)."""
+    global_center = float(np.clip(center, 0.0, 1.0)) * (n - 1)
+    return float(np.clip((global_center - seg[0]) / max(1, len(seg) - 1), 0.0, 1.0))
+
+
 class ISampler(WithRegister):
     d: Dict[str, type] = {}
 
@@ -311,15 +320,17 @@ class DDIMSampler(ISampler):
                 x, jnp.full((b,), t), cond, seg_uncond, seg_scale, return_cache=True, **kw
             )
             x = update(x, eps, a_t, a_prev, sigma_t, k)
-            # refresh schedule is host-static; `deepcache_center` (fraction
-            # of the segment) switches to the paper's non-uniform placement
-            # at identical cost (same number of full passes)
+            # refresh schedule is host-static; `deepcache_center` switches to
+            # the paper's non-uniform placement at identical cost (same
+            # number of full passes). The center is a fraction of the WHOLE
+            # step loop — when guidance_interval splits the loop into CFG
+            # segments, map it into this segment's coordinates so refresh
+            # placement matches the unsegmented schedule's intent.
+            center = getattr(self.model, "deepcache_center", None)
+            if center is not None and n > 1:
+                center = map_center_to_segment(center, n, seg)
             is_full = jnp.asarray(
-                deepcache_refresh_mask(
-                    len(idx),
-                    interval,
-                    getattr(self.model, "deepcache_center", None),
-                )[1:],
+                deepcache_refresh_mask(len(idx), interval, center)[1:],
                 dtype=bool,
             )
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+from ....toolkit.misc import resolve_checkpoint_policy
 from ...common import register_module, zero_module
 from ...core.attentions import MultiHeadSpatialAttention
 from ...core.convs import Downsample, ResidualBlockWithTimeEmbedding, UpsampleConv2d
@@ -120,6 +121,10 @@ class UNetDiffuser(nnx.Module):
         self.in_channels = in_channels
         self.out_channels = out_channels
         self.use_checkpoint = use_checkpoint
+        if isinstance(use_checkpoint, str):
+            # validate the policy name NOW — a typo would otherwise surface
+            # as a bare AttributeError at trace time, deep inside jit
+            resolve_checkpoint_policy(use_checkpoint)
         time_embed_dim = start_channels * 4
         self.time_fc1 = nnx.Linear(start_channels, time_embed_dim, rngs=rngs)
         self.time_fc2 = nnx.Linear(time_embed_dim, time_embed_dim, rngs=rngs)
@@ -300,7 +305,7 @@ class UNetDiffuser(nnx.Module):
                 # remat, less HBM than no remat).
                 policy = None
                 if isinstance(self.use_checkpoint, str):
-                    policy = getattr(jax.checkpoint_policies, self.use_checkpoint)
+                    policy = resolve_checkpoint_policy(self.use_checkpoint)
                 return jax.checkpoint(lambda *a: block(*a, **kw), policy=policy)(*args)
             return block(*args, **kw)
 

@@ -83,6 +83,9 @@ class CLIPTokenizer(ITokenizer):
         self.byte_encoder = _bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         merges = self._load_merges(bpe_path)
+        # provenance is stamped into quality/bench artifacts so "generated
+        # from real tokenized prompts" can never silently mean the fallback
+        self.provenance = "byte-fallback" if merges is None else "bpe-merges"
         if merges is None:
             # deterministic fallback: byte-level vocab only, no merges
             merges = []

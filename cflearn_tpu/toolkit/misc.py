@@ -483,6 +483,25 @@ def download_checkpoint(tag: str, *, check_sha: bool = False) -> Path:
 _warned_once: set = set()
 
 
+def resolve_checkpoint_policy(name: str) -> Any:
+    """Resolve a `jax.checkpoint_policies` name eagerly, with a helpful error.
+
+    `getattr(jax.checkpoint_policies, typo)` would otherwise surface as a
+    bare AttributeError — in the UNet case only at trace time, deep inside
+    jit. Called at config/__init__ time so typos fail fast.
+    """
+    policy = getattr(jax.checkpoint_policies, name, None)
+    if policy is None:
+        valid = sorted(
+            n for n in dir(jax.checkpoint_policies) if not n.startswith("_")
+        )
+        raise ValueError(
+            f"unknown remat policy {name!r}; valid jax.checkpoint_policies "
+            f"names: {valid}"
+        )
+    return policy
+
+
 def warn_once(message: str, *, key: Optional[str] = None) -> None:
     """reference `toolkit.py:816` — emit each warning message only once."""
     import warnings

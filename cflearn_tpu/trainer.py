@@ -60,7 +60,7 @@ from .schema.train_schema import (
     TrainerMonitor,
     TrainerState,
 )
-from .toolkit.misc import sort_dict_by_value, timestamp
+from .toolkit.misc import resolve_checkpoint_policy, sort_dict_by_value, timestamp
 
 
 def _refresh(state: Any) -> Any:
@@ -288,7 +288,7 @@ class Trainer(ITrainer):
 
     # ------------------------------------------------------------- jitted fns
 
-    def _build_step_fn(self, actives: Tuple[bool, ...]) -> Callable:
+    def _build_step_fn(self, actives: Tuple[bool, ...], k: int = 1) -> Callable:
         model = self.model
         graphdef = self._graphdef_train
         train_steps = model.train_steps
@@ -311,7 +311,7 @@ class Trainer(ITrainer):
         # elementwise chains are recomputed.
         remat = self.config.remat
         remat_policy = (
-            getattr(jax.checkpoint_policies, remat) if isinstance(remat, str) else None
+            resolve_checkpoint_policy(remat) if isinstance(remat, str) else None
         )
         # callback-mutated kwargs (reference `mutate_train_forward_kwargs` /
         # `mutate_train_loss_kwargs`, `schema.py:1726+`) — static closures
@@ -431,13 +431,36 @@ class Trainer(ITrainer):
             return new_full, opt_states, loss_items
 
         donate = (0, 1) if self.config.donate_buffers else ()
-        return jax.jit(_fn, donate_argnums=donate)
+        if k == 1:
+            return jax.jit(_fn, donate_argnums=donate)
 
-    def get_step_fn(self, actives: Tuple[bool, ...]) -> Callable:
-        fn = self._step_fn_cache.get(actives)
+        # steps_per_dispatch (SURVEY §2.10 / VERDICT r4 #3): k steps fused
+        # into ONE XLA program via lax.scan over batches stacked on a leading
+        # k axis — one host dispatch amortizes the per-call tunnel/dispatch
+        # latency over k steps (the reference's Python hot loop dispatches
+        # per step, `/root/reference/cflearn/trainer.py:333`). Loss items
+        # come back stacked (k,) so the host loss window sees every step.
+        def _chunk_fn(
+            full_state: Any,
+            opt_states: Dict[str, Any],
+            lr_scales: Dict[str, jax.Array],
+            batches: Dict[str, Any],
+        ) -> Tuple[Any, Dict[str, Any], Dict[str, jax.Array]]:
+            def body(carry: Any, batch: Dict[str, Any]) -> Any:
+                fs, os_ = carry
+                fs, os_, items = _fn(fs, os_, lr_scales, batch)
+                return (fs, os_), items
+
+            (fs, os_), items = jax.lax.scan(body, (full_state, opt_states), batches)
+            return fs, os_, items
+
+        return jax.jit(_chunk_fn, donate_argnums=donate)
+
+    def get_step_fn(self, actives: Tuple[bool, ...], k: int = 1) -> Callable:
+        fn = self._step_fn_cache.get((actives, k))
         if fn is None:
-            fn = self._build_step_fn(actives)
-            self._step_fn_cache[actives] = fn
+            fn = self._build_step_fn(actives, k)
+            self._step_fn_cache[(actives, k)] = fn
         return fn
 
     # ------------------------------------------------------------------- fit
@@ -720,12 +743,101 @@ class Trainer(ITrainer):
         self._fit_wall_time = time.time() - start_t
         return self
 
+    def _fusable_len(self, state: TrainerState, k: int, model: IDLModel) -> int:
+        """Longest chunk length L ≤ k such that fusing steps
+        `state.step+1 .. state.step+L` into one dispatch crosses NO cadence
+        boundary except at its end: monitor/snapshot steps, log steps,
+        `fixed_steps`, profile steps and train-step `actives` changes all
+        land on chunk edges, so monitor/callback semantics stay bit-identical
+        to k=1."""
+        s = state.step
+
+        def until(period: int) -> int:
+            return period - (s % period)
+
+        L = min(k, until(state.num_step_per_snapshot), until(state.num_step_per_log))
+        if state.fixed_steps is not None:
+            L = min(L, max(1, state.fixed_steps - s))
+        for p in self.config.profile_steps or ():
+            if s < p <= s + L:
+                # a profiled step runs un-fused (its own trace window)
+                L = max(1, p - s - 1)
+        if L > 1:
+            # cut where the active train-step set changes (e.g. a GAN
+            # discriminator coming online at d_loss_start_step)
+            base = None
+            cut = L
+            for i in range(1, L + 1):
+                state.step = s + i
+                a = tuple(not ts.should_skip(model, state) for ts in model.train_steps)
+                if base is None:
+                    base = a
+                elif a != base:
+                    cut = i - 1
+                    break
+            state.step = s
+            L = cut
+        return max(1, L)
+
+    @staticmethod
+    def _stack_batches(chunk: List[Dict[str, Any]]) -> Dict[str, Any]:
+        """Stack k step batches on a new leading axis for the fused scan
+        (values pre-checked array-typed by the collection loop; jax arrays
+        stack on device, numpy on host)."""
+        out: Dict[str, Any] = {}
+        for key in chunk[0]:
+            vals = [b[key] for b in chunk]
+            if isinstance(vals[0], jax.Array):
+                out[key] = jnp.stack(vals)
+            else:
+                out[key] = np.stack(vals)
+        return out
+
     def _loop(self, state: TrainerState, batcher: DeviceBatcher, model: IDLModel, terminate: bool, has_ckpt: bool) -> Tuple[bool, bool]:
+        k_cfg = max(1, int(self.config.steps_per_dispatch or 1))
         while state.should_train and not terminate:
             state.epoch += 1
-            for np_batch in batcher:
+            batch_it = iter(batcher)
+            pending: Optional[Dict[str, Any]] = None
+            while True:
                 if not state.should_train:
                     break
+                if pending is not None:
+                    np_batch, pending = pending, None
+                else:
+                    try:
+                        np_batch = next(batch_it)
+                    except StopIteration:
+                        break
+                # collect up to _fusable_len batches for one fused dispatch
+                # (k_cfg=1 → always a single step, the default path); batches
+                # with non-array values cannot thread through scan → L=1
+                chunk = [np_batch]
+                stackable = k_cfg > 1 and all(
+                    isinstance(v, jax.Array)
+                    or (isinstance(v, np.ndarray) and v.dtype != object)
+                    for v in np_batch.values()
+                )
+                if stackable:
+                    L = self._fusable_len(state, k_cfg, model)
+                    shapes = jax.tree_util.tree_map(
+                        lambda a: getattr(a, "shape", None), np_batch
+                    )
+                    while len(chunk) < L:
+                        try:
+                            nb = next(batch_it)
+                        except StopIteration:
+                            break
+                        if (
+                            jax.tree_util.tree_map(
+                                lambda a: getattr(a, "shape", None), nb
+                            )
+                            != shapes
+                        ):
+                            # ragged tail batch — becomes its own dispatch
+                            pending = nb
+                            break
+                        chunk.append(nb)
                 state.step += 1
                 # first-class profiling (SURVEY §5.1): capture a jax.profiler
                 # trace for the configured steps into workspace/traces
@@ -735,14 +847,23 @@ class Trainer(ITrainer):
                 actives = tuple(
                     not ts.should_skip(model, state) for ts in model.train_steps
                 )
-                step_fn = self.get_step_fn(actives)
                 lr_scales = {
                     scope: jnp.asarray(ps.scale, dtype=jnp.float32)
                     for scope, ps in self.lr_scales.items()
                 }
-                self._full_state, self._opt_states, loss_items = step_fn(
-                    self._full_state, self._opt_states, lr_scales, np_batch
-                )
+                if len(chunk) == 1:
+                    step_fn = self.get_step_fn(actives)
+                    self._full_state, self._opt_states, loss_items = step_fn(
+                        self._full_state, self._opt_states, lr_scales, np_batch
+                    )
+                else:
+                    state.step += len(chunk) - 1
+                    stacked = self._stack_batches(chunk)
+                    step_fn = self.get_step_fn(actives, len(chunk))
+                    # loss_items leaves come back stacked (len(chunk),)
+                    self._full_state, self._opt_states, loss_items = step_fn(
+                        self._full_state, self._opt_states, lr_scales, stacked
+                    )
                 if profiling:
                     jax.block_until_ready(jax.tree_util.tree_leaves(loss_items))
                     jax.profiler.stop_trace()
@@ -755,7 +876,13 @@ class Trainer(ITrainer):
 
                 for k, v in loss_items.items():
                     window = self._loss_window.setdefault(k, [])
-                    window.append(v)
+                    if len(chunk) > 1:
+                        # fused dispatch: one (k,) leaf per item — the window
+                        # still records every step (lazy device slices, no
+                        # host sync here)
+                        window.extend(v[i] for i in range(len(chunk)))
+                    else:
+                        window.append(v)
                     if len(window) > 64:
                         del window[:-64]
 

@@ -120,6 +120,11 @@ def txt2img_p50_latency_ms() -> float:
     if dc > 1:
         sd.deepcache_interval = dc
         sd.deepcache_cut = int(os.environ.get("CFLEARN_BENCH_ACCEL_DC_CUT", "1"))
+        # mirror bench.py's configure() exactly — incl. the non-uniform
+        # refresh placement, else a center sweep would silently measure
+        # latency with the uniform schedule
+        center = os.environ.get("CFLEARN_BENCH_ACCEL_DC_CENTER", "")
+        sd.deepcache_center = float(center) if center else None
     gd2, st2 = nnx.split(sd)
     tokens = jnp.asarray(np.random.randint(0, 49000, (1, 77)), jnp.int32)
     uncond = jnp.zeros((1, 77), jnp.int32)

@@ -207,3 +207,24 @@ def test_deepcache_refresh_mask() -> None:
     # degenerate sizes
     assert deepcache_refresh_mask(0, 3, 0.5).shape == (0,)
     assert deepcache_refresh_mask(1, 3, 0.5).tolist() == [True]
+
+
+def test_map_center_to_segment() -> None:
+    """`deepcache_center` is a fraction of the WHOLE step loop; when GI-CFG
+    splits the loop into segments the global fraction maps into per-segment
+    coordinates (a segment left of the center pins to 1.0, right of it to
+    0.0, and one containing it lands proportionally)."""
+    from cflearn_tpu.modules.multimodal.diffusion.samplers import (
+        map_center_to_segment,
+    )
+
+    n = 20  # global center 0.5 → step 9.5; GI segments [0:5), [5:14), [14:20)
+    segs = [np.arange(0, 5), np.arange(5, 14), np.arange(14, 20)]
+    assert map_center_to_segment(0.5, n, segs[0]) == 1.0  # center is to the right
+    mid = map_center_to_segment(0.5, n, segs[1])
+    assert abs(mid - (9.5 - 5) / 8) < 1e-9  # lands inside, proportional
+    assert map_center_to_segment(0.5, n, segs[2]) == 0.0  # center is to the left
+    # unsegmented loop: identity on the fraction (up to the n-1 grid)
+    assert abs(map_center_to_segment(0.3, n, np.arange(n)) - 0.3) < 1e-9
+    # single-step segment degenerates safely
+    assert map_center_to_segment(0.5, n, np.arange(7, 8)) in (0.0, 1.0)

@@ -362,3 +362,15 @@ def test_show_or_return() -> None:
     plt.plot([0, 1], [0, 1])
     canvas = show_or_return(True)
     assert canvas is not None and canvas.ndim == 3 and canvas.shape[-1] == 4
+
+
+def test_resolve_checkpoint_policy() -> None:
+    """Remat-policy names validate eagerly with a ValueError listing valid
+    names (a typo used to surface as a bare AttributeError at trace time)."""
+    import pytest
+
+    from cflearn_tpu.toolkit.misc import resolve_checkpoint_policy
+
+    assert resolve_checkpoint_policy("dots_saveable") is not None
+    with pytest.raises(ValueError, match="dots_saveable"):
+        resolve_checkpoint_policy("dots_savable")  # typo → named suggestions

@@ -531,3 +531,79 @@ def test_validation_split(tmp_path) -> None:
     data2 = ArrayData.init().fit(x, y, x_valid=x[:10], y_valid=y[:10])
     data2.split_validation(0.5)
     assert data2.num_valid == 10
+
+
+def test_steps_per_dispatch_parity(tmp_path) -> None:
+    """k-step fused dispatch (`steps_per_dispatch`, VERDICT r4 #3) is
+    numerically identical to k single steps: same final params, same
+    optimizer state, same step count — chunk boundaries land on the
+    monitor/log cadence so callback/monitor semantics match too."""
+    import jax
+
+    from cflearn_tpu.toolkit.misc import seed_everything
+
+    def run(k: int):
+        seed_everything(777)
+        x, y = _toy_cls_data(64)
+        config = DLConfig(
+            module_name="fcnn",
+            module_config={"input_dim": 8, "output_dim": 2, "hidden_units": [16]},
+            loss_name="cross_entropy",
+        )
+        model = IDLModel.from_config(config)
+        data = ArrayData.init().fit(x, y)
+        trainer = Trainer(
+            TrainerConfig(
+                workspace=str(tmp_path / f"k{k}"),
+                num_epoch=2,
+                lr=1.0e-2,
+                steps_per_dispatch=k,
+            ),
+            monitors=[BasicMonitor()],
+        )
+        trainer.fit(data, model)
+        return trainer
+
+    t1 = run(1)
+    t3 = run(3)  # 4 steps/epoch, snapshot cadence 2 → chunks must cut at 2
+    assert t1.state is not None and t3.state is not None
+    assert t1.state.step == t3.state.step
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1._full_state),
+        jax.tree_util.tree_leaves(t3._full_state),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1._opt_states),
+        jax.tree_util.tree_leaves(t3._opt_states),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
+def test_steps_per_dispatch_actives_cut(tmp_path) -> None:
+    """_fusable_len cuts chunks where the active train-step set changes and
+    at cadence boundaries (bit-identical monitor semantics)."""
+    x, y = _toy_cls_data(64)
+    config = DLConfig(
+        module_name="linear",
+        module_config={"input_dim": 8, "output_dim": 2},
+        loss_name="cross_entropy",
+    )
+    model = IDLModel.from_config(config)
+    data = ArrayData.init().fit(x, y)
+    trainer = Trainer(
+        TrainerConfig(workspace=str(tmp_path), fixed_steps=7, steps_per_dispatch=8),
+        monitors=[BasicMonitor()],
+    )
+    trainer.fit(data, model)
+    assert trainer.state is not None and trainer.state.step == 7
+
+    # cadence alignment: from step s, a chunk never crosses the snapshot or
+    # log boundary
+    state = trainer.state
+    state.step = state.num_step_per_snapshot - 1
+    assert trainer._fusable_len(state, 100, trainer.model) == 1
+    state.step = state.num_step_per_snapshot
+    assert trainer._fusable_len(state, 100, trainer.model) == min(
+        100, state.num_step_per_snapshot, state.num_step_per_log
+    )
