@@ -42,3 +42,57 @@ def _seed() -> None:
 @pytest.fixture(scope="session")
 def cpu_devices():
     return jax.devices("cpu")
+
+
+# ---------------------------------------------------------------- smoke tier
+# A <5-min (warm-cache) inner-loop subset: one or two fast tests per
+# subsystem, selected here centrally (pytest -m smoke) so the ladder is
+# smoke → quick (-m "not slow") → full. Keep this list small; it is a
+# liveness check, not coverage.
+SMOKE_TESTS = {
+    "test_toolkit.py::test_registry",
+    "test_toolkit.py::test_seed",
+    "test_toolkit.py::test_tree_npd_roundtrip",
+    "test_toolkit.py::test_resolve_checkpoint_policy",
+    "test_blocks.py::test_attention_vs_naive",
+    "test_blocks.py::test_ema_semantics",
+    "test_blocks.py::test_activations",
+    "test_blocks.py::test_vq_codebook_straight_through",
+    "test_blocks.py::test_tokenizer_fallback",
+    "test_tokenizer_bpe.py::test_merge_rank_order",
+    "test_conv_kernel.py::test_conv3x3_forward_parity",
+    "test_conv_kernel.py::test_use_pallas_conv_gating",
+    "test_flash_attention.py::test_flash_forward_parity",
+    "test_convert.py::test_esrgan_mapping_roundtrip",
+    "test_data_modules.py::test_array_data_roundtrip",
+    "test_data_modules.py::test_sample_weights",
+    "test_metrics.py::test_acc",
+    "test_metrics.py::test_auc_vs_sklearn",
+    "test_models.py::test_gan_training",
+    "test_trainer.py::test_fixed_steps_debug_mode",
+    "test_trainer.py::test_steps_per_dispatch_actives_cut",
+    "test_parallel.py::test_mesh_axis_sizes",
+    "test_parallel.py::test_fsdp_sharding",
+    "test_parallel.py::test_ring_attention_matches_dense",
+    "test_pipeline.py::test_fit_ml_predict_save_load",
+    "test_ml_api.py::test_debug_nans_flag",
+    "test_customization.py::test_customize_model",
+    "test_public_surface.py::test_reference_export_surface_complete",
+    "test_public_surface.py::test_compat_aliases_are_identity_bound",
+    "test_quality.py::test_psnr_basics",
+    "test_quality.py::test_recorded_sd15_quality_bounds",
+    "test_sampler_convergence.py::test_deepcache_refresh_mask",
+    "test_sampler_convergence.py::test_map_center_to_segment",
+    "test_native.py::test_rcache_roundtrip",
+    "test_zoo_index.py::test_index_completeness",
+    "test_zoo_index.py::test_presets_have_registered_downloads",
+    "test_aux.py::test_lora_roundtrip",
+    "test_diffusion_api.py::test_txt2img_deterministic",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = getattr(item, "originalname", None) or item.name
+        if f"{item.fspath.basename}::{name}" in SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
