@@ -41,20 +41,31 @@ GRID = {
 
 
 def main() -> None:
+    import os
+
     import numpy as np
 
     from cflearn_tpu.toolkit.quality import compare_outputs
 
+    # variance protocol (VERDICT r4 weak #8): default 3 seeds × 2 prompt
+    # sets — adoption decisions must clear the measured spread, not a
+    # single sample. Context 0 reproduces the historical protocol exactly.
+    num_seeds = int(os.environ.get("CFLEARN_QH_SEEDS", "3"))
+    num_prompt_sets = int(os.environ.get("CFLEARN_QH_PROMPT_SETS", "2"))
+    contexts = qh.make_contexts(num_seeds, num_prompt_sets)
+
     model = qh.build_sd()
     results = {}
     for name, kw in GRID.items():
-        results[name] = qh.run_variant(model, name, **kw)
+        results[name] = qh.run_variant(model, name, contexts=contexts, **kw)
 
     ref = results["lossless"]
     rows = {}
     for name, res in results.items():
         q = compare_outputs(ref["latents"], ref["images"], res["latents"], res["images"])
         row = {"img_per_sec": res["img_per_sec"], **q.to_dict()}
+        if len(contexts) > 1:
+            row["variance"] = qh.variance_columns(ref["runs"], res["runs"])
         row = {
             k: ("inf" if isinstance(v, float) and np.isinf(v) else v)
             for k, v in row.items()
@@ -68,6 +79,13 @@ def main() -> None:
                 "workload": "sd15_512px_txt2img_b4_ddim20_cfg7.5",
                 "weights": "fixed-seed random, zero-init params de-zeroed "
                 "(same protocol as quality_sd15.json)",
+                "variance_protocol": (
+                    f"{num_seeds} seeds x {num_prompt_sets} prompt sets; "
+                    "per-context metrics vs same-context lossless; primary "
+                    "columns = seed0_p0 (historical protocol)"
+                )
+                if len(contexts) > 1
+                else None,
                 "variants": rows,
             },
             indent=2,

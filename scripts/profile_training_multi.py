@@ -115,6 +115,32 @@ def profile_workload(name: str, config, data, n_images_per_step: int) -> dict:
         "mfu_vs_envelope": round(flops / 1e12 / dt / ENVELOPE_TFS, 3) if flops else None,
         "scopes": [ts.scope for ts in model.train_steps],
     }
+
+    # steps_per_dispatch (r5): the SAME step scan-fused k-per-dispatch — the
+    # trainer's lever for dispatch-latency-bound workloads (the GAN row pays
+    # ~24 ms tunnel dispatch against ~4 ms compute). Parity with k=1 is
+    # test-asserted (tests/test_trainer.py::test_steps_per_dispatch_parity).
+    K = int(os.environ.get("CFLEARN_PTM_K", "8"))
+    if K > 1:
+        fnk = trainer.get_step_fn(actives, K)
+        stacked = {k2: jnp.stack([v] * K) for k2, v in batch.items()}
+        s, o, li = fnk(s, o, lr_scales, stacked)  # compile + warm
+        float(np.asarray(list(li.values())[0])[-1])
+        dispatches = max(2, STEPS // K + 1)
+        t0 = time.perf_counter()
+        for _ in range(dispatches):
+            s, o, li = fnk(s, o, lr_scales, stacked)
+        float(np.asarray(list(li.values())[0])[-1])
+        dtk = (time.perf_counter() - t0) / (dispatches * K)
+        row["steps_per_dispatch"] = {
+            "k": K,
+            "step_ms": round(dtk * 1e3, 2),
+            "img_per_sec": round(n_images_per_step / dtk, 1),
+            "sustained_tfs": round(flops / 1e12 / dtk, 1) if flops else None,
+            "mfu_vs_envelope": round(flops / 1e12 / dtk / ENVELOPE_TFS, 3)
+            if flops
+            else None,
+        }
     print(json.dumps(row), flush=True)
     return row
 

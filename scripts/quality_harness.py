@@ -52,6 +52,38 @@ PROMPTS = [
     "a bowl of ramen on a wooden table, studio lighting",
     "an isometric illustration of a tiny futuristic city",
 ]
+# second prompt set for the variance protocol (VERDICT r4 weak #8): quality
+# deltas acted on must exceed the seed×prompt spread, not a single sample
+PROMPTS_B = [
+    "a macro photo of a dew-covered spider web at sunrise",
+    "an oil painting of a lighthouse in a storm",
+    "a golden retriever puppy wearing a tiny wizard hat",
+    "a blueprint drawing of a steampunk submarine",
+]
+
+
+def make_contexts(num_seeds: int = 1, prompt_sets: int = 1) -> list:
+    """Measurement contexts: seeds × prompt sets. Context 0 (seed0/p0) is
+    bit-identical to the historical single-context protocol (z from
+    PRNGKey(3), sample key PRNGKey(11), PROMPTS)."""
+    from cflearn_tpu.modules.nlp.tokenizers import CLIPTokenizer
+
+    tokenizer = CLIPTokenizer()
+    uncond = tokenizer.tokenize([""] * BATCH)
+    contexts = []
+    for s in range(num_seeds):
+        for p in range(prompt_sets):
+            prompts = PROMPTS if p == 0 else PROMPTS_B
+            contexts.append(
+                {
+                    "label": f"seed{s}_p{p}",
+                    "tokens": tokenizer.tokenize(prompts),
+                    "uncond": uncond,
+                    "z_seed": 3 + 1000 * s,
+                    "key_seed": 11 + 1000 * s,
+                }
+            )
+    return contexts
 
 
 def build_sd():
@@ -106,7 +138,7 @@ def set_levers(model, *, tome: float, deepcache) -> None:
         model.deepcache_center = deepcache[2] if len(deepcache) > 2 else None
 
 
-def run_variant(model, name, *, tome=0.0, gi=None, deepcache=None, w8a8=False):
+def run_variant(model, name, *, tome=0.0, gi=None, deepcache=None, w8a8=False, contexts=None):
     from cflearn_tpu.ops import conv as conv_ops
     from cflearn_tpu.toolkit.quality import make_txt2img_with_latents
 
@@ -121,29 +153,74 @@ def run_variant(model, name, *, tome=0.0, gi=None, deepcache=None, w8a8=False):
             num_steps=NUM_STEPS,
             guidance_scale=GUIDANCE,
         )
-        from cflearn_tpu.modules.nlp.tokenizers import CLIPTokenizer
-
-        tokenizer = CLIPTokenizer()
-        tokens = jnp.asarray(tokenizer.tokenize(PROMPTS), jnp.int32)
-        uncond_tokens = jnp.asarray(tokenizer.tokenize([""] * BATCH), jnp.int32)
-        z = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 64, 64, 4), jnp.float32)
-        key = jax.random.PRNGKey(11)
-
-        t0 = time.time()
-        latents, images = fn(state, tokens, uncond_tokens, z, key)
-        latents, images = np.asarray(latents, np.float32), np.asarray(images, np.float32)
-        compile_s = time.time() - t0
-        # timed window (program is warm; scalar pull forces completion)
-        iters = 3
-        t0 = time.time()
-        for i in range(iters):
-            l2, _ = fn(state, tokens, uncond_tokens, z, key)
-        float(jnp.sum(l2))
-        img_s = BATCH * iters / (time.time() - t0)
-        print(f"[{name}] compile+first {compile_s:.1f}s, {img_s:.3f} img/s", flush=True)
-        return {"latents": latents, "images": images, "img_per_sec": round(img_s, 4)}
+        if contexts is None:
+            contexts = make_contexts(1, 1)
+        runs = {}
+        img_s = None
+        for ci, ctx in enumerate(contexts):
+            tokens = jnp.asarray(ctx["tokens"], jnp.int32)
+            uncond_tokens = jnp.asarray(ctx["uncond"], jnp.int32)
+            z = jax.random.normal(
+                jax.random.PRNGKey(ctx["z_seed"]), (BATCH, 64, 64, 4), jnp.float32
+            )
+            key = jax.random.PRNGKey(ctx["key_seed"])
+            t0 = time.time()
+            latents, images = fn(state, tokens, uncond_tokens, z, key)
+            latents = np.asarray(latents, np.float32)
+            images = np.asarray(images, np.float32)
+            compile_s = time.time() - t0
+            runs[ctx["label"]] = {"latents": latents, "images": images}
+            if ci == 0:
+                # timed window on the primary context only (program is warm
+                # after the first call; scalar pull forces completion)
+                iters = 3
+                t0 = time.time()
+                for i in range(iters):
+                    l2, _ = fn(state, tokens, uncond_tokens, z, key)
+                float(jnp.sum(l2))
+                img_s = BATCH * iters / (time.time() - t0)
+                print(
+                    f"[{name}] compile+first {compile_s:.1f}s, {img_s:.3f} img/s",
+                    flush=True,
+                )
+        first = runs[contexts[0]["label"]]
+        return {
+            "latents": first["latents"],
+            "images": first["images"],
+            "img_per_sec": round(img_s, 4),
+            "runs": runs,
+        }
     finally:
         conv_ops._W8A8_DEFAULT = prev_w8a8
+
+
+def variance_columns(ref_runs: dict, var_runs: dict) -> dict:
+    """Per-context metrics (vs the same-context lossless) aggregated to
+    mean / min / max over seeds×prompt-sets — the spread that adoption
+    decisions must exceed."""
+    from cflearn_tpu.toolkit.quality import compare_outputs
+
+    psnrs, ssims, mses = [], [], []
+    for label, ref in ref_runs.items():
+        var = var_runs[label]
+        q = compare_outputs(ref["latents"], ref["images"], var["latents"], var["images"])
+        d = q.to_dict()
+        psnrs.append(d["image_psnr"])
+        ssims.append(d["image_ssim"])
+        mses.append(d["latent_mse"])
+
+    def agg(vals):
+        finite = [v for v in vals if np.isfinite(v)]
+        if not finite:  # lossless vs itself: all inf PSNR
+            return {"mean": "inf", "min": "inf", "max": "inf", "n": len(vals)}
+        return {
+            "mean": round(float(np.mean(finite)), 4),
+            "min": round(float(np.min(finite)), 4),
+            "max": round(float(np.max(finite)), 4),
+            "n": len(vals),
+        }
+
+    return {"psnr": agg(psnrs), "ssim": agg(ssims), "latent_mse": agg(mses)}
 
 
 def main() -> None:
@@ -179,9 +256,16 @@ def main() -> None:
         keep = {"lossless"} | set(only.split(","))
         variants = {k: v for k, v in variants.items() if k in keep}
 
+    # variance protocol: CFLEARN_QH_SEEDS / CFLEARN_QH_PROMPT_SETS expand the
+    # measurement to seeds × prompt sets; each context's metrics are taken
+    # vs the SAME-context lossless run, and rows gain mean±spread columns
+    num_seeds = int(os.environ.get("CFLEARN_QH_SEEDS", "1"))
+    num_prompt_sets = int(os.environ.get("CFLEARN_QH_PROMPT_SETS", "1"))
+    contexts = make_contexts(num_seeds, num_prompt_sets)
+
     results = {}
     for name, kw in variants.items():
-        results[name] = run_variant(model, name, **kw)
+        results[name] = run_variant(model, name, contexts=contexts, **kw)
 
     from cflearn_tpu.toolkit.quality import compare_outputs
 
@@ -232,10 +316,20 @@ def main() -> None:
     for name, res in results.items():
         q = compare_outputs(ref["latents"], ref["images"], res["latents"], res["images"])
         row = {"img_per_sec": res["img_per_sec"], **q.to_dict()}
+        if len(contexts) > 1:
+            row["variance"] = variance_columns(ref["runs"], res["runs"])
         # valid JSON: identical outputs give PSNR=inf
-        row = {k: ("inf" if isinstance(v, float) and np.isinf(v) else v) for k, v in row.items()}
+        row = {
+            k: ("inf" if isinstance(v, float) and np.isinf(v) else v)
+            for k, v in row.items()
+        }
         report["variants"][name] = row
         print(name, json.dumps(row), flush=True)
+    if len(contexts) > 1:
+        report["variance_protocol"] = (
+            f"{num_seeds} seeds x {num_prompt_sets} prompt sets; per-context "
+            "metrics vs same-context lossless; spread = max - min"
+        )
 
     if only and OUT_PATH.exists():
         # partial (CFLEARN_QH_ONLY) runs merge into the existing artifact
