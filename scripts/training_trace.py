@@ -47,7 +47,7 @@ from ceiling_trace import jaxpr_flops, parse_trace  # noqa: E402
 OUT = REPO / "docs" / "training_trace.json"
 TB = 8
 T = 1000
-SCAN_N = 10  # steps per dispatch inside the traced program
+SCAN_N = int(os.environ.get("CFLEARN_TT_SCAN", "10"))  # steps per traced dispatch
 MATMUL_ENVELOPE_TFS = 172.0  # re-measured r4 bf16 envelope (docs/performance.md)
 
 
