@@ -209,7 +209,9 @@ class DeviceBatcher:
             div *= mesh.shape[a]
         return div
 
-    def _convert(self, np_batch: np_dict_type, *, allow_pad: bool = True) -> Dict[str, Any]:
+    def _convert(
+        self, np_batch: np_dict_type, *, allow_pad: bool = True, to_device: bool = False
+    ) -> Dict[str, Any]:
         batch: Dict[str, Any] = {}
         divisor = self._data_divisor()
         for k, v in np_batch.items():
@@ -227,6 +229,16 @@ class DeviceBatcher:
                     v = np.concatenate([v, reps], axis=0)
                 if self.sharding is not None:
                     batch[k] = jax.device_put(v, self.sharding)
+                elif to_device:
+                    # ASYNC host→device upload (prefetch-to-device): started
+                    # here, `prefetch` batches ahead of the consuming step,
+                    # so the transfer overlaps the previous steps' compute
+                    # instead of riding the jit call's critical path (r5
+                    # measured: the GAN 64px fit loop is INPUT-bound — a
+                    # 3.1 MB step batch costs far more to upload than the
+                    # 4.3 ms step computes; step batches only — whole-dataset
+                    # get_one/full_batch stay host-side)
+                    batch[k] = jax.device_put(v)
                 else:
                     batch[k] = v
             else:
@@ -240,11 +252,11 @@ class DeviceBatcher:
         it = iter(self.loader)
         queue: "collections.deque" = collections.deque()
         for np_batch in itertools.islice(it, self.prefetch):
-            queue.append(self._convert(np_batch))
+            queue.append(self._convert(np_batch, to_device=True))
         while queue:
             out = queue.popleft()
             try:
-                queue.append(self._convert(next(it)))
+                queue.append(self._convert(next(it), to_device=True))
             except StopIteration:
                 pass
             yield out

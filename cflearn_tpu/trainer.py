@@ -795,6 +795,17 @@ class Trainer(ITrainer):
 
     def _loop(self, state: TrainerState, batcher: DeviceBatcher, model: IDLModel, terminate: bool, has_ckpt: bool) -> Tuple[bool, bool]:
         k_cfg = max(1, int(self.config.steps_per_dispatch or 1))
+        # lr scales change only at monitor cadence (plateau events): cache
+        # the device scalars instead of re-uploading per step
+        lr_cache: Dict[Tuple, Dict[str, jnp.ndarray]] = {}
+
+        def get_lr_scales() -> Dict[str, jnp.ndarray]:
+            key = tuple((s, float(ps.scale)) for s, ps in sorted(self.lr_scales.items()))
+            cached = lr_cache.get(key)
+            if cached is None:
+                cached = {s: jnp.asarray(v, dtype=jnp.float32) for s, v in key}
+                lr_cache[key] = cached
+            return cached
         while state.should_train and not terminate:
             state.epoch += 1
             batch_it = iter(batcher)
@@ -847,10 +858,7 @@ class Trainer(ITrainer):
                 actives = tuple(
                     not ts.should_skip(model, state) for ts in model.train_steps
                 )
-                lr_scales = {
-                    scope: jnp.asarray(ps.scale, dtype=jnp.float32)
-                    for scope, ps in self.lr_scales.items()
-                }
+                lr_scales = get_lr_scales()
                 if len(chunk) == 1:
                     step_fn = self.get_step_fn(actives)
                     self._full_state, self._opt_states, loss_items = step_fn(

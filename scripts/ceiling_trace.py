@@ -126,13 +126,15 @@ def jaxpr_flops(jaxpr) -> dict:
 
 def classify(op_name: str) -> str:
     n = op_name.lower()
-    if "flash" in n or ("custom-call" in n and "attn" in n):
-        return "attention"
-    if "conv" in n:
-        return "conv"
-    if "dot" in n or "einsum" in n or "matmul" in n:
-        return "matmul"
-    if "copy-start" in n or "copy-done" in n or "cross_program_prefetch" in n:
+    # ORDER MATTERS: the event name is the full HLO text including operand
+    # descriptions — a `%copy-start(... %conv3x3_pallas ...)` mentions
+    # "conv", so the op-kind prefixes must be matched BEFORE substrings.
+    if n.startswith("%while") or n.startswith("%conditional") or n.startswith("%call"):
+        # control-flow wrapper ops: their trace span covers every child op
+        # (a scan's %while = the whole program) — report separately, never
+        # sum into the serial budget
+        return "control-flow(wrapper-span)"
+    if n.startswith("%copy-start") or n.startswith("%copy-done") or "cross_program_prefetch" in n:
         # ASYNC copies (weight streaming / cross-program prefetch): the
         # trace event's duration spans start→done and OVERLAPS compute, so
         # summing it alongside synchronous op time double-counts — report it
@@ -140,6 +142,14 @@ def classify(op_name: str) -> str:
         # weak #7: the 153 ms/rep "data-movement" against a 61 ms wall was
         # exactly these spans)
         return "async-copy(overlapped)"
+    if "flash" in n or ("custom-call" in n and ("attn" in n or "transpose_jvp" in n)):
+        # transpose_jvp custom-calls are the flash-attention backward
+        # kernels (the VJP transpose rule of the Pallas fwd kernel)
+        return "attention"
+    if "conv" in n:
+        return "conv"
+    if "dot" in n or "einsum" in n or "matmul" in n:
+        return "matmul"
     if any(k in n for k in ("copy", "transpose", "reshape", "bitcast", "slice", "concatenate", "pad")):
         return "data-movement"
     if "fusion" in n:
@@ -171,10 +181,17 @@ def parse_trace(logdir: str) -> dict:
             continue
         ev_meta = {m.id: plane.event_metadata[m.id].name for m in plane.event_metadata.values()}
         for line in plane.lines:
-            if "XLA Ops" not in line.name:
-                continue
-            for ev in line.events:
-                per_op[ev_meta.get(ev.metadata_id, "?")] += ev.duration_ps / 1e12  # seconds
+            # the serial budget comes from the sync "XLA Ops" line ONLY;
+            # "Async XLA Ops" (copy-start/done spans, which overlap compute)
+            # is folded into the async class wholesale — matching it with
+            # `"XLA Ops" in name` used to double-count every async span
+            # under its operand's class
+            if line.name == "XLA Ops":
+                for ev in line.events:
+                    per_op[ev_meta.get(ev.metadata_id, "?")] += ev.duration_ps / 1e12
+            elif line.name == "Async XLA Ops":
+                for ev in line.events:
+                    per_op["%copy-start(async line)"] += ev.duration_ps / 1e12
     by_class = defaultdict(float)
     top = sorted(per_op.items(), key=lambda kv: -kv[1])
     for name, s in per_op.items():

@@ -112,17 +112,24 @@ def main() -> None:
         out, _ = jax.lax.scan(body, jnp.float32(0.0), jax.random.split(key, SCAN_N))
         return out
 
-    @jax.jit
+    # fwd+bwd isolated as a ZERO-SCALED sgd step: identical buffer-lifetime
+    # pattern to the (proven-to-fit) full step program — p threads through
+    # the scan carry, grads are consumed leaf-wise into p - 0*g — minus the
+    # optimizer state/update. The keep-grads-and-reduce formulation OOMs a
+    # 16 GB chip even donated; this fits by construction. It adds one
+    # elementwise pass over the 3.4 GB f32 params (~11 ms HBM) that the
+    # phase math notes as part of the optimizer residual.
+    @partial(jax.jit, donate_argnums=(0,))
     def fwdbwd(p, key):
         def body(carry, k):
+            p = carry
             x_t, t, eps = make_batch(k)
             loss, grads = jax.value_and_grad(loss_fn)(p, x_t, t, eps)
-            # fold grads into a scalar so nothing is dead, params stay fixed
-            gsum = sum(jnp.sum(g.astype(jnp.float32)) for g in jax.tree_util.tree_leaves(grads))
-            return carry + loss + 0.0 * gsum, None
+            p = jax.tree_util.tree_map(lambda w, g: w - 0.0 * g, p, grads)
+            return p, loss
 
-        out, _ = jax.lax.scan(body, jnp.float32(0.0), jax.random.split(key, SCAN_N))
-        return out
+        p, losses = jax.lax.scan(body, p, jax.random.split(key, SCAN_N))
+        return losses[-1], p
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(p, opt_state, key):
@@ -145,28 +152,37 @@ def main() -> None:
         f"f32 masters, adamw(mu=bf16), no remat, scan x{SCAN_N}",
         "protocol": "per-op-class device time from jax.profiler trace / "
         "algorithmic FLOPs from jaxpr (ceiling_trace.py convention); "
-        "bwd = fwdbwd - fwd, optimizer = step - fwdbwd",
+        "bwd = fwdbwd - fwd, optimizer = step - fwdbwd. NOTE: trace event "
+        "spans include async/overlapped execution, so by_class sums can "
+        "exceed wall — wall_ms_per_step is authoritative, classes are "
+        "relative shares",
         "programs": {},
     }
 
     key = jax.random.PRNGKey(3)
     programs = {}
-    for name in ("fwd", "fwdbwd", "step"):
+    # fwdbwd LAST: it donates the param buffer each call (OOM otherwise)
+    # and threads it back via its second output
+    for name in ("fwd", "step", "fwdbwd"):
         logdir = f"/tmp/train_trace_{name}"
 
         if name == "fwd":
-            run = lambda: jax.block_until_ready(fwd(uparams, key))  # noqa: E731
+            run = lambda: float(fwd(uparams, key))  # noqa: E731  (scalar pull: block_until_ready can return early through the axon tunnel)
             flops = jaxpr_flops(jax.make_jaxpr(fwd)(uparams, key))
         elif name == "fwdbwd":
-            run = lambda: jax.block_until_ready(fwdbwd(uparams, key))  # noqa: E731
             flops = jaxpr_flops(jax.make_jaxpr(fwdbwd)(uparams, key))
+
+            def run():
+                nonlocal uparams
+                loss, uparams = fwdbwd(uparams, key)
+                float(loss)  # scalar pull forces completion
         else:
             flops = jaxpr_flops(jax.make_jaxpr(step)(uparams, opt_state, key))
 
             def run():
                 nonlocal uparams, opt_state
                 uparams, opt_state, loss = step(uparams, opt_state, key)
-                jax.block_until_ready(loss)
+                float(loss)  # scalar pull forces completion
 
         t0 = time.time()
         run()  # compile + warm
@@ -212,7 +228,10 @@ def main() -> None:
     report["phase_ms_per_step"] = {
         "forward": round(fwd_ms, 3),
         "backward": round(bwd_ms, 3),
-        "optimizer+residual": round(opt_ms, 3),
+        "optimizer_minus_zero_sgd_pass": round(opt_ms, 3),
+        "note": "fwdbwd applies p-0*g (one ~11 ms elementwise pass over the "
+        "3.4 GB f32 params) so 'backward' is ≤11 ms high and the optimizer "
+        "line correspondingly low",
     }
     OUT.write_text(json.dumps(report, indent=2) + "\n")
     print(f"wrote {OUT}")
