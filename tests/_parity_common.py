@@ -15,9 +15,15 @@ from typing import Dict, Optional
 import numpy as np
 
 
-def run_workload(workload: str, mesh: Optional[Dict[str, int]], workspace: str):
+def run_workload(
+    workload: str,
+    mesh: Optional[Dict[str, int]],
+    workspace: str,
+    extra_config: Optional[Dict] = None,
+):
     """Deterministically build data+model, fit 3 fixed steps, return a flat
-    param dict path->np.ndarray."""
+    param dict path->np.ndarray. `extra_config` overrides TrainerConfig
+    fields (e.g. steps_per_dispatch) on top of the fixed protocol."""
     import jax
     from flax import nnx
 
@@ -43,6 +49,8 @@ def run_workload(workload: str, mesh: Optional[Dict[str, int]], workspace: str):
     )
     if mesh is not None:
         common["mesh"] = mesh
+    if extra_config:
+        common.update(extra_config)
     if workload == "transformer_pp":
         # NOTE: deliberately the plain "ff" channel mixer. MoE's top-k
         # routing is DISCRETE: psum reassociation noise (~1e-7) flips

@@ -569,3 +569,24 @@ def test_pp_stacked_param_placement_composes_with_tp() -> None:
     # non-pp params and indivisible block counts fall through
     assert pp_spec_for("encoder/blocks/0/w/value", (4, 32), 2, 2, rules) is None
     assert pp_spec_for("m/pp_block/w/value", (3, 32), 2, 2, rules) is None
+
+
+def test_steps_per_dispatch_on_mesh(tmp_path) -> None:
+    """steps_per_dispatch composes with sharding: 3 fused-dispatch steps on
+    the dp x fsdp x tp mesh reproduce the single-device params — exercises
+    jnp.stack over device_put-sharded batches + lax.scan inside the pjit'd
+    step (the interaction the single-device parity test cannot see)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from _parity_common import run_workload
+
+    base = _single_device_baseline("transformer_pp", tmp_path)
+    got = run_workload(
+        "transformer_pp",
+        {"data": 2, "fsdp": 2, "model": 2},
+        str(tmp_path / "ws_k3"),
+        extra_config={"steps_per_dispatch": 3},
+    )
+    _assert_params_close(base, got, atol=1e-4, rtol=0)
