@@ -337,6 +337,93 @@ def _flash_bwd_dkv_kernel(
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _flash_bwd_fused_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dq_ref,
+    dk_acc, dv_acc, dq_acc,
+    *, sm_scale, causal, block_q, block_k, kv_len,
+):
+    """dq + dk + dv in ONE grid pass (kv blocks outer, q blocks inner).
+
+    The split dq/dkv kernels each recompute s = qkᵀ and p (and the dq one
+    also dp) — 7 block matmuls total per (q, k) tile pair. Fusing shares
+    s/p/dp across all three grads: 5 matmuls, a ~29% cut in the backward's
+    MXU volume (which runs at the padded-d structural ceiling, so volume is
+    the only lever — measured in docs/training_trace.json, where the flash
+    VJP is the single largest sync class of the finetune backward).
+
+    dk/dv accumulate per kv-block as before; dq needs accumulation ACROSS
+    the outer kv axis, so it lives in a full-length (q_len_pad, d) f32 VMEM
+    scratch that persists over each bh member's grid sweep (reset at the
+    first tile, flushed to the output — whose block index is constant, so
+    it stays VMEM-resident — at the last). The wrapper gates this kernel on
+    the scratch fitting VMEM and falls back to the split kernels otherwise.
+    """
+    k_idx = pl.program_id(1)
+    q_idx = pl.program_id(2)
+    num_k_blocks = pl.num_programs(1)
+    num_q_blocks = pl.num_programs(2)
+
+    @pl.when(jnp.logical_and(k_idx == 0, q_idx == 0))
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    @pl.when(q_idx == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def compute() -> None:
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * sm_scale
+        k_pos = k_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = k_pos < kv_len
+        if causal:
+            q_pos = q_idx * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            mask = jnp.logical_and(mask, k_pos <= q_pos)
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
+        pw = p.astype(do.dtype)
+        dv_acc[...] += jax.lax.dot_general(
+            pw, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0])
+        dsw = ds.astype(q.dtype)
+        dk_acc[...] += sm_scale * jax.lax.dot_general(
+            dsw, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        rows = pl.ds(q_idx * block_q, block_q)
+        dq_acc[rows, :] += sm_scale * jax.lax.dot_general(
+            dsw, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        # this kv block only sees q blocks at or below the diagonal
+        @pl.when((q_idx + 1) * block_q - 1 >= k_idx * block_k)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+    @pl.when(jnp.logical_and(k_idx == num_k_blocks - 1, q_idx == num_q_blocks - 1))
+    def _():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+# dq's full-length f32 VMEM accumulator must fit comfortably alongside the
+# tile buffers; above this the wrapper falls back to the split kernels
+_FUSED_BWD_DQ_VMEM_BUDGET = 6 * 1024 * 1024
+_FUSED_BWD = bool(int(os.environ.get("CFLEARN_TPU_FLASH_BWD_FUSED", "1")))
+
+
 def _bwd_blocks(q_len: int, kv_len: int, d: int):
     d_pad = _round_up(d, 128)
     auto = 512 if d_pad <= 128 else 256
@@ -436,6 +523,41 @@ def _flash_train_bwd(causal, sm_scale, residuals, do):
     dop = do.reshape(bh, q_len_pad, d)
     # lse already padded to q_len_pad by the forward
     lse_p = lse
+
+    if _FUSED_BWD and q_len_pad * d * 4 <= _FUSED_BWD_DQ_VMEM_BUDGET:
+        # fused dq+dk+dv kernel: kv blocks outer, q blocks inner (see the
+        # kernel docstring); ~29% less MXU volume than the split pair
+        q_spec2 = pl.BlockSpec((1, block_q, d), lambda i, k, j: (i, j, 0), memory_space=pltpu.VMEM)
+        kv_spec2 = pl.BlockSpec((1, block_k, d), lambda i, k, j: (i, k, 0), memory_space=pltpu.VMEM)
+        row_spec2 = pl.BlockSpec((1, block_q, 1), lambda i, k, j: (i, j, 0), memory_space=pltpu.VMEM)
+        dk, dv, dq = pl.pallas_call(
+            functools.partial(
+                _flash_bwd_fused_kernel, sm_scale=sm_scale, causal=causal,
+                block_q=block_q, block_k=block_k, kv_len=kv_len,
+            ),
+            grid=(bh, kv_len_pad // block_k, q_len_pad // block_q),
+            in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2],
+            out_specs=[
+                kv_spec2,
+                kv_spec2,
+                pl.BlockSpec((1, q_len_pad, d), lambda i, k, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, kv_len_pad, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, kv_len_pad, d), v.dtype),
+                jax.ShapeDtypeStruct((bh, q_len_pad, d), q.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((q_len_pad, d), jnp.float32),
+            ],
+            interpret=_INTERPRET,
+        )(qp, kp, vp, dop, lse_p, delta)
+        dq = dq.reshape(b, h, q_len_pad, d)[:, :, :q_len]
+        dk = dk.reshape(b, h, kv_len_pad, d)[:, :, :kv_len]
+        dv = dv.reshape(b, h, kv_len_pad, d)[:, :, :kv_len]
+        return dq, dk, dv
 
     q_spec = pl.BlockSpec((1, block_q, d), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((1, block_k, d), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM)

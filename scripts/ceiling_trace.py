@@ -125,36 +125,40 @@ def jaxpr_flops(jaxpr) -> dict:
 # ---------------------------------------------------------------- trace side
 
 def classify(op_name: str) -> str:
+    """Classify by the HLO op's NAME HEAD (the `%name` before ` = `) only.
+
+    The full event text lists operand names — matching substrings over it
+    mis-attributes wholesale (a `%copy-start(... %conv3x3_pallas ...)`
+    "mentions" conv; a `%multiply_subtract_fusion(... %copy.7149 ...)`
+    "mentions" copy). TPU HLO heads encode the kind (or a descriptive
+    fusion prefix), which is what we want. Known custom-call heads:
+    `conv3x3_pallas`/`conv3x3_wgrad` (Pallas convs), `flash_attention`
+    (fwd), `jvp__`/`transpose_jvp___` (the flash kernel re-run inside the
+    VJP and its transpose rule — the only custom-vjp kernels besides the
+    name-preserving conv ones). Caveat: XLA may fuse conv work into
+    generically-named fusions; per-class splits are attribution, wall time
+    is truth."""
     n = op_name.lower()
-    # ORDER MATTERS: the event name is the full HLO text including operand
-    # descriptions — a `%copy-start(... %conv3x3_pallas ...)` mentions
-    # "conv", so the op-kind prefixes must be matched BEFORE substrings.
-    if n.startswith("%while") or n.startswith("%conditional") or n.startswith("%call"):
-        # control-flow wrapper ops: their trace span covers every child op
-        # (a scan's %while = the whole program) — report separately, never
-        # sum into the serial budget
+    head = n.split(" = ", 1)[0].lstrip("%")
+    if head.startswith(("while", "conditional", "call")):
+        # wrapper spans cover every child op (a scan's %while = the whole
+        # program) — report separately, never sum into the serial budget
         return "control-flow(wrapper-span)"
-    if n.startswith("%copy-start") or n.startswith("%copy-done") or "cross_program_prefetch" in n:
-        # ASYNC copies (weight streaming / cross-program prefetch): the
-        # trace event's duration spans start→done and OVERLAPS compute, so
-        # summing it alongside synchronous op time double-counts — report it
-        # separately and never add it to the serial budget (VERDICT r4
-        # weak #7: the 153 ms/rep "data-movement" against a 61 ms wall was
-        # exactly these spans)
+    if head.startswith(("copy-start", "copy-done")) or "cross_program_prefetch" in head:
+        # ASYNC copies (weight streaming / cross-program prefetch) overlap
+        # compute; summing their spans alongside sync op time double-counts
         return "async-copy(overlapped)"
-    if "flash" in n or ("custom-call" in n and ("attn" in n or "transpose_jvp" in n)):
-        # transpose_jvp custom-calls are the flash-attention backward
-        # kernels (the VJP transpose rule of the Pallas fwd kernel)
-        return "attention"
-    if "conv" in n:
+    if "conv" in head:
         return "conv"
-    if "dot" in n or "einsum" in n or "matmul" in n:
+    if "flash" in head or "jvp" in head or "attn" in head:
+        return "attention"
+    if "dot" in head or "einsum" in head or "matmul" in head:
         return "matmul"
-    if any(k in n for k in ("copy", "transpose", "reshape", "bitcast", "slice", "concatenate", "pad")):
+    if any(k in head for k in ("copy", "transpose", "reshape", "bitcast", "slice", "concatenate", "pad")):
         return "data-movement"
-    if "fusion" in n:
-        return "fusion(elementwise)"
-    if "all-reduce" in n or "collective" in n:
+    if "fusion" in head:
+        return "fusion(elementwise+epilogues)"
+    if "all-reduce" in head or "collective" in head or "reduce-scatter" in head:
         return "collective"
     return "other"
 
