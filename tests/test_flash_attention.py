@@ -92,3 +92,28 @@ def test_causal_with_explicit_mask_keeps_causality() -> None:
     np.testing.assert_allclose(
         np.asarray(causal_masked), np.asarray(causal_only), atol=1e-5
     )
+
+
+def test_flash_bwd_split_fallback_matches_fused(monkeypatch) -> None:
+    """The fused dq+dk+dv backward kernel (default) and the split dq / dkv
+    pair (the VMEM-budget fallback, forced here via the module gate) must
+    produce identical gradients — guards the fallback path, which default
+    runs never take."""
+    import jax
+    import jax.numpy as jnp
+
+    from cflearn_tpu.ops import attention as A
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(2, 3, 200, 40)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 3, 131, 40)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 3, 131, 40)), jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(A.flash_attention_trainable(q, k, v, False, None) ** 2)
+
+    fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setattr(A, "_FUSED_BWD", False)
+    split = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(fused, split):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
