@@ -33,6 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = bool(int(os.environ.get("CFLEARN_TPU_PALLAS_INTERPRET", "0")))
+# kill switch for A/B measurement (e.g. XLA-vs-Pallas net of pad staging)
+_PALLAS_CONV_ENABLED = bool(int(os.environ.get("CFLEARN_TPU_CONV_PALLAS", "1")))
 
 # VMEM budget for picking the row-tile height (v5e has ~16MB more or less;
 # leave headroom for Mosaic's own buffers)
@@ -502,6 +504,8 @@ def _shape_wins(x: jax.Array, w: jax.Array) -> bool:
 
 
 def use_pallas_conv(x: jax.Array, w: jax.Array, strides, padding) -> bool:
+    if not _PALLAS_CONV_ENABLED:
+        return False
     if jax.default_backend() != "tpu" and not _INTERPRET:
         return False
     if w.ndim != 4 or w.shape[0] != 3 or w.shape[1] != 3:
